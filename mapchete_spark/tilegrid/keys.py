@@ -1,0 +1,67 @@
+"""Packed int64 tile keys (z-order / morton) — the physical partition key.
+
+The reference keys tiles by the (zoom, row, col) triple; for Spark we
+additionally pack it into one int64 so joins / repartitioning / sorting
+shuffle a single long instead of a struct, and so that range-partitioning
+on the key gives z-order spatial locality (SURVEY.md §7 risk 7: WMTS
+(zoom,row,col) stays the semantic key; this is the physical key).
+
+Layout: [ 5 bits zoom | 58 bits morton(row, col) | 1 bit spare ]
+supports zoom <= 28 (row/col < 2^29 each), far beyond the z0-12 target.
+
+All functions are numpy-vectorized so they can run over whole Arrow
+batches inside pandas UDFs, and have exact Spark SQL Column equivalents
+in mapchete_spark.functions.geo (JVM-side, codegen-friendly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B = [
+    0x5555555555555555,
+    0x3333333333333333,
+    0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF,
+    0x0000FFFF0000FFFF,
+]
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the lower 29 bits of x so there is a 0 bit between each."""
+    x = x.astype(np.int64) & 0x1FFFFFFF
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x3333333333333333
+    x = (x | (x << 1)) & 0x5555555555555555
+    return x
+
+
+def _compact1by1(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64) & 0x5555555555555555
+    x = (x | (x >> 1)) & 0x3333333333333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    x = (x | (x >> 16)) & 0x00000000FFFFFFFF
+    return x
+
+
+def pack_tile_key(zoom, row, col) -> np.ndarray:
+    """Pack (zoom, row, col) arrays (or scalars) into int64 z-order keys."""
+    zoom = np.asarray(zoom, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    morton = (_part1by1(row) << 1) | _part1by1(col)
+    return (zoom << np.int64(59)) | morton
+
+
+def unpack_tile_key(key) -> tuple:
+    """Inverse of pack_tile_key → (zoom, row, col) int64 arrays."""
+    key = np.asarray(key, dtype=np.int64)
+    zoom = key >> np.int64(59)
+    morton = key & np.int64((1 << 59) - 1)
+    col = _compact1by1(morton)
+    row = _compact1by1(morton >> 1)
+    return zoom, row, col
