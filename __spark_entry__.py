@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pyramid job on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for each query; the SQL
+snippets are generated from the SAME constants/expressions the Spark
+side uses (mapchete_spark.functions.*_sql twins) so they cannot drift.
 """
 
 from __future__ import annotations
@@ -12,27 +12,267 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapchete_spark.functions import geo as G
+from mapchete_spark.functions import spans as SP
+from mapchete_spark.operators.assign import assign_bbox_tiles, assign_point_tiles
+from mapchete_spark.operators.pyramid import reduce_docs_to_tiles, rollup_pyramid
+from mapchete_spark.sources.tables import load_docs
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pyramid build on sf0.001 — assign every doc to its
+    zoom-12 tile, reduce to per-tile doc counts, roll the pyramid up to
+    zoom 0, return per-zoom tile/doc summary (driver checks rows > 0)."""
+    docs = load_docs(spark, "/root/testdata/sf0.001")
+    assigned = assign_point_tiles(docs, [12])
+    base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
+    pyramid = rollup_pyramid(base, 12, 0, {"n_docs": F.sum("n_docs")})
+    return (
+        pyramid.groupBy("zoom")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_docs").alias("n_doc_assignments"),
+        )
+        .orderBy("zoom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles (shared helpers)
+
+_LON = G.lon_sql("doc_id")
+_LAT = G.lat_sql("doc_id")
+
+
+def _docs_geo_cte() -> str:
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id, {_LON} AS lon, {_LAT} AS lat, {G.radius_sql("doc_id")} AS radius
+        FROM documents
+    )
+    """
+
+
+def q_tile_assign_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/V2 analog: point->tile equi-assignment at zoom 8, per-tile doc
+    counts (the 'spatial index is the partitioning' operator)."""
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [8])
+    return (
+        reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
+        .select("zoom", "tile_row", "tile_col", "n_docs")
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_tile_assign_z8() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    SELECT 8 AS zoom,
+           {G.tile_row_sql("lat", "8")} AS tile_row,
+           {G.tile_col_sql("lon", "8")} AS tile_col,
+           COUNT(*) AS n_docs
+    FROM docs_geo
+    GROUP BY 1, 2, 3
+    ORDER BY tile_row, tile_col
+    """
+    )
+
+
+def q_tile_assign_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom fan-out 0..12: per-zoom distinct-tile and assignment counts
+    (tiles_from_geom over the whole corpus, every zoom in one pass)."""
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, range(0, 13))
+    return (
+        assigned.groupBy("zoom")
+        .agg(
+            F.countDistinct("tile_key").alias("n_tiles"),
+            F.count(F.lit(1)).alias("n_assignments"),
+        )
+        .orderBy("zoom")
+    )
+
+
+def o_tile_assign_multizoom() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    , z AS (SELECT UNNEST(generate_series(0, 12)) AS zoom)
+    SELECT z.zoom,
+           COUNT(DISTINCT {G.tile_key_sql("z.zoom", G.tile_row_sql("lat", "z.zoom"), G.tile_col_sql("lon", "z.zoom"))}) AS n_tiles,
+           COUNT(*) AS n_assignments
+    FROM docs_geo, z
+    GROUP BY z.zoom
+    ORDER BY z.zoom
+    """
+    )
+
+
+def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 analog: hierarchical groupBy on parent ids, zoom 12 -> 4,
+    returning the zoom-4 level (oracle direct-assigns at zoom 4 — the
+    dyadic grid makes parent-chain floor == direct floor)."""
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [12])
+    base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
+    pyr = rollup_pyramid(base, 12, 4, {"n_docs": F.sum("n_docs")}, include_base=False)
+    return (
+        pyr.where(F.col("zoom") == 4)
+        .select("zoom", "tile_row", "tile_col", "n_docs")
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_pyramid_rollup() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    SELECT 4 AS zoom,
+           {G.tile_row_sql("lat", "4")} AS tile_row,
+           {G.tile_col_sql("lon", "4")} AS tile_col,
+           COUNT(*) AS n_docs
+    FROM docs_geo
+    GROUP BY 1, 2, 3
+    ORDER BY tile_row, tile_col
+    """
+    )
+
+
+def q_hot_tile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe: top-5 zoom-8 tiles by doc count — the deterministic
+    1% hot-spot cluster must surface as tile (8, 95, 200)."""
+    top = q_tile_assign_z8(spark, sf_dir)
+    return top.orderBy(F.desc("n_docs"), "tile_row", "tile_col").limit(5)
+
+
+def o_hot_tile_skew() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    SELECT 8 AS zoom,
+           {G.tile_row_sql("lat", "8")} AS tile_row,
+           {G.tile_col_sql("lon", "8")} AS tile_col,
+           COUNT(*) AS n_docs
+    FROM docs_geo
+    GROUP BY 1, 2, 3
+    ORDER BY n_docs DESC, tile_row, tile_col
+    LIMIT 5
+    """
+    )
+
+
+def q_bbox_cover_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 analog: footprint (bbox) -> covering-tile explode at zoom 6;
+    per-tile count of footprint assignments (multi-tile docs)."""
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+    cover = assign_bbox_tiles(docs, 6)
+    return (
+        cover.groupBy("zoom", "tile_row", "tile_col")
+        .agg(F.count(F.lit(1)).alias("n_footprints"))
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_bbox_cover_z6() -> str:
+    ts = "(180.0 / POWER(2.0, 6))"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , boxes AS (
+        SELECT doc_id,
+               GREATEST(lon - radius, -180.0) AS l,
+               LEAST(lon + radius, 180.0) AS r,
+               GREATEST(lat - radius, -90.0) AS b,
+               LEAST(lat + radius, 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), ranges AS (
+        SELECT doc_id,
+               LEAST(GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0), 127) AS c0,
+               LEAST(GREATEST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, 0), 127) AS c1,
+               LEAST(GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0), 63) AS r0,
+               LEAST(GREATEST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, 0), 63) AS r1
+        FROM boxes
+    ), cover AS (
+        SELECT doc_id,
+               UNNEST(generate_series(r0, GREATEST(r1, r0))) AS tile_row
+        FROM ranges
+    ), cover2 AS (
+        SELECT c.doc_id, c.tile_row,
+               UNNEST(generate_series(g.c0, GREATEST(g.c1, g.c0))) AS tile_col
+        FROM cover c JOIN ranges g USING (doc_id)
+    )
+    SELECT 6 AS zoom, tile_row, tile_col, COUNT(*) AS n_footprints
+    FROM cover2
+    GROUP BY 1, 2, 3
+    ORDER BY tile_row, tile_col
+    """
+    )
+
+
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft's per-row invariant: derive interleaved spans, push them
+    through an explode -> shuffle -> ordered re-assembly pipeline, and
+    emit the order-sensitive span-sequence signature per doc."""
+    docs = load_docs(spark, sf_dir, with_spans_col=True, geo=False)
+    exploded = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).repartition(16, "doc_id")
+    reassembled = (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("span.offset").alias("offset"), F.col("span").alias("span")))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            SP.span_signature_col(F.transform(F.col("ordered"), lambda x: x["span"])).alias(
+                "span_sig"
+            ),
+        )
+    )
+    return reassembled.orderBy("doc_id")
+
+
+def o_span_roundtrip() -> str:
+    return (
+        "WITH spans_flat AS ("
+        + SP.spans_flat_sql()
+        + ") "
+        + SP.span_signature_sql()
+        + " ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign_z8": q_tile_assign_z8,
+        "tile_assign_multizoom": q_tile_assign_multizoom,
+        "pyramid_rollup": q_pyramid_rollup,
+        "hot_tile_skew": q_hot_tile_skew,
+        "bbox_cover_z6": q_bbox_cover_z6,
+        "span_roundtrip": q_span_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign_z8": o_tile_assign_z8(),
+        "tile_assign_multizoom": o_tile_assign_multizoom(),
+        "pyramid_rollup": o_pyramid_rollup(),
+        "hot_tile_skew": o_hot_tile_skew(),
+        "bbox_cover_z6": o_bbox_cover_z6(),
+        "span_roundtrip": o_span_roundtrip(),
+    }

@@ -1,0 +1,109 @@
+"""Pyramid reduction — hierarchical groupBy on parent tile ids.
+
+The reference's baselevels/overviews operator (Z1, SURVEY.md §2.6):
+zooms outside the baselevel range are interpolated from the 4 children
+(mapchete/processing/tasks.py:378-450).  For aggregate payloads
+(counts, sums, sketches) the Spark-native form is an iterative
+`groupBy(parent_key)` per zoom, max -> min, each step a single shuffle
+of the (already reduced) previous level — NOT a re-scan of the corpus.
+
+Skew note: by the time the rollup reaches the hot low zooms the rows
+are already one-per-tile, so the shuffle is tiny; salting is needed in
+the FIRST reduction from the corpus (see reduce_docs_to_tiles).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapchete_spark.functions.geo import parent_col, parent_row, tile_key_col
+from mapchete_spark.operators.assign import with_salt
+
+
+def reduce_docs_to_tiles(
+    assigned: DataFrame,
+    aggs: Dict[str, Column],
+    salted: bool = False,
+    salt_source: str = "doc_id",
+) -> DataFrame:
+    """First (widest) reduction: doc-level rows -> one row per tile.
+
+    Default is a plain groupBy: for ALGEBRAIC aggs (count/sum/min/max)
+    Spark's map-side partial aggregation already reduces each task's
+    output to one row per tile, so a hot tile costs nothing extra and
+    salting would only add a shuffle (verified via .explain: the salted
+    plan has 3 exchanges vs 2).
+
+    ``salted=True`` enables the two-phase (tile, salt) -> tile pattern
+    for HOLISTIC aggs whose partial state is per-row sized
+    (collect_list, approx distinct over huge groups) — there the salt
+    genuinely spreads a hot tile over many reducers.  All aggs must
+    then be mergeable by SUM in the final phase.
+    """
+    group = ["zoom", "tile_row", "tile_col", "tile_key"]
+    if not salted:
+        return assigned.groupBy(*group).agg(
+            *[v.alias(k) for k, v in aggs.items()]
+        )
+    partial = (
+        with_salt(assigned, salt_source=salt_source)
+        .groupBy(*group, "salt")
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+    )
+    # final merge: sums of partials (count -> sum, sum -> sum, min/max ok)
+    finals = []
+    for k in aggs:
+        finals.append(F.sum(F.col(k)).alias(k))
+    return partial.groupBy(*group).agg(*finals)
+
+
+def rollup_once(
+    tiles: DataFrame, merge_aggs: Dict[str, Column]
+) -> DataFrame:
+    """Reduce one zoom level to its parents: groupBy(parent id)."""
+    z = F.col("zoom") - 1
+    return (
+        tiles.withColumns(
+            {
+                "zoom": z,
+                "tile_row": parent_row(F.col("tile_row")),
+                "tile_col": parent_col(F.col("tile_col")),
+            }
+        )
+        .withColumn(
+            "tile_key",
+            tile_key_col(F.col("zoom"), F.col("tile_row"), F.col("tile_col")),
+        )
+        .groupBy("zoom", "tile_row", "tile_col", "tile_key")
+        .agg(*[v.alias(k) for k, v in merge_aggs.items()])
+    )
+
+
+def rollup_pyramid(
+    base: DataFrame,
+    from_zoom: int,
+    to_zoom: int,
+    merge_aggs: Dict[str, Column],
+    include_base: bool = True,
+) -> DataFrame:
+    """Roll a single-zoom tile table up from ``from_zoom`` down to
+    ``to_zoom`` (inclusive), unioning all levels.
+
+    Mirrors the reference's zoom-descending batch order
+    (mapchete/processing/base.py:799-845): each level is computed from
+    the previous one (4 children -> 1 parent), one narrow shuffle per
+    level over already-reduced data.
+    """
+    assert from_zoom >= to_zoom
+    levels: List[DataFrame] = [base] if include_base else []
+    cur = base
+    for _ in range(from_zoom, to_zoom, -1):
+        cur = rollup_once(cur, merge_aggs)
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

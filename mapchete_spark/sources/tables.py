@@ -1,0 +1,57 @@
+"""Loaders for the driver-generated testdata and the engine's derived
+document-with-geo table.
+
+The documents parquet is the raw corpus; ``load_docs`` attaches the
+deterministic geo columns and interleaved spans (the engine's canonical
+input per BASELINE.json input_hint). Loading goes through
+``spark.read.parquet`` so Catalyst handles pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapchete_spark.functions.geo import with_geo
+from mapchete_spark.functions.spans import with_spans
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name}; have {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    with_spans_col: bool = False,
+    geo: bool = True,
+) -> DataFrame:
+    """documents + derived lon/lat/radius (+ optional interleaved spans)."""
+    df = load_table(spark, sf_dir, "documents")
+    if geo:
+        df = with_geo(df)
+    if with_spans_col:
+        df = with_spans(df)
+    return df

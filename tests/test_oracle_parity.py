@@ -1,0 +1,73 @@
+"""Mimics the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
+compare row count + column names + order-insensitive values
+(columns sorted by name, like the driver's hash compare)."""
+
+import math
+
+import pytest
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+
+    canon_rows = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], canon_rows
+
+
+def _spark_result(spark, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def _duck_result(duck, sql):
+    res = duck.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def all_query_names():
+    import __spark_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    if sql is None:
+        df = q(spark, sf_dir)
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    s_cols, s_rows = _spark_result(spark, q, sf_dir)
+    d_cols, d_rows = _duck_result(duck, sql)
+    sc, sr = _canon(s_rows, s_cols)
+    dc, dr = _canon(d_rows, d_cols)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    mismatches = [
+        (a, b) for a, b in zip(sr, dr) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 13  # zooms 0..12
+    by_zoom = {r["zoom"]: r for r in rows}
+    # zoom 0 tiles: at most 2 on the geodetic grid
+    assert 1 <= by_zoom[0]["n_tiles"] <= 2
+    # every zoom carries the full corpus count
+    counts = {r["n_doc_assignments"] for r in rows}
+    assert len(counts) == 1
