@@ -253,6 +253,75 @@ def o_span_roundtrip() -> str:
 
 
 # ---------------------------------------------------------------------------
+# raster pipeline (non-SQL-expressible: rows-only checks; exact-value
+# parity is covered by tests/test_raster_spark.py goldens)
+
+_AOI = None  # lazy import guard
+
+
+def _raster_ctx():
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    return TilePyramid("geodetic"), Bounds(0.0, 20.0, 45.0, 50.0)
+
+
+def q_dem_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 analog: materialized DEM tile table (zoom 5, AOI-pruned)."""
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    df = materialize_dem(spark, 5, pyr, bounds=aoi)
+    return df.select("zoom", "tile_row", "tile_col", "bands", "height", "width")
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: halo-buffered Horn hillshade over the DEM tile table; returns
+    per-tile uint8 checksums (deterministic)."""
+    from mapchete_spark.operators.halo import add_buffers
+    from mapchete_spark.operators.process import process_hillshade, run_raster_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+    buffered = add_buffers(dem, pyr, 1)
+    hs = run_raster_process(buffered, pyr, process_hillshade)
+    return hs.select(
+        "zoom", "tile_row", "tile_col", F.md5(F.col("data")).alias("tile_md5")
+    ).orderBy("tile_row", "tile_col")
+
+
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: contour vector tiles from the DEM (counts per tile)."""
+    from mapchete_spark.operators.process import process_contours, run_vector_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+    feats = run_vector_process(dem, pyr, process_contours, params={"interval": 200})
+    return (
+        feats.groupBy("zoom", "tile_row", "tile_col")
+        .agg(F.count(F.lit(1)).alias("n_contours"))
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1: pyramid overview reduction zoom 5 -> 3 (average), per-level
+    tile counts + checksum of all tile payloads."""
+    from mapchete_spark.operators.overviews import build_overviews
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+    levels = build_overviews(dem, pyr, 5, 3, resampling="average")
+    out = None
+    for z, df in levels:
+        lvl = df.select("zoom", "tile_row", "tile_col", F.md5("data").alias("tile_md5"))
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.orderBy("zoom", "tile_row", "tile_col")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -264,6 +333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
+        "dem_tiles": q_dem_tiles,
+        "hillshade": q_hillshade,
+        "contours": q_contours,
+        "overviews": q_overviews,
     }
 
 

@@ -1,0 +1,162 @@
+"""Array-payload pyramid reduction (Z1 'baselevels/overviews').
+
+Lower-zoom overview tiles are interpolated from their 4 children:
+mosaic the child arrays and resample onto the parent grid
+(mapchete/processing/tasks.py:378-450, lower path :408-448; default
+resampling 'nearest', config/base.py:535-536).  Spark shape: one
+``groupBy(parent_key).applyInPandas`` per zoom step, iterating
+max -> min (the reference's zoom-descending batches,
+processing/base.py:799-845); each step shuffles only the previous
+level's tiles.
+
+The higher-zoom path (children from parent, tasks.py:398-406) is
+``overview_upsample`` — a per-row mapInPandas explode (parent ->
+4 children), no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.rastertable import (
+    RASTER_SCHEMA,
+    decode_array,
+    encode_array,
+)
+from mapchete_spark.raster.array import extract_from_array, resample_from_array
+from mapchete_spark.raster.mosaic import create_mosaic
+from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+
+def overview_reduce_once(
+    tiles: DataFrame, pyramid: TilePyramid, resampling: str = "nearest"
+) -> DataFrame:
+    """One pyramid step: children at zoom z -> parents at zoom z-1."""
+    pyr_dict = pyramid.to_dict()
+
+    with_parent = tiles.withColumn(
+        "parent_key",
+        (
+            (F.col("zoom").cast("long") - 1) * F.lit(1 << 54).cast("long")
+            + F.floor(F.col("tile_row") / 2).cast("long") * F.lit(1 << 27).cast("long")
+            + F.floor(F.col("tile_col") / 2).cast("long")
+        ),
+    )
+
+    def reduce_group(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = TilePyramid(**pyr_dict)
+        parent_key = int(key[0])
+        z = parent_key >> 54
+        prow = (parent_key >> 27) & ((1 << 27) - 1)
+        pcol = parent_key & ((1 << 27) - 1)
+        parent = Tile(p, int(z), int(prow), int(pcol))
+        children_arrays = []
+        for _, r in pdf.iterrows():
+            t = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            arr = decode_array(
+                r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
+                int(r["width"]), float(r["nodata"]),
+            )
+            children_arrays.append((t, arr))
+        nodata = float(pdf.iloc[0]["nodata"])
+        mosaic, mbounds = create_mosaic(children_arrays, nodata=nodata)
+        out = resample_from_array(
+            mosaic,
+            mbounds,
+            parent.bounds(pixelbuffer=0),
+            parent.shape(pixelbuffer=0),
+            resampling=resampling,
+            nodata=nodata,
+        )
+        data, dtype, bands, h, w = encode_array(out, nodata)
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_row": [int(prow)],
+                "tile_col": [int(pcol)],
+                "tile_key": [parent_key],
+                "bands": [bands],
+                "height": [h],
+                "width": [w],
+                "dtype": [dtype],
+                "nodata": [nodata],
+                "data": [data],
+            }
+        )
+
+    return with_parent.groupBy("parent_key").applyInPandas(
+        reduce_group, schema=RASTER_SCHEMA
+    )
+
+
+def build_overviews(
+    base_tiles: DataFrame,
+    pyramid: TilePyramid,
+    base_zoom: int,
+    min_zoom: int,
+    resampling: str = "nearest",
+) -> List[Tuple[int, DataFrame]]:
+    """All overview levels from base_zoom-1 down to min_zoom.
+    Returns [(zoom, DataFrame), ...]; caller persists/writes each level
+    (one Spark action per zoom = the reference's batch order)."""
+    out: List[Tuple[int, DataFrame]] = []
+    cur = base_tiles
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = overview_reduce_once(cur, pyramid, resampling=resampling)
+        out.append((z, cur))
+    return out
+
+
+def overview_upsample(
+    parents: DataFrame, pyramid: TilePyramid, resampling: str = "nearest"
+) -> DataFrame:
+    """Higher-zoom interpolation: each parent tile emits its 4 children
+    resampled from the parent window (tasks.py:398-406). Narrow
+    (no-shuffle) explode."""
+    pyr_dict = pyramid.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )}
+            for _, r in pdf.iterrows():
+                parent = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+                arr = decode_array(
+                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
+                    int(r["width"]), float(r["nodata"]),
+                )
+                nodata = float(r["nodata"])
+                for child in parent.get_children():
+                    sub = resample_from_array(
+                        arr,
+                        parent.bounds(pixelbuffer=0),
+                        child.bounds(pixelbuffer=0),
+                        child.shape(pixelbuffer=0),
+                        resampling=resampling,
+                        nodata=nodata,
+                    )
+                    data, dtype, bands, h, w = encode_array(sub, nodata)
+                    out["zoom"].append(child.zoom)
+                    out["tile_row"].append(child.row)
+                    out["tile_col"].append(child.col)
+                    out["tile_key"].append(
+                        (child.zoom << 54) | (child.row << 27) | child.col
+                    )
+                    out["bands"].append(bands)
+                    out["height"].append(h)
+                    out["width"].append(w)
+                    out["dtype"].append(dtype)
+                    out["nodata"].append(nodata)
+                    out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    return parents.mapInPandas(gen, schema=RASTER_SCHEMA)

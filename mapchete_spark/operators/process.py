@@ -1,0 +1,273 @@
+"""The user-process contract: execute() over grouped tile batches.
+
+Reference semantics (SURVEY.md §2.9): a process is a Python function
+``execute(tile_ctx, **params)`` returning a masked array (raster
+process), a list of feature dicts (vector process), or ``Empty`` /
+None (skip tile — nothing is written, mirroring the write-skip-on-empty
+rewrite, mapchete/formats/base.py:450-460).
+
+Spark mapping: the tile raster table is mapInPandas-ed; each input row
+is one tile (already buffered by the halo operator when the process
+needs a pixelbuffer, e.g. hillshade needs >= 1,
+mapchete/processes/hillshade.py:54-205).  Whole Arrow batches stay in
+one Python call; per-tile numpy does the math.  No per-row Python at
+the DataFrame level.
+
+Built-in processes (P1-P4): convert, hillshade, contours, clip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from mapchete_spark.geometry.core import MultiPolygon, Polygon
+from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+from mapchete_spark.operators.rastertable import (
+    RASTER_SCHEMA,
+    decode_array,
+    encode_array,
+)
+from mapchete_spark.raster.array import clip_array_with_vector
+from mapchete_spark.raster.terrain import generate_contours, hillshade
+from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+
+class Empty(Exception):
+    """Raise inside a process to skip the tile (MapcheteNodataTile)."""
+
+
+@dataclass
+class TileContext:
+    """What a process sees for one tile (the reference's ``mp`` object +
+    typed inputs, mapchete/processing/mp.py:7-97)."""
+
+    tile: Tile
+    array: Optional[np.ma.MaskedArray]
+    nodata: float
+    params: dict
+
+    @property
+    def affine(self):
+        # affine of the (possibly buffered) window actually carried
+        h, w = self.array.shape[-2:] if self.array is not None else self.tile.shape()
+        b = self.tile.pyramid  # pixel sizes are zoom-constant
+        return (
+            self.tile.pixel_x_size,
+            0.0,
+            0.0,
+            0.0,
+            -self.tile.pixel_y_size,
+            0.0,
+        )
+
+
+RasterProcess = Callable[[TileContext], np.ma.MaskedArray]
+
+
+def run_raster_process(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    process: RasterProcess,
+    params: Optional[dict] = None,
+    out_dtype: Optional[str] = None,
+    out_nodata: Optional[float] = None,
+) -> DataFrame:
+    """Apply a raster process to every tile row; rows whose process
+    raises Empty (or returns None) are dropped. Output arrays replace
+    the input payload; tile ids/keys are preserved."""
+    pyr_dict = pyramid.to_dict()
+    params = params or {}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )}
+            for _, r in pdf.iterrows():
+                tile = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+                arr = decode_array(
+                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
+                    int(r["width"]), float(r["nodata"]),
+                )
+                ctx = TileContext(
+                    tile=tile, array=arr, nodata=float(r["nodata"]), params=params
+                )
+                try:
+                    result = process(ctx)
+                except Empty:
+                    continue
+                if result is None:
+                    continue
+                nodata = out_nodata if out_nodata is not None else float(r["nodata"])
+                if out_dtype:
+                    result = result.astype(out_dtype)
+                if isinstance(result, np.ma.MaskedArray) and result.mask.all():
+                    continue  # write-skip on fully masked output
+                data, dtype, bands, h, w = encode_array(
+                    result if result.ndim == 3 else result[np.newaxis], nodata
+                )
+                out["zoom"].append(int(r["zoom"]))
+                out["tile_row"].append(int(r["tile_row"]))
+                out["tile_col"].append(int(r["tile_col"]))
+                out["tile_key"].append(int(r["tile_key"]))
+                out["bands"].append(bands)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["dtype"].append(dtype)
+                out["nodata"].append(nodata)
+                out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+VECTOR_SCHEMA = (
+    "zoom int, tile_row long, tile_col long, tile_key long, "
+    "geometry binary, properties string"
+)
+
+
+def run_vector_process(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    process: Callable[[TileContext], List[dict]],
+    params: Optional[dict] = None,
+) -> DataFrame:
+    """Raster-in, features-out process (e.g. contours). Output rows:
+    one per feature with WKB geometry + JSON properties."""
+    import json
+
+    pyr_dict = pyramid.to_dict()
+    params = params or {}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "geometry", "properties",
+            )}
+            for _, r in pdf.iterrows():
+                tile = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+                arr = decode_array(
+                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
+                    int(r["width"]), float(r["nodata"]),
+                )
+                ctx = TileContext(
+                    tile=tile, array=arr, nodata=float(r["nodata"]), params=params
+                )
+                try:
+                    feats = process(ctx)
+                except Empty:
+                    continue
+                for f in feats or []:
+                    out["zoom"].append(int(r["zoom"]))
+                    out["tile_row"].append(int(r["tile_row"]))
+                    out["tile_col"].append(int(r["tile_col"]))
+                    out["tile_key"].append(int(r["tile_key"]))
+                    out["geometry"].append(to_wkb(f["geometry"]))
+                    out["properties"].append(json.dumps(f["properties"], sort_keys=True))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(gen, schema=VECTOR_SCHEMA)
+
+
+# ---- built-in processes (P1-P4) ----------------------------------------------
+
+
+def process_convert(ctx: TileContext) -> np.ma.MaskedArray:
+    """P4 (mapchete/processes/convert.py:15-132): optional scale/offset,
+    clip to dtype range, optional vector clip."""
+    arr = ctx.array.astype("float64")
+    scale_ratio = ctx.params.get("scale_ratio", 1.0)
+    scale_offset = ctx.params.get("scale_offset", 0.0)
+    if scale_ratio != 1.0 or scale_offset != 0.0:
+        arr = arr * scale_ratio + scale_offset
+    out_dtype = ctx.params.get("dtype")
+    if out_dtype:
+        info = (
+            np.iinfo(out_dtype)
+            if np.issubdtype(np.dtype(out_dtype), np.integer)
+            else np.finfo(out_dtype)
+        )
+        arr = np.ma.clip(arr, info.min, info.max).astype(out_dtype)
+    clip_geoms = ctx.params.get("clip_geometries")
+    if clip_geoms:
+        b = ctx.tile.bounds(pixelbuffer=0)
+        arr = clip_array_with_vector(arr, b, clip_geoms)
+        if arr.mask.all():
+            raise Empty
+    return arr
+
+
+def process_hillshade(ctx: TileContext) -> np.ma.MaskedArray:
+    """P1: Horn hillshade; expects the array to carry a pixelbuffer >= 1
+    (provided by the halo join). The buffered edge is cropped after
+    shading so the output is exactly the unbuffered tile."""
+    if ctx.array.mask.all():
+        raise Empty
+    hs = hillshade(
+        ctx.array,
+        (ctx.tile.pixel_x_size, 0, 0, 0, -ctx.tile.pixel_y_size, 0),
+        azimuth=ctx.params.get("azimuth", 315.0),
+        altitude=ctx.params.get("altitude", 45.0),
+        z=ctx.params.get("z", 1.0),
+        scale=ctx.params.get("scale", 1.0),
+    )
+    th, tw = ctx.tile.shape(pixelbuffer=0)
+    bh, bw = hs.shape[-2:]
+    if (bh, bw) != (th, tw):
+        # crop buffer: x is symmetric, y top offset from bounds
+        b = ctx.tile.bounds(pixelbuffer=(bw - tw) // 2)
+        tb = ctx.tile.bounds(pixelbuffer=0)
+        up = int(round((b.top - tb.top) / ctx.tile.pixel_y_size))
+        left = (bw - tw) // 2
+        hs = hs[up : up + th, left : left + tw]
+    return hs[np.newaxis]
+
+
+def process_contours(ctx: TileContext) -> List[dict]:
+    """P2: contour LineStrings of the tile window (buffered input allowed;
+    vertices outside the unbuffered tile are kept, like the reference
+    which clips at write time)."""
+    if ctx.array.mask.all():
+        raise Empty
+    pb_h = ctx.array.shape[-2]
+    th, tw = ctx.tile.shape(pixelbuffer=0)
+    pb = (ctx.array.shape[-1] - tw) // 2
+    b = ctx.tile.bounds(pixelbuffer=pb)
+    return generate_contours(
+        ctx.array,
+        tile_left=b.left,
+        tile_top=b.top,
+        pixel_x_size=ctx.tile.pixel_x_size,
+        pixel_y_size=ctx.tile.pixel_y_size,
+        interval=ctx.params.get("interval", 100),
+        field=ctx.params.get("field", "elev"),
+        base=ctx.params.get("base", 0),
+    )
+
+
+def process_clip(ctx: TileContext) -> np.ma.MaskedArray:
+    """P3 (mapchete/processes/clip.py:13-54): mask raster by vector
+    geometries; Empty when no overlap."""
+    geoms = ctx.params.get("clip_geometries") or []
+    b = ctx.tile.bounds(pixelbuffer=0)
+    live = [g for g in geoms if g.bounds.intersects(b)]
+    if not live:
+        raise Empty
+    out = clip_array_with_vector(
+        ctx.array, b, live,
+        inverted=ctx.params.get("inverted", False),
+        clip_buffer=ctx.params.get("clip_buffer", 0.0) * ctx.tile.pixel_x_size,
+    )
+    if out.mask.all():
+        raise Empty
+    return out

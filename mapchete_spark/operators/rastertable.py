@@ -1,0 +1,136 @@
+"""Tile raster tables: the engine's at-rest raster representation.
+
+Schema (SURVEY.md §1.1 'Raster payload'):
+  zoom int, tile_row long, tile_col long, tile_key long,
+  bands int, height int, width int, dtype string, nodata double,
+  data binary  -- nodata-filled C-order (bands, h, w) buffer
+
+The mask is implicit (data == nodata), which keeps rows compact and
+lets Spark shuffle plain binary. Encode/decode are numpy-only and run
+inside Arrow-batched UDFs.
+
+``materialize_dem`` builds a distributed tile table from the analytic
+DEM (FIXTURES.md F2) — the stand-in for the reference's raster_file
+input driver (S1): at 100 TB the equivalent is a parquet/Iceberg table
+of pre-tiled arrays, which this produces.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapchete_spark.raster.dem import DEM_NODATA, dem_tile
+from mapchete_spark.tilegrid.grid import Bounds
+from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+RASTER_SCHEMA = (
+    "zoom int, tile_row long, tile_col long, tile_key long, "
+    "bands int, height int, width int, dtype string, nodata double, data binary"
+)
+
+
+def encode_array(arr: np.ma.MaskedArray, nodata: float) -> Tuple[bytes, str, int, int, int]:
+    a = arr if arr.ndim == 3 else arr[np.newaxis]
+    filled = np.ascontiguousarray(
+        a.filled(nodata) if isinstance(a, np.ma.MaskedArray) else a
+    )
+    return (
+        filled.tobytes(),
+        str(filled.dtype),
+        filled.shape[0],
+        filled.shape[1],
+        filled.shape[2],
+    )
+
+
+def decode_array(
+    data: bytes, dtype: str, bands: int, height: int, width: int, nodata: float
+) -> np.ma.MaskedArray:
+    raw = np.frombuffer(data, dtype=dtype).reshape(bands, height, width)
+    out = np.ma.masked_equal(raw, nodata)
+    out.set_fill_value(nodata)
+    return out
+
+
+def row_to_array(row) -> np.ma.MaskedArray:
+    """Decode from a pandas row / namedtuple with the raster columns."""
+    return decode_array(
+        row["data"], row["dtype"], int(row["bands"]), int(row["height"]),
+        int(row["width"]), float(row["nodata"]),
+    )
+
+
+def tile_of_row(pyramid: TilePyramid, row) -> Tile:
+    return Tile(pyramid, int(row["zoom"]), int(row["tile_row"]), int(row["tile_col"]))
+
+
+def materialize_dem(
+    spark: SparkSession,
+    zoom: int,
+    pyramid: Optional[TilePyramid] = None,
+    bounds: Optional[Bounds] = None,
+    pixelbuffer: int = 0,
+    hole: bool = True,
+) -> DataFrame:
+    """Distributed DEM tile table at one zoom: enumerate tile ids with
+    spark.range cross arithmetic (no driver-side tile list), then sample
+    the analytic field per tile inside mapInPandas."""
+    pyr = pyramid or TilePyramid("geodetic")
+    mw, mh = pyr.matrix_width(zoom), pyr.matrix_height(zoom)
+    ids = (
+        spark.range(mh * mw)
+        .select(
+            (F.col("id") / mw).cast("long").alias("tile_row"),
+            (F.col("id") % mw).alias("tile_col"),
+        )
+        .withColumn("zoom", F.lit(zoom))
+    )
+    if bounds is not None:
+        ranges = pyr.tile_ranges_from_bounds(bounds, zoom)
+        if not ranges:
+            return spark.createDataFrame([], RASTER_SCHEMA)
+        cond = None
+        for (r0, r1, c0, c1) in ranges:
+            c = (
+                (F.col("tile_row") >= r0)
+                & (F.col("tile_row") <= r1)
+                & (F.col("tile_col") >= c0)
+                & (F.col("tile_col") <= c1)
+            )
+            cond = c if cond is None else (cond | c)
+        ids = ids.where(cond)
+
+    pyr_dict = pyr.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )}
+            for z, r, c in zip(pdf["zoom"], pdf["tile_row"], pdf["tile_col"]):
+                t = Tile(p, int(z), int(r), int(c))
+                arr = dem_tile(t, pixelbuffer=pixelbuffer, hole=hole)
+                data, dtype, bands, h, w = encode_array(arr, DEM_NODATA)
+                out["zoom"].append(int(z))
+                out["tile_row"].append(int(r))
+                out["tile_col"].append(int(c))
+                out["tile_key"].append((int(z) << 54) | (int(r) << 27) | int(c))
+                out["bands"].append(bands)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["dtype"].append(dtype)
+                out["nodata"].append(DEM_NODATA)
+                out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        gen, schema=RASTER_SCHEMA
+    )

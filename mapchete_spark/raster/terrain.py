@@ -1,0 +1,233 @@
+"""Terrain processes: hillshade (Horn's method) and contours
+(marching squares) — the math of mapchete/processes/hillshade.py:105-205
+and processes/contours.py:135-178 re-implemented in pure numpy
+(matplotlib's contour engine replaced by marching squares with linear
+interpolation on cell edges).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+import numpy.ma as ma
+
+from mapchete_spark.geometry.core import LineString
+
+
+def calculate_slope_aspect(
+    elevation: np.ndarray, xres: float, yres: float, z: float = 1.0, scale: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Slope/aspect from the 3x3 neighborhood (Horn's method over 9
+    shifted sub-arrays) — math identical to
+    mapchete/processes/hillshade.py:105-158; output arrays are 2 pixels
+    smaller than the input (hence pixelbuffer >= 1 upstream)."""
+    z = float(z)
+    scale = float(scale)
+    height, width = elevation.shape[0] - 2, elevation.shape[1] - 2
+    w = [
+        z * elevation[row : (row + height), col : (col + width)]
+        for row in range(3)
+        for col in range(3)
+    ]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (
+            8.0 * xres * scale
+        )
+        y = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (
+            8.0 * yres * scale
+        )
+        slope = math.pi / 2 - np.arctan(np.sqrt(x * x + y * y))
+        aspect = np.arctan2(x, y)
+    return slope, aspect
+
+
+def hillshade(
+    elevation: ma.MaskedArray,
+    affine: Tuple[float, float, float, float, float, float],
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z: float = 1.0,
+    scale: float = 1.0,
+) -> ma.MaskedArray:
+    """uint8 hillshade, same shape as input (edge-padded), mask carried
+    over from the elevation mask (hillshade.py:161-205)."""
+    elevation2d = elevation[0] if elevation.ndim == 3 else elevation
+    xres = affine[0]
+    yres = affine[4]
+    data = (
+        elevation2d.filled(float(elevation2d.mean()))
+        if isinstance(elevation2d, ma.MaskedArray)
+        else np.asarray(elevation2d)
+    ).astype(np.float64)
+    slope, aspect = calculate_slope_aspect(
+        data, xres, yres, z=float(z), scale=float(scale)
+    )
+    deg2rad = math.pi / 180.0
+    shaded = np.sin(float(altitude) * deg2rad) * np.sin(slope) + np.cos(
+        float(altitude) * deg2rad
+    ) * np.cos(slope) * np.cos((float(azimuth) - 90.0) * deg2rad - aspect)
+    out = np.pad(np.clip(shaded * 255.0, 1, 255).astype(np.uint8), 1, mode="edge")
+    return ma.masked_array(data=out, mask=ma.getmaskarray(elevation2d))
+
+
+def get_contour_values(
+    min_val: float, max_val: float, base: float = 0, interval: float = 100
+) -> List[float]:
+    """Contour elevations between min and max on the interval grid —
+    exact loop of contours.py:160-178."""
+    i = base
+    out: List[float] = []
+    if min_val < base:
+        while i >= min_val:
+            i -= interval
+    while i <= max_val:
+        if i >= min_val:
+            out.append(i)
+        i += interval
+    return out
+
+
+# marching-squares segment table: for each of the 16 corner-sign cases,
+# the cell edges connected by contour segments. Edges: 0=top,1=right,
+# 2=bottom,3=left. Corner order for the case index: (tl, tr, br, bl).
+_MS_SEGMENTS: Dict[int, List[Tuple[int, int]]] = {
+    0: [],
+    1: [(3, 2)],
+    2: [(2, 1)],
+    3: [(3, 1)],
+    4: [(0, 1)],
+    5: [(3, 0), (2, 1)],  # saddle
+    6: [(0, 2)],
+    7: [(3, 0)],
+    8: [(3, 0)],
+    9: [(0, 2)],
+    10: [(3, 2), (0, 1)],  # saddle
+    11: [(0, 1)],
+    12: [(3, 1)],
+    13: [(2, 1)],
+    14: [(3, 2)],
+    15: [],
+}
+
+
+def _marching_squares(grid: np.ndarray, level: float) -> List[Tuple[Tuple[float, float], Tuple[float, float]]]:
+    """Line segments (in array index coordinates (row, col), float) where
+    ``grid`` crosses ``level``. Linear interpolation along cell edges."""
+    gt = grid >= level
+    h, w = grid.shape
+    segs = []
+    tl = gt[:-1, :-1]
+    tr = gt[:-1, 1:]
+    br = gt[1:, 1:]
+    bl = gt[1:, :-1]
+    case = (
+        tl.astype(np.uint8) * 8
+        + tr.astype(np.uint8) * 4
+        + br.astype(np.uint8) * 2
+        + bl.astype(np.uint8)
+    )
+    rows, cols = np.nonzero((case > 0) & (case < 15))
+
+    def interp(v0, v1):
+        d = v1 - v0
+        if d == 0:
+            return 0.5
+        return (level - v0) / d
+
+    for r, c in zip(rows, cols):
+        v_tl, v_tr = grid[r, c], grid[r, c + 1]
+        v_br, v_bl = grid[r + 1, c + 1], grid[r + 1, c]
+        edge_pts = {
+            0: (r + 0.0, c + interp(v_tl, v_tr)),
+            1: (r + interp(v_tr, v_br), c + 1.0),
+            2: (r + 1.0, c + interp(v_bl, v_br)),
+            3: (r + interp(v_tl, v_bl), c + 0.0),
+        }
+        for e0, e1 in _MS_SEGMENTS[int(case[r, c])]:
+            segs.append((edge_pts[e0], edge_pts[e1]))
+    return segs
+
+
+def _chain_segments(segs) -> List[np.ndarray]:
+    """Join segments sharing endpoints into polylines."""
+    if not segs:
+        return []
+
+    def key(p):
+        return (round(p[0], 6), round(p[1], 6))
+
+    adj: Dict[tuple, list] = {}
+    for i, (a, b) in enumerate(segs):
+        adj.setdefault(key(a), []).append((i, True))
+        adj.setdefault(key(b), []).append((i, False))
+    used = [False] * len(segs)
+    lines = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        used[start] = True
+        a, b = segs[start]
+        chain = [a, b]
+        # extend forward
+        for end_idx in (1, 0):
+            while True:
+                tip = key(chain[-1] if end_idx == 1 else chain[0])
+                nxt = None
+                for i, is_start in adj.get(tip, []):
+                    if not used[i]:
+                        nxt = (i, is_start)
+                        break
+                if nxt is None:
+                    break
+                i, is_start = nxt
+                used[i] = True
+                pa, pb = segs[i]
+                new_pt = pb if is_start else pa
+                if end_idx == 1:
+                    chain.append(new_pt)
+                else:
+                    chain.insert(0, new_pt)
+        lines.append(np.array(chain, dtype=np.float64))
+    return lines
+
+
+def generate_contours(
+    array: np.ndarray,
+    tile_left: float,
+    tile_top: float,
+    pixel_x_size: float,
+    pixel_y_size: float,
+    interval: float = 100,
+    field: str = "elev",
+    base: float = 0,
+) -> List[dict]:
+    """Contour LineStrings in map coordinates with an elevation property
+    (contours.py:135-157 vertex->coord mapping: x = left + col*px,
+    y = top - row*py)."""
+    arr = array[0] if array.ndim == 3 else array
+    if isinstance(arr, ma.MaskedArray):
+        if arr.mask.all():
+            return []
+        data = arr.filled(float(arr.min()))
+        amin, amax = float(arr.min()), float(arr.max())
+    else:
+        data = np.asarray(arr, dtype=np.float64)
+        amin, amax = float(data.min()), float(data.max())
+    out = []
+    for elevation in get_contour_values(amin, amax, base=base, interval=interval):
+        segs = _marching_squares(data.astype(np.float64), elevation)
+        for line in _chain_segments(segs):
+            if len(line) < 2:
+                continue
+            coords = np.column_stack(
+                [
+                    tile_left + line[:, 1] * pixel_x_size,
+                    tile_top - line[:, 0] * pixel_y_size,
+                ]
+            )
+            out.append(
+                dict(properties={field: elevation}, geometry=LineString(coords))
+            )
+    return out
