@@ -322,6 +322,136 @@ def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.dedup import dedup_exact
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).orderBy("content_md5")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.dedup import ngram_jaccard_pairs
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.dedup import minhash_lsh_pairs
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.dedup import simhash
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.functions import text as T
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in T.quality_cols(F.col("text")).items()],
+    ).orderBy("doc_id")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.functions import text as T
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.langid_col(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.functions import text as T
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_col(F.col("text")).alias("fingerprint"),
+        T.regex_token_count_col(F.col("text")).cast("long").alias("n_regex_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.similarity import cosine_topk
+    from mapchete_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, k=3).orderBy("query_id", "rank")
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.similarity import lsh_buckets
+    from mapchete_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb).orderBy("vec_id")
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.similarity import cosine_neardup_pairs
+    from mapchete_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.3).orderBy("vec_a", "vec_b")
+
+
+def _o_training_ops() -> dict[str, str]:
+    from mapchete_spark.functions import text as T
+    from mapchete_spark.operators import dedup as D
+    from mapchete_spark.operators import similarity as S
+
+    quality = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in T.quality_sql("text").items()
+    )
+    lang_scores = ",\n               ".join(T.langid_sql("text"))
+    return {
+        "dedup_exact": D.dedup_exact_sql() + " ORDER BY content_md5",
+        "ngram_jaccard": D.ngram_jaccard_sql(0.2) + " ORDER BY doc_a, doc_b",
+        "minhash_lsh": D.minhash_lsh_pairs_sql() + " ORDER BY doc_a, doc_b",
+        "simhash": D.simhash_sql() + " ORDER BY doc_id",
+        "text_quality": f"SELECT doc_id,\n           {quality}\n"
+        "    FROM documents ORDER BY doc_id",
+        "langid": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                    {lang_scores}
+                FROM documents
+            )
+            SELECT doc_id, {T.langid_case_sql()} AS pred_lang
+            FROM scored ORDER BY doc_id
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint,
+                   CAST({T.regex_token_count_sql('text')} AS BIGINT) AS n_regex_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "cosine_topk": S.cosine_topk_sql(3, "vec_id < 5") + " ORDER BY query_id, rank",
+        "lsh_buckets": S.lsh_bucket_sql() + " ORDER BY vec_id",
+        "cosine_neardup": S.cosine_neardup_sql(0.3) + " ORDER BY vec_a, vec_b",
+    }
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -337,11 +467,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "contours": q_contours,
         "overviews": q_overviews,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "cosine_neardup": q_cosine_neardup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "tile_assign_z8": o_tile_assign_z8(),
         "tile_assign_multizoom": o_tile_assign_multizoom(),
         "pyramid_rollup": o_pyramid_rollup(),
@@ -349,3 +489,5 @@ def oracle_sql() -> dict[str, str]:
         "bbox_cover_z6": o_bbox_cover_z6(),
         "span_roundtrip": o_span_roundtrip(),
     }
+    out.update(_o_training_ops())
+    return out

@@ -1,0 +1,261 @@
+"""Deduplication family over the documents table.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(shingle -> K minhashes -> banded buckets -> bucket join), SimHash
+(per-bit majority of token hashes).  Every op is pure Column algebra —
+shingling is explode/transform, min-hashing is a groupBy(min), LSH is
+an equi-join on band keys — so the whole family scales as ordinary
+shuffles and stays SQL-expressible for the DuckDB oracle.
+
+Hash function note: both engines share md5; all hashes here are md5
+strings (string MIN is a valid uniform minhash order) so Spark and
+DuckDB produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_SIZE = 3
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct 3-token shingle md5s per doc (explode of a slide window)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_SIZE - 1), F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(SHINGLE_SIZE)]
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate pairs sharing >= 1 shingle with Jaccard >= threshold.
+
+    Self-join on the shingle key (the inverted index IS the join);
+    AQE handles hot shingles. Output: (doc_a, doc_b, jaccard)."""
+    sh = shingles(df, id_col, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, k, minhash): K independent min-hashes; hash_k(s) =
+    md5(k || ':' || shingle), minimum taken as string order."""
+    sh = shingles(df, id_col, text_col)
+    seeded = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))))
+    return (
+        seeded.groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("k"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): md5 of the band's concatenated minhashes."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    # floor division on BOTH engines (DuckDB CAST(x AS INT) rounds,
+    # Spark cast truncates — see the '//' in the SQL twin)
+    banded = signatures.withColumn(
+        "band", F.floor(F.col("k") / rows_per_band).cast("int")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.concat_ws("|", "k", "minhash"))), ",")
+            ).alias("bucket")
+        )
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket."""
+    buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: bit i = majority over tokens of the high bit of
+    md5(token) hex nibble i (deterministic and identical in SQL).
+
+    Output: (doc_id, simhash:long)."""
+    tok_md5 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("h"))
+    bits = tok_md5.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS)))
+    ).select(
+        "doc_id",
+        "i",
+        F.when(
+            F.substring(F.col("h"), F.col("i"), 1).isin(*"89abcdef"), 1
+        )
+        .otherwise(0)
+        .alias("bit"),
+    )
+    agg = bits.groupBy("doc_id", "i").agg(
+        F.sum("bit").alias("ones"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        agg.withColumn(
+            "weighted",
+            F.when(
+                F.col("ones") * 2 >= F.col("n"),
+                F.pow(F.lit(2.0), (F.col("i") - 1).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("weighted").cast("long").alias("simhash"))
+    )
+
+
+# ---- DuckDB SQL twins --------------------------------------------------------
+
+
+def shingles_sql(text: str = "text") -> str:
+    """CTE body: (doc_id, shingle) distinct 3-gram md5s."""
+    toks = f"string_split({text}, ' ')"
+    return f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, GREATEST(len({toks}) - {SHINGLE_SIZE - 1}, 1)),
+                   i -> md5({toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+               )) AS shingle
+        FROM documents
+    )
+    """
+
+
+def dedup_exact_sql(text: str = "text") -> str:
+    return f"""
+    SELECT md5({text}) AS content_md5,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH sh AS ({shingles_sql()}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    """
+
+
+def minhash_signatures_sql() -> str:
+    return f"""
+    WITH sh AS ({shingles_sql()}),
+    seeded AS (
+        SELECT doc_id, shingle, UNNEST(generate_series(0, {MINHASH_K - 1})) AS k
+        FROM sh
+    )
+    SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM seeded GROUP BY doc_id, k
+    """
+
+
+def minhash_lsh_pairs_sql() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    return f"""
+    WITH sig AS ({minhash_signatures_sql()}),
+    buckets AS (
+        SELECT doc_id, CAST(k // {rows_per_band} AS INT) AS band,
+               md5(array_to_string(list_sort(list(CAST(k AS VARCHAR) || '|' || minhash)), ',')) AS bucket
+        FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+def simhash_sql(text: str = "text") -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, md5(UNNEST(string_split({text}, ' '))) AS h FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, UNNEST(generate_series(1, {SIMHASH_BITS})) AS i, h FROM tok
+    ),
+    agg AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN substr(h, CAST(i AS INT), 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS ones,
+               COUNT(*) AS n
+        FROM bits GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN ones * 2 >= n
+                    THEN CAST(POWER(2.0, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM agg GROUP BY doc_id
+    """
