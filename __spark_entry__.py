@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from mapchete_spark.functions import geo as G
 from mapchete_spark.functions import spans as SP
 from mapchete_spark.operators.assign import assign_bbox_tiles, assign_point_tiles
-from mapchete_spark.operators.pyramid import reduce_docs_to_tiles, rollup_pyramid
+from mapchete_spark.operators.pyramid import (
+    reduce_docs_to_tiles,
+    rollup_pyramid,
+    rollup_to_zoom,
+)
 from mapchete_spark.sources.tables import load_docs
 
 
@@ -29,17 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pyramid build on sf0.001 — assign every doc to its
     zoom-12 tile, reduce to per-tile doc counts, roll the pyramid up to
     zoom 0, return per-zoom tile/doc summary (driver checks rows > 0)."""
+    from mapchete_spark.operators.pyramid import rollup_once
+
     docs = load_docs(spark, "/root/testdata/sf0.001")
     assigned = assign_point_tiles(docs, [12])
-    base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
-    pyramid = rollup_pyramid(base, 12, 0, {"n_docs": F.sum("n_docs")})
-    return (
-        pyramid.groupBy("zoom")
-        .agg(
-            F.count(F.lit(1)).alias("n_tiles"),
-            F.sum("n_docs").alias("n_doc_assignments"),
-        )
-        .orderBy("zoom")
+    cur = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))}).persist()
+    merge = {"n_docs": F.sum("n_docs")}
+    summary = []
+    for zoom in range(12, -1, -1):
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n_tiles"), F.sum("n_docs").alias("n_docs")
+        ).collect()[0]
+        summary.append((zoom, row["n_tiles"], row["n_docs"]))
+        if zoom > 0:
+            nxt = rollup_once(cur, merge).persist()
+            cur.unpersist()
+            cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        sorted(summary), "zoom int, n_tiles long, n_doc_assignments long"
     )
 
 
@@ -123,11 +135,9 @@ def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     assigned = assign_point_tiles(docs, [12])
     base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
-    pyr = rollup_pyramid(base, 12, 4, {"n_docs": F.sum("n_docs")}, include_base=False)
-    return (
-        pyr.where(F.col("zoom") == 4)
-        .select("zoom", "tile_row", "tile_col", "n_docs")
-        .orderBy("tile_row", "tile_col")
+    pyr = rollup_to_zoom(base, 12, 4, {"n_docs": F.sum("n_docs")})
+    return pyr.select("zoom", "tile_row", "tile_col", "n_docs").orderBy(
+        "tile_row", "tile_col"
     )
 
 

@@ -82,6 +82,22 @@ def rollup_once(
     )
 
 
+def rollup_to_zoom(
+    base: DataFrame,
+    from_zoom: int,
+    to_zoom: int,
+    merge_aggs: Dict[str, Column],
+) -> DataFrame:
+    """Single-level result: chain rollup_once without unioning the
+    intermediate levels (a union would make Catalyst recompute the
+    shared chain prefix once per branch — quadratic work)."""
+    assert from_zoom >= to_zoom
+    cur = base
+    for _ in range(from_zoom, to_zoom, -1):
+        cur = rollup_once(cur, merge_aggs)
+    return cur
+
+
 def rollup_pyramid(
     base: DataFrame,
     from_zoom: int,

@@ -1,0 +1,194 @@
+"""The per-zoom job runner — ``mapchete execute`` re-expressed as a
+sequence of Spark stages.
+
+Lifecycle mapping (SURVEY.md §3.1): parse YAML -> per-zoom plan on the
+driver; then per process zoom (descending):
+    input tiles -> halo (pixelbuffer) -> process UDF -> continue-mode
+    anti-join -> write (output parquet + checkpoint + lineage + metrics)
+and per overview zoom: groupBy(parent) reduce of the level above
+(lower path) or parent->children upsample (higher path) — Z1 semantics
+(mapchete/processing/tasks.py:378-450).
+
+Output layout: parquet partitioned by zoom under <output.path>/tiles —
+at 100 TB a single partitioned table (not per-tile files) is the only
+sane sink; the tile-directory view (z/r/c file tree, S5 analog) is an
+optional export for small outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.checkpoint import JobStore
+from mapchete_spark.operators.halo import add_buffers
+from mapchete_spark.operators.overviews import overview_reduce_once, overview_upsample
+from mapchete_spark.operators.process import (
+    process_clip,
+    process_contours,
+    process_convert,
+    process_hillshade,
+    run_raster_process,
+    run_vector_process,
+)
+from mapchete_spark.operators.rastertable import materialize_dem
+from mapchete_spark.plans.config import JobConfig
+
+# built-in process registry: name -> (kind, fn, min pixelbuffer)
+PROCESS_REGISTRY: Dict[str, tuple] = {
+    "convert": ("raster", process_convert, 0),
+    "hillshade": ("raster", process_hillshade, 1),
+    "contours": ("vector", process_contours, 0),
+    "clip": ("raster", process_clip, 0),
+}
+
+
+def register_process(name: str, kind: str, fn: Callable, min_pixelbuffer: int = 0):
+    PROCESS_REGISTRY[name] = (kind, fn, min_pixelbuffer)
+
+
+def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
+    """Materialize the input tile table for one zoom. The built-in
+    source is the synthetic DEM ('dem'); a parquet path reads an
+    existing tile table (S3/S4 analog: another job's output)."""
+    inp = cfg.input_at_zoom(zoom)
+    if inp in (None, "dem") or inp == {"source": "dem"}:
+        return materialize_dem(
+            spark, zoom, cfg.pyramid, bounds=cfg.bounds,
+            hole=bool((inp or {}).get("hole", True)) if isinstance(inp, dict) else True,
+        )
+    if isinstance(inp, dict) and "path" in inp:
+        df = spark.read.parquet(inp["path"]).where(F.col("zoom") == zoom)
+        return df
+    if isinstance(inp, str) and inp not in ("dem",):
+        return spark.read.parquet(inp).where(F.col("zoom") == zoom)
+    raise ValueError(f"unsupported input spec: {inp!r}")
+
+
+def execute(
+    spark: SparkSession,
+    cfg: JobConfig,
+    mode: str = "continue",
+    store_path: Optional[str] = None,
+) -> Dict[str, int]:
+    """Run a job config. Returns per-stage processed-tile counts.
+
+    mode: continue | overwrite | readonly (J1 semantics)."""
+    kind, fn, min_pb = PROCESS_REGISTRY[cfg.process]
+    out_path = cfg.output["path"]
+    tiles_path = os.path.join(out_path, "tiles")
+    store = JobStore(spark, store_path or os.path.join(out_path, "_state"))
+    counts: Dict[str, int] = {}
+
+    def stage(name: str, df_fn, payload="data"):
+        t0 = time.time()
+        if mode == "readonly":
+            counts[name] = 0
+            return
+        df = df_fn()
+        if mode == "continue":
+            df = store.filter_todo(df)
+        df = df.cache()
+        try:
+            n = df.count()
+            if n:
+                df.write.mode("append").partitionBy("zoom").parquet(tiles_path)
+                store.commit_tiles(df, payload_col=payload)
+        finally:
+            df.unpersist()
+        store.record_metric(name, n, (time.time() - t0) * 1000)
+        counts[name] = n
+
+    pb = max(cfg.pyramid.pixelbuffer, min_pb)
+
+    # ---- process zooms (descending; one Spark action per zoom = Z5) ----
+    for zoom in cfg.process_zooms():
+        params = cfg.params_at_zoom(zoom)
+
+        def build(zoom=zoom, params=params):
+            tiles = _input_tiles(spark, cfg, zoom)
+            if pb > 0:
+                tiles = add_buffers(tiles, cfg.pyramid, pb)
+            if kind == "raster":
+                out = run_raster_process(
+                    tiles, cfg.pyramid, fn, params=params,
+                    out_dtype=cfg.output.get("dtype"),
+                    out_nodata=cfg.output.get("nodata"),
+                )
+            else:
+                out = run_vector_process(tiles, cfg.pyramid, fn, params=params)
+            return out
+
+        stage(
+            f"process_z{zoom}",
+            build,
+            payload="data" if kind == "raster" else "geometry",
+        )
+
+    # ---- overview zooms ----
+    if cfg.baselevels and mode != "readonly" and kind == "raster":
+        # lower: reduce from the level above, seeding from written output
+        level_above = spark.read.parquet(tiles_path).where(
+            F.col("zoom") == cfg.baselevels.min
+        )
+        for zoom in cfg.overview_zooms_lower():
+            reduced = overview_reduce_once(
+                level_above, cfg.pyramid, resampling=cfg.baselevels.lower
+            )
+            stage(f"overview_z{zoom}", lambda reduced=reduced: reduced)
+            level_above = spark.read.parquet(tiles_path).where(F.col("zoom") == zoom)
+        # higher: upsample children from the top baselevel
+        level_below = spark.read.parquet(tiles_path).where(
+            F.col("zoom") == cfg.baselevels.max
+        )
+        for zoom in cfg.overview_zooms_higher():
+            upsampled = overview_upsample(
+                level_below, cfg.pyramid, resampling=cfg.baselevels.higher
+            )
+            stage(f"overview_z{zoom}", lambda upsampled=upsampled: upsampled)
+            level_below = spark.read.parquet(tiles_path).where(F.col("zoom") == zoom)
+
+    # output metadata sidecar (S10 analog: formats/base.py:476-478)
+    if mode != "readonly":
+        meta = dict(
+            pyramid=cfg.pyramid.to_dict(),
+            driver=dict(format=cfg.output.get("format", "parquet_tiles")),
+            dtype=cfg.output.get("dtype"),
+            nodata=cfg.output.get("nodata"),
+            process=cfg.process,
+        )
+        os.makedirs(out_path, exist_ok=True)
+        with open(os.path.join(out_path, "metadata.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    return counts
+
+
+def tile_index(spark: SparkSession, out_path: str, zoom: int) -> DataFrame:
+    """J8 'mapchete index' analog: per-zoom index of written tiles with
+    bounds (a small query over the output table, not a filesystem walk)."""
+    from mapchete_spark.plans.config import JobConfig  # noqa: F401
+
+    tiles = spark.read.parquet(os.path.join(out_path, "tiles")).where(
+        F.col("zoom") == zoom
+    )
+    with open(os.path.join(out_path, "metadata.json")) as f:
+        meta = json.load(f)
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid(**meta["pyramid"])
+    ts = pyr.tile_x_size(zoom)
+    ty = pyr.tile_y_size(zoom)
+    return tiles.select(
+        "zoom",
+        "tile_row",
+        "tile_col",
+        (F.lit(pyr.left) + F.col("tile_col") * ts).alias("left"),
+        (F.lit(pyr.top) - (F.col("tile_row") + 1) * ty).alias("bottom"),
+        (F.lit(pyr.left) + (F.col("tile_col") + 1) * ts).alias("right"),
+        (F.lit(pyr.top) - F.col("tile_row") * ty).alias("top"),
+    )

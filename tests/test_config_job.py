@@ -1,0 +1,161 @@
+"""Config parsing (zoom conditionals, validation) and end-to-end job
+runs of the example configs (reference test strategy §5: every example
+config is executed, test_examples.py:8-27)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_spark.plans.config import ConfigError, JobConfig, element_at_zoom
+from mapchete_spark.plans.job import execute, tile_index
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = os.path.join(HERE, "configs")
+
+
+class TestZoomConditional:
+    def test_plain_passthrough(self):
+        assert element_at_zoom("x", 12, 5) == 12
+        assert element_at_zoom("x", "abc", 5) == "abc"
+
+    @pytest.mark.parametrize(
+        "cond,zoom,expect",
+        [
+            ("zoom=5", 5, "v"),
+            ("zoom=5", 6, None),
+            ("zoom<=7", 7, "v"),
+            ("zoom<=7", 8, None),
+            ("zoom>7", 8, "v"),
+            ("zoom>7", 7, None),
+            ("zoom<9", 8, "v"),
+            ("zoom>=10", 10, "v"),
+        ],
+    )
+    def test_operators(self, cond, zoom, expect):
+        assert element_at_zoom("p", {cond: "v"}, zoom) == expect
+
+    def test_nested_dict(self):
+        conf = {
+            "a": {"zoom<=5": 1, "zoom>5": 2},
+            "b": 3,
+        }
+        assert element_at_zoom("params", conf, 4) == {"a": 1, "b": 3}
+        assert element_at_zoom("params", conf, 9) == {"a": 2, "b": 3}
+
+    def test_mixed_keys_raise(self):
+        with pytest.raises(ConfigError):
+            element_at_zoom("p", {"zoom<=5": 1, "other": 2}, 4)
+
+    def test_overlapping_raise(self):
+        with pytest.raises(ConfigError):
+            element_at_zoom("p", {"zoom<=5": 1, "zoom<4": 2}, 3)
+
+
+class TestConfigParse:
+    def test_hillshade_config(self):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
+        assert cfg.process == "hillshade"
+        assert cfg.zoom_levels == [3, 4, 5, 6]
+        assert cfg.pyramid.pixelbuffer == 2
+        assert cfg.params_at_zoom(4)["azimuth"] == 315.0
+
+    def test_zoom_dependent_params(self):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "zoom_dependent.mapchete"))
+        assert cfg.params_at_zoom(5)["scale_ratio"] == 1.0
+        assert cfg.params_at_zoom(6)["scale_ratio"] == 0.5
+
+    def test_baselevels_split(self):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "baselevels.mapchete"))
+        assert cfg.process_zooms() == [6, 5]
+        assert cfg.overview_zooms_lower() == [4, 3]
+        assert cfg.overview_zooms_higher() == []
+
+    def test_output_metatiling_guard(self):
+        with pytest.raises(ConfigError):
+            JobConfig.from_dict(
+                dict(
+                    process="convert",
+                    zoom_levels=3,
+                    pyramid=dict(grid="geodetic", metatiling=2),
+                    output=dict(path="/tmp/x", metatiling=4),
+                )
+            )
+
+    def test_baselevels_out_of_range(self):
+        with pytest.raises(ConfigError):
+            JobConfig.from_dict(
+                dict(
+                    process="convert",
+                    zoom_levels=dict(min=3, max=5),
+                    pyramid=dict(grid="geodetic"),
+                    output=dict(path="/tmp/x"),
+                    baselevels=dict(min=2, max=5),
+                )
+            )
+
+
+class TestExecute:
+    def test_hillshade_job(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
+        cfg.output["path"] = str(tmp_path / "hs")
+        counts = execute(spark, cfg, mode="overwrite")
+        assert all(counts[f"process_z{z}"] > 0 for z in (3, 4, 5, 6))
+        out = spark.read.parquet(str(tmp_path / "hs" / "tiles"))
+        assert set(r["zoom"] for r in out.select("zoom").distinct().collect()) == {3, 4, 5, 6}
+        assert out.where(F.col("dtype") != "uint8").count() == 0
+        assert os.path.exists(str(tmp_path / "hs" / "metadata.json"))
+
+    def test_continue_mode_skips(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
+        cfg.output["path"] = str(tmp_path / "hs2")
+        cfg.zoom_levels = [4]
+        c1 = execute(spark, cfg, mode="continue")
+        c2 = execute(spark, cfg, mode="continue")
+        assert c1["process_z4"] > 0
+        assert c2["process_z4"] == 0
+
+    def test_baselevels_job(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "baselevels.mapchete"))
+        cfg.output["path"] = str(tmp_path / "bl")
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["process_z6"] > 0 and counts["process_z5"] > 0
+        assert counts["overview_z4"] > 0 and counts["overview_z3"] > 0
+        out = spark.read.parquet(str(tmp_path / "bl" / "tiles"))
+        zooms = {r["zoom"] for r in out.select("zoom").distinct().collect()}
+        assert zooms == {3, 4, 5, 6}
+        # overview z4 content: average of z5 children (spot check row count)
+        n4 = out.where(F.col("zoom") == 4).count()
+        n5 = out.where(F.col("zoom") == 5).count()
+        assert 0 < n4 <= n5
+
+    def test_zoom_dependent_job(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "zoom_dependent.mapchete"))
+        cfg.output["path"] = str(tmp_path / "zd")
+        execute(spark, cfg, mode="overwrite")
+        out = spark.read.parquet(str(tmp_path / "zd" / "tiles"))
+        from mapchete_spark.operators.rastertable import row_to_array
+
+        r5 = out.where(F.col("zoom") == 5).limit(1).collect()[0]
+        r6 = out.where(
+            (F.col("zoom") == 6)
+            & (F.col("tile_row") == r5["tile_row"] * 2)
+            & (F.col("tile_col") == r5["tile_col"] * 2)
+        ).collect()[0]
+        a5 = row_to_array(r5.asDict())
+        a6 = row_to_array(r6.asDict())
+        # zoom 6 scaled by 0.5: values about half of zoom 5's range
+        m5 = float(np.ma.median(a5))
+        m6 = float(np.ma.median(a6))
+        assert m6 < m5
+
+    def test_tile_index(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
+        cfg.output["path"] = str(tmp_path / "hs3")
+        cfg.zoom_levels = [4]
+        execute(spark, cfg, mode="overwrite")
+        idx = tile_index(spark, str(tmp_path / "hs3"), 4).collect()
+        assert idx
+        for r in idx:
+            assert r["left"] < r["right"] and r["bottom"] < r["top"]
