@@ -332,6 +332,162 @@ def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# vector pipeline (V1-V13): the square-footprint variant is
+# oracle-checked (square clip == rectangle algebra); polygon variants
+# are covered by pytest goldens
+
+
+def q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 read_vector_window analog over doc footprints at zoom 6: the
+    REAL pipeline (WKB -> repair -> Sutherland-Hodgman clip) per tile;
+    oracle recomputes the rectangle algebra in SQL."""
+    from mapchete_spark.operators.vector import (
+        clip_features_to_tiles,
+        doc_footprint_features,
+        explode_features_to_tiles,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    feats = doc_footprint_features(docs)
+    clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 6))
+    return (
+        clipped.groupBy("zoom", "tile_row", "tile_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_clipped"),
+            F.round(F.sum("clipped_area"), 3).alias("area_sum"),
+        )
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_vector_clip() -> str:
+    ts = "(180.0 / POWER(2.0, 6))"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , boxes AS (
+        SELECT doc_id,
+               GREATEST(lon - radius, -180.0) AS l,
+               LEAST(lon + radius, 180.0) AS r,
+               GREATEST(lat - radius, -90.0) AS b,
+               LEAST(lat + radius, 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), ranges AS (
+        SELECT doc_id, l, r, b, t,
+               LEAST(GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0), 127) AS c0,
+               LEAST(GREATEST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, 0), 127) AS c1,
+               LEAST(GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0), 63) AS r0,
+               LEAST(GREATEST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, 0), 63) AS r1
+        FROM boxes
+    ), cover AS (
+        SELECT doc_id, l, r, b, t,
+               UNNEST(generate_series(r0, GREATEST(r1, r0))) AS tile_row
+        FROM ranges
+    ), cover2 AS (
+        SELECT c.doc_id, c.tile_row, c.l, c.r, c.b, c.t,
+               UNNEST(generate_series(g.c0, GREATEST(g.c1, g.c0))) AS tile_col
+        FROM cover c JOIN ranges g USING (doc_id)
+    ), cover3 AS (
+        -- passthrough: DuckDB 1.0 cannot bind an UNNEST alias inside
+        -- arithmetic in the next CTE directly
+        SELECT doc_id, tile_row, tile_col, l, r, b, t FROM cover2
+    ), clipped AS (
+        SELECT tile_row, tile_col,
+               (LEAST(r, -180.0 + (tile_col + 1) * {ts}) -
+                GREATEST(l, -180.0 + tile_col * {ts})) AS w,
+               (LEAST(t, 90.0 - tile_row * {ts}) -
+                GREATEST(b, 90.0 - (tile_row + 1) * {ts})) AS h
+        FROM cover3
+    )
+    SELECT 6 AS zoom, tile_row, tile_col,
+           COUNT(*) FILTER (w > 0 AND h > 0) AS n_clipped,
+           ROUND(SUM(CASE WHEN w > 0 AND h > 0 THEN w * h ELSE 0 END), 3) AS area_sum
+    FROM clipped
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) FILTER (w > 0 AND h > 0) > 0
+    ORDER BY tile_row, tile_col
+    """
+    )
+    # (WHERE on the computed w/h trips a DuckDB 1.0 binder bug through
+    # the chained UNNEST CTEs; FILTER/HAVING avoids the pushdown path)
+
+
+def q_vector_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/V4: per-tile rasterized union of clipped footprints (covered
+    pixel counts on the 256x256 tile grid). Non-SQL (rows-only)."""
+    from mapchete_spark.operators.vector import (
+        clip_features_to_tiles,
+        doc_footprint_features,
+        explode_features_to_tiles,
+        tile_union_mask_area,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    feats = doc_footprint_features(docs)
+    clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 6))
+    return tile_union_mask_area(clipped).orderBy("tile_row", "tile_col")
+
+
+def q_vector_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5: geodetic->mercator reprojection; output = per-feature mercator
+    bbox rounded to 3 decimals. Oracle: the closed-form spherical
+    mercator formula in SQL."""
+    from mapchete_spark.operators.vector import (
+        doc_footprint_features,
+        reproject_features,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    feats = reproject_features(doc_footprint_features(docs))
+
+    def bbox(batches):
+        import pandas as pd
+
+        from mapchete_spark.geometry.wkb import from_wkb
+
+        for pdf in batches:
+            rows = {"feature_id": [], "mx0": [], "my0": [], "mx1": [], "my1": []}
+            for _, r in pdf.iterrows():
+                b = from_wkb(r["geometry"]).bounds
+                rows["feature_id"].append(r["feature_id"])
+                rows["mx0"].append(round(b.left, 3))
+                rows["my0"].append(round(b.bottom, 3))
+                rows["mx1"].append(round(b.right, 3))
+                rows["my1"].append(round(b.top, 3))
+            yield pd.DataFrame(rows)
+
+    return feats.mapInPandas(
+        bbox,
+        schema="feature_id string, mx0 double, my0 double, mx1 double, my1 double",
+    ).orderBy("feature_id")
+
+
+def o_vector_reproject() -> str:
+    fwd_x = "radians({x}) * 6378137.0"
+    fwd_y = "ln(tan(pi()/4 + radians(LEAST(GREATEST({y}, -85.0511287798066), 85.0511287798066))/2)) * 6378137.0"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , boxes AS (
+        SELECT CAST(doc_id AS VARCHAR) AS feature_id,
+               GREATEST(lon - radius, -180.0) AS l,
+               LEAST(lon + radius, 180.0) AS r,
+               GREATEST(lat - radius, -90.0) AS b,
+               LEAST(lat + radius, 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    )
+    SELECT feature_id,
+           ROUND({fwd_x.format(x='l')}, 3) AS mx0,
+           ROUND({fwd_y.format(y='b')}, 3) AS my0,
+           ROUND({fwd_x.format(x='r')}, 3) AS mx1,
+           ROUND({fwd_y.format(y='t')}, 3) AS my1
+    FROM boxes
+    ORDER BY feature_id
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / similarity / text analysis
 
 
@@ -487,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "cosine_neardup": q_cosine_neardup,
+        "vector_clip": q_vector_clip,
+        "vector_union": q_vector_union,
+        "vector_reproject": q_vector_reproject,
     }
 
 
@@ -500,4 +659,6 @@ def oracle_sql() -> dict[str, str]:
         "span_roundtrip": o_span_roundtrip(),
     }
     out.update(_o_training_ops())
+    out["vector_clip"] = o_vector_clip()
+    out["vector_reproject"] = o_vector_reproject()
     return out

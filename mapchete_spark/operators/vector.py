@@ -1,0 +1,305 @@
+"""Vector operators (V1-V13 of SURVEY.md §2.4).
+
+The reference's per-tile vector scan (read_vector_window,
+mapchete/io/vector/read.py:85-143) is a pipeline: rtree window filter ->
+repair -> clip to tile bbox -> reproject -> type filter -> drop empties.
+Here the rtree is replaced by the tile-key equi-join (explode features
+to covering tiles); the rest runs vectorized inside Arrow batches using
+the numpy geometry kernel.
+
+Feature table schema: (feature_id string, geometry binary /WKB/,
+geom_type string, properties string /JSON/).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapchete_spark.geometry.antimeridian import repair_antimeridian_polygon
+from mapchete_spark.geometry.core import MultiPolygon, Polygon
+from mapchete_spark.geometry.reproject import get_transform, reproject_ring
+from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+from mapchete_spark.tilegrid.grid import Bounds
+from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+FEATURE_SCHEMA = "feature_id string, geometry binary, geom_type string, properties string"
+
+
+def synthetic_land_polygons(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic polygon fixture (FIXTURES.md F3): n-gon 'buffers'
+    of LCG-seeded points, one polygon crossing the antimeridian, one
+    bow-tie (invalid, exercises repair)."""
+    rows = []
+    for i in range(n):
+        h1 = (i * 1103515245 + 12345) % 2_147_483_648
+        h2 = (i * 214013 + 2531011) % 2_147_483_648
+        h3 = (i * 69069 + 1) % 2_147_483_648
+        cx = -180.0 + 360.0 * h1 / 2_147_483_648
+        cy = -80.0 + 160.0 * h2 / 2_147_483_648
+        radius = 0.5 + 4.5 * h3 / 2_147_483_648
+        nv = 3 + (h3 % 10)
+        if i == 0:  # antimeridian crosser
+            cx, cy, radius, nv = 179.5, 10.0, 2.0, 8
+        poly = Polygon.regular(cx, cy, radius, n=int(nv), phase=h1 % 7 * 0.1)
+        if i == 1:  # bow-tie (self-intersecting ring)
+            ring = np.array(
+                [[cx, cy], [cx + 2, cy + 2], [cx + 2, cy], [cx, cy + 2], [cx, cy]]
+            )
+            poly = Polygon(ring)
+        rows.append(
+            (
+                f"feat-{i:04d}",
+                bytearray(to_wkb(poly)),
+                "Polygon",
+                json.dumps({"idx": i, "radius": round(radius, 6)}),
+            )
+        )
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def repair_ring(ring: np.ndarray) -> np.ndarray:
+    """V7 'repair' analog (mapchete/geometry/repair.py:7-21 uses
+    buffer(0)+normalize): close the ring, drop consecutive duplicate
+    vertices. Self-intersections are tolerated downstream (clipping is
+    robust to them); truly degenerate rings (<3 distinct points) raise."""
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.allclose(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = np.any(np.diff(r, axis=0) != 0, axis=1)
+    r = r[keep]
+    if len(r) < 4:  # closed ring needs >= 3 distinct vertices
+        raise ValueError("geometry could not be repaired")
+    return r
+
+
+def explode_features_to_tiles(
+    features: DataFrame,
+    zoom: int,
+    pyramid: Optional[TilePyramid] = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Feature -> covering tiles (the spatial index IS the join key).
+    Antimeridian-overflowing geometries are split/shifted first
+    (V8/V9 semantics)."""
+    from mapchete_spark.tilegrid.cover import tiles_from_geom
+
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_dict = pyr.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {
+                "feature_id": [], "geometry": [], "geom_type": [],
+                "properties": [], "zoom": [], "tile_row": [], "tile_col": [],
+                "tile_key": [],
+            }
+            for _, r in pdf.iterrows():
+                geom = from_wkb(r["geometry"])
+                if isinstance(geom, Polygon):
+                    geom = repair_antimeridian_polygon(
+                        geom, p.grid.left, p.grid.right
+                    )
+                for t in tiles_from_geom(p, geom, zoom, exact=exact):
+                    out["feature_id"].append(r["feature_id"])
+                    out["geometry"].append(r["geometry"])
+                    out["geom_type"].append(r["geom_type"])
+                    out["properties"].append(r["properties"])
+                    out["zoom"].append(t.zoom)
+                    out["tile_row"].append(t.row)
+                    out["tile_col"].append(t.col)
+                    out["tile_key"].append((t.zoom << 54) | (t.row << 27) | t.col)
+            yield pd.DataFrame(out)
+
+    return features.mapInPandas(
+        gen,
+        schema=FEATURE_SCHEMA + ", zoom int, tile_row long, tile_col long, tile_key long",
+    )
+
+
+def clip_features_to_tiles(
+    exploded: DataFrame, pyramid: Optional[TilePyramid] = None
+) -> DataFrame:
+    """V1 core: intersect each feature with its tile's bbox
+    (repair -> Sutherland-Hodgman clip -> drop empties). Adds
+    clipped geometry WKB + exact clipped area."""
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_dict = pyr.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapchete_spark.geometry.core import clip_ring_to_rect, ring_area
+
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {
+                "feature_id": [], "zoom": [], "tile_row": [], "tile_col": [],
+                "tile_key": [], "geometry": [], "clipped_area": [], "properties": [],
+            }
+            for _, r in pdf.iterrows():
+                t = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+                tb = t.bounds(pixelbuffer=0)
+                geom = from_wkb(r["geometry"])
+                polys = (
+                    list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
+                )
+                pieces = []
+                area = 0.0
+                for poly in polys:
+                    try:
+                        ring = repair_ring(poly.exterior)
+                    except ValueError:
+                        continue
+                    clipped = clip_ring_to_rect(
+                        ring, tb.left, tb.bottom, tb.right, tb.top
+                    )
+                    if len(clipped) >= 3:
+                        a = ring_area(clipped)
+                        if a > 0:
+                            pieces.append(Polygon(clipped))
+                            area += a
+                if not pieces:
+                    continue
+                merged = pieces[0] if len(pieces) == 1 else MultiPolygon(tuple(pieces))
+                out["feature_id"].append(r["feature_id"])
+                out["zoom"].append(int(r["zoom"]))
+                out["tile_row"].append(int(r["tile_row"]))
+                out["tile_col"].append(int(r["tile_col"]))
+                out["tile_key"].append(int(r["tile_key"]))
+                out["geometry"].append(to_wkb(merged))
+                out["clipped_area"].append(area)
+                out["properties"].append(r["properties"])
+            yield pd.DataFrame(out)
+
+    return exploded.mapInPandas(
+        gen,
+        schema=(
+            "feature_id string, zoom int, tile_row long, tile_col long, "
+            "tile_key long, geometry binary, clipped_area double, properties string"
+        ),
+    )
+
+
+def tile_union_mask_area(
+    clipped: DataFrame, pyramid: Optional[TilePyramid] = None, resolution: int = 256
+) -> DataFrame:
+    """V3 read_union_geometry analog: per-tile union measured on the
+    pixel grid (rasterize the clipped pieces, count covered cells).
+    Exact dissolve needs GEOS; the raster union is the engine's
+    canonical union measure and matches the reference's
+    read_as_raster_mask path (V4)."""
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_dict = pyr.to_dict()
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.raster.array import rasterize_mask
+
+        p = TilePyramid(**pyr_dict)
+        tile_key = int(key[0])
+        z = tile_key >> 54
+        row = (tile_key >> 27) & ((1 << 27) - 1)
+        col = tile_key & ((1 << 27) - 1)
+        t = Tile(p, int(z), int(row), int(col))
+        geoms = [from_wkb(g) for g in pdf["geometry"]]
+        mask = rasterize_mask(
+            geoms, t.bounds(pixelbuffer=0), (resolution, resolution), invert=True
+        )
+        covered = int(mask.sum())
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_row": [int(row)],
+                "tile_col": [int(col)],
+                "n_features": [len(pdf)],
+                "covered_px": [covered],
+            }
+        )
+
+    return clipped.groupBy("tile_key").applyInPandas(
+        fn,
+        schema="zoom int, tile_row long, tile_col long, n_features long, covered_px long",
+    )
+
+
+def reproject_features(
+    features: DataFrame, src: str = "EPSG:4326", dst: str = "EPSG:3857"
+) -> DataFrame:
+    """V5: reproject feature geometries (closed-form geodetic<->mercator,
+    densified before warp like the reference's segmentize-then-transform)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geoms = []
+            for g in pdf["geometry"]:
+                geom = from_wkb(g)
+                polys = (
+                    list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
+                )
+                outp = []
+                for poly in polys:
+                    ring = reproject_ring(poly.exterior, src, dst)
+                    outp.append(Polygon(ring))
+                geoms.append(
+                    bytearray(to_wkb(outp[0] if len(outp) == 1 else MultiPolygon(tuple(outp))))
+                )
+            res = pdf.copy()
+            res["geometry"] = geoms
+            yield res
+
+    return features.mapInPandas(gen, schema=features.schema)
+
+
+def filter_by_geometry_type(features: DataFrame, geom_type: str) -> DataFrame:
+    """V10: single/multi-equivalent type filter as a Column predicate
+    (geom_type is a stored column — no decode needed)."""
+    base = geom_type[5:] if geom_type.startswith("Multi") else geom_type
+    return features.where(F.col("geom_type").isin(base, f"Multi{base}"))
+
+
+# ---- SQL-oracle-friendly square-footprint variants ---------------------------
+#
+# doc footprints are axis-aligned squares (functions/geo.py), so their
+# tile clip is a rectangle intersection — exactly expressible in SQL.
+# These run the REAL vector pipeline (WKB -> kernel clip) on the Spark
+# side; the oracle recomputes the rectangle algebra.
+
+
+def doc_footprint_features(docs_geo: DataFrame) -> DataFrame:
+    """WKB square footprints for docs with a radius (engine side)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["radius"].notna()]
+            geoms = []
+            for lon, lat, r in zip(sel["lon"], sel["lat"], sel["radius"]):
+                geoms.append(
+                    bytearray(
+                        to_wkb(
+                            Polygon.from_bounds(
+                                Bounds(
+                                    max(lon - r, -180.0),
+                                    max(lat - r, -90.0),
+                                    min(lon + r, 180.0),
+                                    min(lat + r, 90.0),
+                                )
+                            )
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "feature_id": sel["doc_id"].astype(str),
+                    "geometry": geoms,
+                    "geom_type": ["Polygon"] * len(sel),
+                    "properties": ["{}"] * len(sel),
+                }
+            )
+
+    return docs_geo.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        gen, schema=FEATURE_SCHEMA
+    )
