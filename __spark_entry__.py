@@ -287,14 +287,12 @@ def q_dem_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: halo-buffered Horn hillshade over the DEM tile table; returns
     per-tile uint8 checksums (deterministic)."""
-    from mapchete_spark.operators.halo import add_buffers
     from mapchete_spark.operators.process import process_hillshade, run_raster_process
     from mapchete_spark.operators.rastertable import materialize_dem
 
     pyr, aoi = _raster_ctx()
     dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
-    buffered = add_buffers(dem, pyr, 1)
-    hs = run_raster_process(buffered, pyr, process_hillshade)
+    hs = run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1)
     return hs.select(
         "zoom", "tile_row", "tile_col", F.md5(F.col("data")).alias("tile_md5")
     ).orderBy("tile_row", "tile_col")

@@ -4,12 +4,18 @@
 Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric", "value" (total sec), "unit", "queries" (per-query
-sec), "sf", plus tiles/sec + docs/sec throughput figures}.
+sec), "sf", plus tiles/sec and docs/sec throughput}.
 
---scaling: additionally re-runs the same workloads in fresh JVMs at
-N and 4N cores (subprocesses, one JVM each) and reports the scaling
-efficiency (T_N / T_4N) / 4 — the sandbox stand-in for the N vs 4N
-executor criterion (BASELINE.md).
+Two workload groups:
+- sf-table queries (correctness-scale; the tiny parquet corpora)
+- throughput workloads sized independently of sf: a codegen-generated
+  synthetic corpus (SPARK_GRAFT_BENCH_DOCS, default 5M) through
+  assign->reduce->rollup, and a ~2.7k-tile hillshade pyramid stage —
+  these dominate the wall time and are what actually scales
+
+--scaling: re-runs the suite in fresh JVMs at N and 4N cores and
+reports efficiency (T_N / T_4N) / 4 (the sandbox stand-in for the
+N-vs-4N-executor criterion, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,12 +26,46 @@ import subprocess
 import sys
 import time
 
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 5_000_000))
+HILLSHADE_ZOOM = int(os.environ.get("SPARK_GRAFT_BENCH_HS_ZOOM", 7))
 
-def headline_queries():
-    """name -> (callable, kind) — the benched subset of __spark_entry__
-    plus the pyramid job; chosen to cover scan/explode (assign), wide
-    shuffle (rollup), Arrow UDF + groupBy skew (hillshade/overviews),
-    joins (minhash LSH), and text/embedding pipelines."""
+
+def throughput_workloads(spark):
+    """name -> (runner, kind) for the scale-dominant stages."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.assign import assign_point_tiles
+    from mapchete_spark.operators.process import process_hillshade, run_raster_process
+    from mapchete_spark.operators.pyramid import (
+        reduce_docs_to_tiles,
+        rollup_to_zoom,
+    )
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.tables import synthetic_docs
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    aoi = Bounds(-40.0, 0.0, 50.0, 60.0)
+
+    def assign_rollup():
+        docs = synthetic_docs(spark, BENCH_DOCS)
+        assigned = assign_point_tiles(docs, [12])
+        base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
+        top = rollup_to_zoom(base, 12, 0, {"n_docs": F.sum("n_docs")})
+        return top.agg(F.sum("n_docs")).collect()[0][0]
+
+    def hillshade_pyramid():
+        dem = materialize_dem(spark, HILLSHADE_ZOOM, pyr, bounds=aoi, hole=False)
+        hs = run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1)
+        return hs.count()
+
+    return {
+        "assign_rollup_synth": assign_rollup,
+        "hillshade_pyramid": hillshade_pyramid,
+    }
+
+
+def sf_queries():
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -37,7 +77,7 @@ def headline_queries():
         "minhash_lsh",
         "text_quality",
         "cosine_topk",
-        "hillshade",
+        "vector_clip",
         "overviews",
     ]
     return {n: qs[n] for n in names}
@@ -48,26 +88,21 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from mapchete_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
-    # warm the JVM/Arrow path once (not timed)
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup, untimed
 
-    timings = {}
-    aux = {}
-    for name, fn in headline_queries().items():
+    timings, aux = {}, {}
+    for name, fn in sf_queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        aux[name] = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        aux[name] = n
 
-    # throughput figures
+    for name, fn in throughput_workloads(spark).items():
+        t0 = time.time()
+        aux[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     total = round(sum(timings.values()), 3)
-    # tiles processed by the raster stages (hillshade tiles + overview tiles)
-    tiles_processed = aux.get("hillshade", 0) + aux.get("overviews", 0)
-    raster_sec = timings.get("hillshade", 0) + timings.get("overviews", 0)
-    # docs processed by the assignment stage: corpus x 13 zooms
-    assign_sec = timings.get("tile_assign_multizoom", 1e-9)
     out = {
         "metric": "headline suite wall time",
         "value": total,
@@ -75,9 +110,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
-        "n_docs": n_docs,
-        "tiles_per_sec": round(tiles_processed / raster_sec, 1) if raster_sec else None,
-        "docs_per_sec": round(n_docs * 13 / assign_sec, 1),
+        "n_docs_sf": n_docs,
+        "bench_docs": BENCH_DOCS,
+        "docs_per_sec": round(BENCH_DOCS / timings["assign_rollup_synth"], 1),
+        "tiles_per_sec": round(aux["hillshade_pyramid"] / timings["hillshade_pyramid"], 1),
+        "hillshade_tiles": aux["hillshade_pyramid"],
     }
     spark.stop()
     return out
@@ -88,27 +125,21 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     if "--scaling" in sys.argv:
-        # same input, two parallelism levels, fresh JVM each
         n = max(cpus // 4, 2)
         results = {}
         for c in (n, 4 * n):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
             p = subprocess.run(
-                [sys.executable, __file__],
-                env=env,
-                capture_output=True,
-                text=True,
+                [sys.executable, __file__], env=env, capture_output=True, text=True
             )
             line = p.stdout.strip().splitlines()[-1]
             results[c] = json.loads(line)
-        t_n = results[n]["value"]
-        t_4n = results[4 * n]["value"]
-        eff = (t_n / t_4n) / 4
+        t_n, t_4n = results[n]["value"], results[4 * n]["value"]
         print(
             json.dumps(
                 {
                     "metric": "scaling efficiency N->4N",
-                    "value": round(eff, 3),
+                    "value": round((t_n / t_4n) / 4, 3),
                     "unit": "ratio",
                     "n_cores": n,
                     "t_n_sec": t_n,

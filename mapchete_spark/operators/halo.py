@@ -5,26 +5,32 @@ raster (mapchete/io/raster/read.py:58-206, buffer semantics
 tile.py:260-272).  In the engine the raster lives as a tile table, so a
 buffered read becomes a shuffle: every tile mails the <= pixelbuffer-wide
 edge strips its neighbors need (keyed by the NEIGHBOR's tile key), and a
-groupBy(target) assembles the buffered array — shuffling only
-O(pixelbuffer * tile_edge) bytes per neighbor instead of whole tiles
-(SURVEY.md §7 step 6).
+groupBy(target) assembles the buffered array — the strips are
+O(pixelbuffer * tile_edge) bytes per neighbor; only the center piece
+(the tile's own array) shuffles at full size (SURVEY.md §7 step 6).
 
 Antimeridian: strips wrap across the x edge on global grids (the
 reference splits such reads into up to 3 parts and stitches,
 io/raster/read.py:168-183,209-258 — here the wrap is just modular key
 arithmetic).  North/south: no neighbors beyond the pole rows; the
 buffered window is clipped there exactly like Tile.bounds/shape.
+
+Two consumers:
+- ``add_buffers``: returns the buffered tile table (generic).
+- ``run_buffered_process``: fuses assemble + raster process in ONE
+  applyInPandas so the buffered window never makes an extra
+  Python->JVM->Python Arrow round trip (2x less transfer than
+  add_buffers followed by a separate process stage).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from mapchete_spark.operators.rastertable import (
     RASTER_SCHEMA,
@@ -40,15 +46,10 @@ _PART_SCHEMA = (
 )
 
 
-def add_buffers(
-    tiles: DataFrame, pyramid: TilePyramid, pixelbuffer: int
-) -> DataFrame:
-    """Tile raster table -> same table with each tile's array replaced by
-    its pixel-buffered window (shape per Tile.shape(pixelbuffer))."""
-    if pixelbuffer <= 0:
-        return tiles
+def _parts_stage(tiles: DataFrame, pyramid: TilePyramid, pb: int) -> DataFrame:
+    """Stage 1: every tile emits up to 9 pieces keyed by the NEIGHBOR
+    (or itself): edge strips for neighbors, the full array for itself."""
     pyr_dict = pyramid.to_dict()
-    pb = int(pixelbuffer)
 
     def emit_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = TilePyramid(**pyr_dict)
@@ -57,12 +58,14 @@ def add_buffers(
                 "target_key", "zoom", "tile_row", "tile_col", "src_dr", "src_dc",
                 "bands", "height", "width", "dtype", "nodata", "data",
             )}
-            for _, r in pdf.iterrows():
-                z, row, col = int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"])
-                me = Tile(p, z, row, col)
+            for z, row, col, rdata, rdtype, rbands, rh, rw, rnodata in zip(
+                pdf["zoom"].values, pdf["tile_row"].values, pdf["tile_col"].values,
+                pdf["data"].values, pdf["dtype"].values, pdf["bands"].values,
+                pdf["height"].values, pdf["width"].values, pdf["nodata"].values,
+            ):
+                z, row, col = int(z), int(row), int(col)
                 arr = decode_array(
-                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
-                    int(r["width"]), float(r["nodata"]),
+                    rdata, rdtype, int(rbands), int(rh), int(rw), float(rnodata)
                 )
                 mh = p.matrix_height(z)
                 mw = p.matrix_width(z)
@@ -77,9 +80,8 @@ def add_buffers(
                                 tc %= mw
                             else:
                                 continue
-                        # strip of MY array the target needs:
-                        # target is at offset (dr, dc); it needs my side
-                        # facing it: dr=+1 -> my bottom rows, etc.
+                        # strip of MY array the target needs: target sits
+                        # at offset (dr, dc); it needs my side facing it
                         rs = slice(None) if dr == 0 else (
                             slice(-pb, None) if dr == 1 else slice(0, pb)
                         )
@@ -88,7 +90,7 @@ def add_buffers(
                         )
                         piece = arr[:, rs, cs] if (dr or dc) else arr
                         data, dtype, bands, h, w = encode_array(
-                            piece, float(r["nodata"])
+                            piece, float(rnodata)
                         )
                         rows["target_key"].append((z << 54) | (tr << 27) | tc)
                         rows["zoom"].append(z)
@@ -100,73 +102,138 @@ def add_buffers(
                         rows["height"].append(h)
                         rows["width"].append(w)
                         rows["dtype"].append(dtype)
-                        rows["nodata"].append(float(r["nodata"]))
+                        rows["nodata"].append(float(rnodata))
                         rows["data"].append(data)
             yield pd.DataFrame(rows)
 
-    parts = tiles.mapInPandas(emit_parts, schema=_PART_SCHEMA)
+    return tiles.mapInPandas(emit_parts, schema=_PART_SCHEMA)
+
+
+def _assemble_canvas(p: TilePyramid, pb: int, target_key: int, pdf: pd.DataFrame):
+    """Stage 2 core: place pieces into the buffered canvas.
+    Returns (tile, canvas ndarray, nodata, dtype)."""
+    z = target_key >> 54
+    trow = (target_key >> 27) & ((1 << 27) - 1)
+    tcol = target_key & ((1 << 27) - 1)
+    me = Tile(p, int(z), int(trow), int(tcol))
+    bh, bw = me.shape(pixelbuffer=pb)
+    th, tw = me.shape(pixelbuffer=0)
+    # rows added above = pb unless clipped at the north pyramid edge
+    bb = me.bounds(pixelbuffer=pb)
+    tb = me.bounds(pixelbuffer=0)
+    up = int(round((bb.top - tb.top) / me.pixel_y_size))
+    sample = pdf.iloc[0]
+    nodata = float(sample["nodata"])
+    bands = int(sample["bands"])
+    dtype = sample["dtype"]
+    canvas = np.full((bands, bh, bw), nodata, dtype=dtype)
+    for rdata, rdtype, rbands, rh, rw, rsdr, rsdc in zip(
+        pdf["data"].values, pdf["dtype"].values, pdf["bands"].values,
+        pdf["height"].values, pdf["width"].values,
+        pdf["src_dr"].values, pdf["src_dc"].values,
+    ):
+        piece = np.frombuffer(rdata, dtype=rdtype).reshape(
+            int(rbands), int(rh), int(rw)
+        )
+        # piece came from the neighbor at relative position (dr, dc)
+        dr, dc = -int(rsdr), -int(rsdc)
+        r0 = up if dr == 0 else (up - piece.shape[1] if dr == -1 else up + th)
+        c0 = pb if dc == 0 else (pb - piece.shape[2] if dc == -1 else pb + tw)
+        r0c, c0c = max(r0, 0), max(c0, 0)
+        r1c = min(r0 + piece.shape[1], bh)
+        c1c = min(c0 + piece.shape[2], bw)
+        if r1c <= r0c or c1c <= c0c:
+            continue
+        canvas[:, r0c:r1c, c0c:c1c] = piece[
+            :, r0c - r0 : r1c - r0, c0c - c0 : c1c - c0
+        ]
+    return me, canvas, nodata, dtype
+
+
+def add_buffers(
+    tiles: DataFrame, pyramid: TilePyramid, pixelbuffer: int
+) -> DataFrame:
+    """Tile raster table -> same table with each tile's array replaced
+    by its pixel-buffered window (shape per Tile.shape(pixelbuffer))."""
+    if pixelbuffer <= 0:
+        return tiles
+    pb = int(pixelbuffer)
+    pyr_dict = pyramid.to_dict()
+    parts = _parts_stage(tiles, pyramid, pb)
 
     def assemble(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p = TilePyramid(**pyr_dict)
-        target_key = int(key[0])
-        z = target_key >> 54
-        trow = (target_key >> 27) & ((1 << 27) - 1)
-        tcol = target_key & ((1 << 27) - 1)
-        me = Tile(p, int(z), int(trow), int(tcol))
-        bh, bw = me.shape(pixelbuffer=pb)
-        th, tw = me.shape(pixelbuffer=0)
-        # rows added above = pb unless clipped at the north pyramid edge;
-        # derive from the buffered vs unbuffered bounds
-        bb = me.bounds(pixelbuffer=pb)
-        tb = me.bounds(pixelbuffer=0)
-        py_sz = me.pixel_y_size
-        up = int(round((bb.top - tb.top) / py_sz))
-        sample = pdf.iloc[0]
-        nodata = float(sample["nodata"])
-        bands = int(sample["bands"])
-        dtype = sample["dtype"]
-        canvas = np.full((bands, bh, bw), nodata, dtype=dtype)
-        for _, r in pdf.iterrows():
-            piece = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
-                int(r["bands"]), int(r["height"]), int(r["width"])
-            )
-            dr, dc = -int(r["src_dr"]), -int(r["src_dc"])
-            # piece from neighbor at relative position (dr, dc) of me
-            if dr == 0:
-                r0 = up
-            elif dr == -1:  # neighbor above: goes into the top strip
-                r0 = up - piece.shape[1]
-            else:  # neighbor below
-                r0 = up + th
-            if dc == 0:
-                c0 = pb
-            elif dc == -1:
-                c0 = pb - piece.shape[2]
-            else:
-                c0 = pb + tw
-            r0c = max(r0, 0)
-            c0c = max(c0, 0)
-            r1c = min(r0 + piece.shape[1], bh)
-            c1c = min(c0 + piece.shape[2], bw)
-            if r1c <= r0c or c1c <= c0c:
-                continue
-            canvas[:, r0c:r1c, c0c:c1c] = piece[
-                :, r0c - r0 : r1c - r0, c0c - c0 : c1c - c0
-            ]
-        data = canvas.tobytes()
+        me, canvas, nodata, dtype = _assemble_canvas(p, pb, int(key[0]), pdf)
         return pd.DataFrame(
             {
-                "zoom": [int(z)],
-                "tile_row": [int(trow)],
-                "tile_col": [int(tcol)],
-                "tile_key": [target_key],
-                "bands": [bands],
-                "height": [bh],
-                "width": [bw],
+                "zoom": [me.zoom],
+                "tile_row": [me.row],
+                "tile_col": [me.col],
+                "tile_key": [int(key[0])],
+                "bands": [canvas.shape[0]],
+                "height": [canvas.shape[1]],
+                "width": [canvas.shape[2]],
                 "dtype": [dtype],
                 "nodata": [nodata],
-                "data": [data],
+                "data": [canvas.tobytes()],
             }
         )
 
     return parts.groupBy("target_key").applyInPandas(assemble, schema=RASTER_SCHEMA)
+
+
+def run_buffered_process(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    pixelbuffer: int,
+    process,
+    params: Optional[dict] = None,
+    out_dtype: Optional[str] = None,
+    out_nodata: Optional[float] = None,
+) -> DataFrame:
+    """Fused halo + process: one strip shuffle, then assemble AND run
+    the raster process inside the same applyInPandas."""
+    pb = int(pixelbuffer)
+    pyr_dict = pyramid.to_dict()
+    params = params or {}
+    parts = _parts_stage(tiles, pyramid, pb)
+
+    def assemble_and_run(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.operators.process import Empty, TileContext
+
+        p = TilePyramid(**pyr_dict)
+        me, canvas, nodata, dtype = _assemble_canvas(p, pb, int(key[0]), pdf)
+        arr = np.ma.masked_equal(canvas, nodata)
+        arr.set_fill_value(nodata)
+        empty_out = pd.DataFrame(
+            {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )}
+        )
+        ctx = TileContext(tile=me, array=arr, nodata=nodata, params=params)
+        try:
+            result = process(ctx)
+        except Empty:
+            return empty_out
+        if result is None:
+            return empty_out
+        nd = out_nodata if out_nodata is not None else nodata
+        if out_dtype:
+            result = result.astype(out_dtype)
+        if isinstance(result, np.ma.MaskedArray) and result.mask.all():
+            return empty_out
+        data, odtype, bands, h, w = encode_array(
+            result if result.ndim == 3 else result[np.newaxis], nd
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [me.zoom], "tile_row": [me.row], "tile_col": [me.col],
+                "tile_key": [int(key[0])], "bands": [bands], "height": [h],
+                "width": [w], "dtype": [odtype], "nodata": [nd], "data": [data],
+            }
+        )
+
+    return parts.groupBy("target_key").applyInPandas(
+        assemble_and_run, schema=RASTER_SCHEMA
+    )

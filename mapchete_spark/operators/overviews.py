@@ -57,11 +57,14 @@ def overview_reduce_once(
         pcol = parent_key & ((1 << 27) - 1)
         parent = Tile(p, int(z), int(prow), int(pcol))
         children_arrays = []
-        for _, r in pdf.iterrows():
-            t = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+        for cz, crow, ccol, rdata, rdtype, rbands, rh, rw, rnodata in zip(
+            pdf["zoom"].values, pdf["tile_row"].values, pdf["tile_col"].values,
+            pdf["data"].values, pdf["dtype"].values, pdf["bands"].values,
+            pdf["height"].values, pdf["width"].values, pdf["nodata"].values,
+        ):
+            t = Tile(p, int(cz), int(crow), int(ccol))
             arr = decode_array(
-                r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
-                int(r["width"]), float(r["nodata"]),
+                rdata, rdtype, int(rbands), int(rh), int(rw), float(rnodata)
             )
             children_arrays.append((t, arr))
         nodata = float(pdf.iloc[0]["nodata"])
@@ -128,13 +131,16 @@ def overview_upsample(
                 "zoom", "tile_row", "tile_col", "tile_key", "bands",
                 "height", "width", "dtype", "nodata", "data",
             )}
-            for _, r in pdf.iterrows():
-                parent = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            for pz, prow, pcol, rdata, rdtype, rbands, rh, rw, rnodata in zip(
+                pdf["zoom"].values, pdf["tile_row"].values, pdf["tile_col"].values,
+                pdf["data"].values, pdf["dtype"].values, pdf["bands"].values,
+                pdf["height"].values, pdf["width"].values, pdf["nodata"].values,
+            ):
+                parent = Tile(p, int(pz), int(prow), int(pcol))
                 arr = decode_array(
-                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
-                    int(r["width"]), float(r["nodata"]),
+                    rdata, rdtype, int(rbands), int(rh), int(rw), float(rnodata)
                 )
-                nodata = float(r["nodata"])
+                nodata = float(rnodata)
                 for child in parent.get_children():
                     sub = resample_from_array(
                         arr,

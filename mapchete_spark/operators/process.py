@@ -77,10 +77,25 @@ def run_raster_process(
     params: Optional[dict] = None,
     out_dtype: Optional[str] = None,
     out_nodata: Optional[float] = None,
+    pixelbuffer: int = 0,
 ) -> DataFrame:
     """Apply a raster process to every tile row; rows whose process
     raises Empty (or returns None) are dropped. Output arrays replace
-    the input payload; tile ids/keys are preserved."""
+    the input payload; tile ids/keys are preserved.
+
+    ``pixelbuffer`` > 0 fuses the halo exchange INTO the process stage:
+    edge strips shuffle to neighbors and the process runs directly on
+    the assembled buffered window inside the same applyInPandas — the
+    buffered arrays never make an extra Python->JVM->Python round trip
+    (2x less Arrow traffic than add_buffers + separate process pass).
+    """
+    if pixelbuffer > 0:
+        from mapchete_spark.operators.halo import run_buffered_process
+
+        return run_buffered_process(
+            tiles, pyramid, pixelbuffer, process, params=params,
+            out_dtype=out_dtype, out_nodata=out_nodata,
+        )
     pyr_dict = pyramid.to_dict()
     params = params or {}
 
@@ -91,14 +106,18 @@ def run_raster_process(
                 "zoom", "tile_row", "tile_col", "tile_key", "bands",
                 "height", "width", "dtype", "nodata", "data",
             )}
-            for _, r in pdf.iterrows():
-                tile = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            for z, trow, tcol, tkey, rdata, rdtype, rbands, rh, rw, rnodata in zip(
+                pdf["zoom"].values, pdf["tile_row"].values, pdf["tile_col"].values,
+                pdf["tile_key"].values, pdf["data"].values, pdf["dtype"].values,
+                pdf["bands"].values, pdf["height"].values, pdf["width"].values,
+                pdf["nodata"].values,
+            ):
+                tile = Tile(p, int(z), int(trow), int(tcol))
                 arr = decode_array(
-                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
-                    int(r["width"]), float(r["nodata"]),
+                    rdata, rdtype, int(rbands), int(rh), int(rw), float(rnodata)
                 )
                 ctx = TileContext(
-                    tile=tile, array=arr, nodata=float(r["nodata"]), params=params
+                    tile=tile, array=arr, nodata=float(rnodata), params=params
                 )
                 try:
                     result = process(ctx)
@@ -106,7 +125,7 @@ def run_raster_process(
                     continue
                 if result is None:
                     continue
-                nodata = out_nodata if out_nodata is not None else float(r["nodata"])
+                nodata = out_nodata if out_nodata is not None else float(rnodata)
                 if out_dtype:
                     result = result.astype(out_dtype)
                 if isinstance(result, np.ma.MaskedArray) and result.mask.all():
@@ -114,10 +133,10 @@ def run_raster_process(
                 data, dtype, bands, h, w = encode_array(
                     result if result.ndim == 3 else result[np.newaxis], nodata
                 )
-                out["zoom"].append(int(r["zoom"]))
-                out["tile_row"].append(int(r["tile_row"]))
-                out["tile_col"].append(int(r["tile_col"]))
-                out["tile_key"].append(int(r["tile_key"]))
+                out["zoom"].append(int(z))
+                out["tile_row"].append(int(trow))
+                out["tile_col"].append(int(tcol))
+                out["tile_key"].append(int(tkey))
                 out["bands"].append(bands)
                 out["height"].append(h)
                 out["width"].append(w)
@@ -154,24 +173,28 @@ def run_vector_process(
             out = {k: [] for k in (
                 "zoom", "tile_row", "tile_col", "tile_key", "geometry", "properties",
             )}
-            for _, r in pdf.iterrows():
-                tile = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            for z, trow, tcol, tkey, rdata, rdtype, rbands, rh, rw, rnodata in zip(
+                pdf["zoom"].values, pdf["tile_row"].values, pdf["tile_col"].values,
+                pdf["tile_key"].values, pdf["data"].values, pdf["dtype"].values,
+                pdf["bands"].values, pdf["height"].values, pdf["width"].values,
+                pdf["nodata"].values,
+            ):
+                tile = Tile(p, int(z), int(trow), int(tcol))
                 arr = decode_array(
-                    r["data"], r["dtype"], int(r["bands"]), int(r["height"]),
-                    int(r["width"]), float(r["nodata"]),
+                    rdata, rdtype, int(rbands), int(rh), int(rw), float(rnodata)
                 )
                 ctx = TileContext(
-                    tile=tile, array=arr, nodata=float(r["nodata"]), params=params
+                    tile=tile, array=arr, nodata=float(rnodata), params=params
                 )
                 try:
                     feats = process(ctx)
                 except Empty:
                     continue
                 for f in feats or []:
-                    out["zoom"].append(int(r["zoom"]))
-                    out["tile_row"].append(int(r["tile_row"]))
-                    out["tile_col"].append(int(r["tile_col"]))
-                    out["tile_key"].append(int(r["tile_key"]))
+                    out["zoom"].append(int(z))
+                    out["tile_row"].append(int(trow))
+                    out["tile_col"].append(int(tcol))
+                    out["tile_key"].append(int(tkey))
                     out["geometry"].append(to_wkb(f["geometry"]))
                     out["properties"].append(json.dumps(f["properties"], sort_keys=True))
             yield pd.DataFrame(out)

@@ -37,9 +37,12 @@ RASTER_SCHEMA = (
 
 def encode_array(arr: np.ma.MaskedArray, nodata: float) -> Tuple[bytes, str, int, int, int]:
     a = arr if arr.ndim == 3 else arr[np.newaxis]
-    filled = np.ascontiguousarray(
-        a.filled(nodata) if isinstance(a, np.ma.MaskedArray) else a
-    )
+    if isinstance(a, np.ma.MaskedArray):
+        # skip the filled() copy when nothing is masked (common case)
+        filled = a.data if not np.ma.is_masked(a) else a.filled(nodata)
+    else:
+        filled = a
+    filled = np.ascontiguousarray(filled)
     return (
         filled.tobytes(),
         str(filled.dtype),
@@ -53,9 +56,11 @@ def decode_array(
     data: bytes, dtype: str, bands: int, height: int, width: int, nodata: float
 ) -> np.ma.MaskedArray:
     raw = np.frombuffer(data, dtype=dtype).reshape(bands, height, width)
-    out = np.ma.masked_equal(raw, nodata)
-    out.set_fill_value(nodata)
-    return out
+    # no-copy wrap (np.ma.masked_equal would copy); mask from equality
+    mask = raw == nodata
+    if not mask.any():
+        mask = np.ma.nomask
+    return np.ma.MaskedArray(raw, mask=mask, copy=False, fill_value=nodata)
 
 
 def row_to_array(row) -> np.ma.MaskedArray:

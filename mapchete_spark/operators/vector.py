@@ -102,17 +102,20 @@ def explode_features_to_tiles(
                 "properties": [], "zoom": [], "tile_row": [], "tile_col": [],
                 "tile_key": [],
             }
-            for _, r in pdf.iterrows():
-                geom = from_wkb(r["geometry"])
+            for fid, gwkb, gtype, props in zip(
+                pdf["feature_id"].values, pdf["geometry"].values,
+                pdf["geom_type"].values, pdf["properties"].values,
+            ):
+                geom = from_wkb(gwkb)
                 if isinstance(geom, Polygon):
                     geom = repair_antimeridian_polygon(
                         geom, p.grid.left, p.grid.right
                     )
                 for t in tiles_from_geom(p, geom, zoom, exact=exact):
-                    out["feature_id"].append(r["feature_id"])
-                    out["geometry"].append(r["geometry"])
-                    out["geom_type"].append(r["geom_type"])
-                    out["properties"].append(r["properties"])
+                    out["feature_id"].append(fid)
+                    out["geometry"].append(gwkb)
+                    out["geom_type"].append(gtype)
+                    out["properties"].append(props)
                     out["zoom"].append(t.zoom)
                     out["tile_row"].append(t.row)
                     out["tile_col"].append(t.col)
@@ -143,10 +146,15 @@ def clip_features_to_tiles(
                 "feature_id": [], "zoom": [], "tile_row": [], "tile_col": [],
                 "tile_key": [], "geometry": [], "clipped_area": [], "properties": [],
             }
-            for _, r in pdf.iterrows():
-                t = Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            for fid, z, trow, tcol, tkey, gwkb, props in zip(
+                pdf["feature_id"].values, pdf["zoom"].values,
+                pdf["tile_row"].values, pdf["tile_col"].values,
+                pdf["tile_key"].values, pdf["geometry"].values,
+                pdf["properties"].values,
+            ):
+                t = Tile(p, int(z), int(trow), int(tcol))
                 tb = t.bounds(pixelbuffer=0)
-                geom = from_wkb(r["geometry"])
+                geom = from_wkb(gwkb)
                 polys = (
                     list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
                 )
@@ -168,14 +176,14 @@ def clip_features_to_tiles(
                 if not pieces:
                     continue
                 merged = pieces[0] if len(pieces) == 1 else MultiPolygon(tuple(pieces))
-                out["feature_id"].append(r["feature_id"])
-                out["zoom"].append(int(r["zoom"]))
-                out["tile_row"].append(int(r["tile_row"]))
-                out["tile_col"].append(int(r["tile_col"]))
-                out["tile_key"].append(int(r["tile_key"]))
+                out["feature_id"].append(fid)
+                out["zoom"].append(int(z))
+                out["tile_row"].append(int(trow))
+                out["tile_col"].append(int(tcol))
+                out["tile_key"].append(int(tkey))
                 out["geometry"].append(to_wkb(merged))
                 out["clipped_area"].append(area)
-                out["properties"].append(r["properties"])
+                out["properties"].append(props)
             yield pd.DataFrame(out)
 
     return exploded.mapInPandas(

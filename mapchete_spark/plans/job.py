@@ -112,15 +112,17 @@ def execute(
 
         def build(zoom=zoom, params=params):
             tiles = _input_tiles(spark, cfg, zoom)
-            if pb > 0:
-                tiles = add_buffers(tiles, cfg.pyramid, pb)
             if kind == "raster":
+                # pixelbuffer fuses the halo exchange into the process
                 out = run_raster_process(
                     tiles, cfg.pyramid, fn, params=params,
                     out_dtype=cfg.output.get("dtype"),
                     out_nodata=cfg.output.get("nodata"),
+                    pixelbuffer=pb,
                 )
             else:
+                if pb > 0:
+                    tiles = add_buffers(tiles, cfg.pyramid, pb)
                 out = run_vector_process(tiles, cfg.pyramid, fn, params=params)
             return out
 

@@ -30,26 +30,55 @@ def elevation(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     )
 
 
-def dem_window(bounds: Bounds, shape: tuple, hole: bool = True) -> np.ma.MaskedArray:
-    """(1, h, w) masked float32 elevation sampled at pixel centers."""
+def elevation_grid(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """elevation() evaluated on the separable grid xs (lon) x ys (lat):
+    the field is a sum of lon-term x lat-term products, so the trig runs
+    over O(h + w) samples and the grid is two outer products — ~20x
+    cheaper than evaluating the full meshgrid."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    return (
+        500.0
+        + 400.0 * np.outer(np.cos(ys * np.pi / 20.0), np.sin(xs * np.pi / 30.0))
+        + 120.0 * np.outer(np.sin(ys * np.pi / 2.9), np.sin(xs * np.pi / 3.7))
+    )
+
+
+def dem_window(
+    bounds: Bounds, shape: tuple, hole: bool = True, crs: str = "EPSG:4326"
+) -> np.ma.MaskedArray:
+    """(1, h, w) masked float32 elevation sampled at pixel centers.
+
+    The analytic field is defined in lon/lat; windows on other grids
+    (e.g. the mercator F4 fixture) sample the SAME field through the
+    closed-form inverse transform, so cross-pyramid reads agree."""
     h, w = shape
     px = bounds.width / w
     py = bounds.height / h
     xs = bounds.left + (np.arange(w) + 0.5) * px
     ys = bounds.top - (np.arange(h) + 0.5) * py
-    gx, gy = np.meshgrid(xs, ys)
-    elev = elevation(gx, gy).astype(np.float32)
-    mask = (elev < DEM_HOLE_BELOW) if hole else np.zeros_like(elev, dtype=bool)
-    out = np.ma.MaskedArray(
-        np.where(mask, DEM_NODATA, elev)[np.newaxis],
-        mask=mask[np.newaxis],
-        fill_value=DEM_NODATA,
+    if crs != "EPSG:4326":
+        from mapchete_spark.geometry.reproject import get_transform
+
+        # mercator<->geodetic is axis-separable, so the 1D axes stay 1D
+        f = get_transform(crs, "EPSG:4326")
+        xs, _ = f(xs, np.zeros_like(xs))
+        _, ys = f(np.zeros_like(ys), ys)
+    elev = elevation_grid(xs, ys).astype(np.float32)
+    if hole:
+        mask = elev < DEM_HOLE_BELOW
+        data = np.where(mask, DEM_NODATA, elev)[np.newaxis]
+        return np.ma.MaskedArray(data, mask=mask[np.newaxis], fill_value=DEM_NODATA)
+    return np.ma.MaskedArray(
+        elev[np.newaxis], mask=np.ma.nomask, fill_value=DEM_NODATA
     )
-    return out
 
 
 def dem_tile(tile: Tile, pixelbuffer: int = 0, hole: bool = True) -> np.ma.MaskedArray:
-    """DEM window for a (possibly buffered) tile."""
+    """DEM window for a (possibly buffered) tile, in the tile's CRS."""
     return dem_window(
-        tile.bounds(pixelbuffer=pixelbuffer), tile.shape(pixelbuffer=pixelbuffer), hole
+        tile.bounds(pixelbuffer=pixelbuffer),
+        tile.shape(pixelbuffer=pixelbuffer),
+        hole,
+        crs=tile.pyramid.crs,
     )

@@ -56,11 +56,13 @@ def hillshade(
     elevation2d = elevation[0] if elevation.ndim == 3 else elevation
     xres = affine[0]
     yres = affine[4]
-    data = (
-        elevation2d.filled(float(elevation2d.mean()))
-        if isinstance(elevation2d, ma.MaskedArray)
-        else np.asarray(elevation2d)
-    ).astype(np.float64)
+    if isinstance(elevation2d, ma.MaskedArray) and ma.is_masked(elevation2d):
+        data = elevation2d.filled(float(elevation2d.mean()))
+    elif isinstance(elevation2d, ma.MaskedArray):
+        data = elevation2d.data
+    else:
+        data = np.asarray(elevation2d)
+    data = data.astype(np.float64, copy=False)
     slope, aspect = calculate_slope_aspect(
         data, xres, yres, z=float(z), scale=float(scale)
     )

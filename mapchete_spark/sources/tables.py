@@ -42,6 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def synthetic_docs(spark: SparkSession, n: int) -> DataFrame:
+    """Codegen-generated doc corpus of arbitrary size (spark.range +
+    the deterministic geo derivation) — no storage, scales to any n;
+    used by the bench to measure throughput beyond the tiny sf tables
+    and by scale tests (the 10^12 stand-in)."""
+    from pyspark.sql import functions as F
+
+    return with_geo(spark.range(n).select(F.col("id").alias("doc_id")))
+
+
 def load_docs(
     spark: SparkSession,
     sf_dir: str,
