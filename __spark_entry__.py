@@ -616,6 +616,147 @@ def _o_training_ops() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# streaming / multimodal / relational sanity
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the batch twin of the
+    Structured Streaming pipeline; stream==batch is asserted in tests)."""
+    from mapchete_spark.streaming.pipeline import batch_events_windowed
+    import os
+
+    return batch_events_windowed(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).orderBy("window_start", "event_type")
+
+
+def o_events_windowed() -> str:
+    return """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns: deterministic fake decode + feature
+    extraction over Arrow batches (rows-only check; determinism and
+    shapes are pytest-asserted)."""
+    from mapchete_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 300)
+    return extract_media_features(media).orderBy("media_ref")
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sanity (broadcast-join shape): revenue per nation via
+    lineitem x orders x customer x nation."""
+    from mapchete_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def o_revenue_by_nation() -> str:
+    return """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """
+
+
+def q_neighbor_halo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 neighbors as a JOIN: for each occupied zoom-6 tile, the doc
+    count over its 8-neighborhood (antimeridian-wrapping key
+    arithmetic — the halo join in relational form)."""
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [6])
+    per_tile = assigned.groupBy("tile_row", "tile_col").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mh, mw = 2**6, 2**7
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dr"), (F.col("id") / 3).cast("int").alias("dc_raw")
+    ).select("dr", (F.col("dc_raw") - 1).alias("dc"))
+    neigh = (
+        per_tile.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("tile_row") + F.col("dr")).alias("nr"),
+            ((F.col("tile_col") + F.col("dc") + mw) % mw).alias("nc"),
+            "n",
+        )
+        .where((F.col("nr") >= 0) & (F.col("nr") < mh))
+    )
+    out = (
+        neigh.groupBy(F.col("nr").alias("tile_row"), F.col("nc").alias("tile_col"))
+        .agg(F.sum("n").alias("n_neighborhood"))
+        .join(per_tile.select("tile_row", "tile_col"), ["tile_row", "tile_col"])
+        .orderBy("tile_row", "tile_col")
+    )
+    return out
+
+
+def o_neighbor_halo_counts() -> str:
+    mh, mw = 2**6, 2**7
+    return (
+        _docs_geo_cte()
+        + f"""
+    , per_tile AS (
+        SELECT {G.tile_row_sql("lat", "6")} AS tile_row,
+               {G.tile_col_sql("lon", "6")} AS tile_col,
+               COUNT(*) AS n
+        FROM docs_geo GROUP BY 1, 2
+    ), offsets AS (
+        SELECT dr, dc FROM (SELECT UNNEST([-1,0,1]) AS dr),
+                            (SELECT UNNEST([-1,0,1]) AS dc)
+    ), neigh AS (
+        SELECT tile_row + dr AS nr,
+               (tile_col + dc + {mw}) % {mw} AS nc,
+               n
+        FROM per_tile, offsets
+    )
+    SELECT p.tile_row, p.tile_col, s.n_neighborhood
+    FROM (
+        SELECT nr AS tile_row, nc AS tile_col, SUM(n) AS n_neighborhood
+        FROM neigh WHERE nr >= 0 AND nr < {mh}
+        GROUP BY 1, 2
+    ) s
+    JOIN per_tile p USING (tile_row, tile_col)
+    ORDER BY p.tile_row, p.tile_col
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -644,6 +785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_clip": q_vector_clip,
         "vector_union": q_vector_union,
         "vector_reproject": q_vector_reproject,
+        "events_windowed": q_events_windowed,
+        "media_features": q_media_features,
+        "revenue_by_nation": q_revenue_by_nation,
+        "neighbor_halo_counts": q_neighbor_halo_counts,
     }
 
 
@@ -659,4 +804,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_o_training_ops())
     out["vector_clip"] = o_vector_clip()
     out["vector_reproject"] = o_vector_reproject()
+    out["events_windowed"] = o_events_windowed()
+    out["revenue_by_nation"] = o_revenue_by_nation()
+    out["neighbor_halo_counts"] = o_neighbor_halo_counts()
     return out

@@ -1,0 +1,126 @@
+"""Streaming pipelines (stream == batch on bounded input; checkpoint
+resume processes only new files) and multimodal binary-column ops."""
+
+import json
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.multimodal import (
+    extract_media_features,
+    synthetic_media,
+)
+from mapchete_spark.streaming.pipeline import (
+    batch_events_windowed,
+    stream_docs_to_tiles,
+    stream_events_windowed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestStreaming:
+    def test_windowed_agg_stream_equals_batch(self, spark, tmp_path):
+        # the file stream source requires a directory
+        src = tmp_path / "events_dir"
+        src.mkdir()
+        shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+        q = stream_events_windowed(
+            spark,
+            str(src),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "out"))
+        want = batch_events_windowed(spark, f"{SF}/events.parquet")
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        # append-mode semantics: windows still inside the watermark
+        # horizon at end-of-input are never finalized — the stream
+        # output is the batch result minus only those trailing windows
+        assert len(g) > 0
+        assert set(g) <= set(w)
+        missing = sorted(set(w) - set(g))
+        if missing:
+            horizon_start = min(m[0] for m in missing)
+            max_end = max(x[1] for x in w)
+            # all missing windows sit within the 2h watermark of the end
+            assert (max_end - horizon_start).total_seconds() <= 3 * 3600
+
+    def test_stream_docs_checkpoint_resume(self, spark, tmp_path):
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(
+            str(src / "batch1")
+        )
+        # stream over a glob dir: use the parent with two subdirs merged
+        flat = tmp_path / "flat"
+        flat.mkdir()
+        for f in (src / "batch1").glob("*.parquet"):
+            shutil.copy(f, flat / "a.parquet")
+        q = stream_docs_to_tiles(
+            spark, str(flat), str(tmp_path / "ck"), str(tmp_path / "out"), zoom=8
+        )
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(str(tmp_path / "out")).count()
+        assert n1 == 250
+        # add new file, resume from checkpoint: only the delta processed
+        docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "batch2"))
+        for f in (src / "batch2").glob("*.parquet"):
+            shutil.copy(f, flat / "b.parquet")
+        q2 = stream_docs_to_tiles(
+            spark, str(flat), str(tmp_path / "ck"), str(tmp_path / "out"), zoom=8
+        )
+        q2.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.count() == docs.count()
+        # assignments identical to the batch path
+        from mapchete_spark.operators.assign import assign_point_tiles
+        from mapchete_spark.sources.tables import load_docs
+
+        batch = assign_point_tiles(load_docs(spark, SF), [8]).select(
+            "doc_id", "tile_row", "tile_col"
+        )
+        a = sorted(tuple(r) for r in out.select("doc_id", "tile_row", "tile_col").collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert a == b
+
+
+class TestMultimodal:
+    def test_media_deterministic(self, spark):
+        a = synthetic_media(spark, 30).select("media_ref", F.md5("payload")).collect()
+        b = synthetic_media(spark, 30).select("media_ref", F.md5("payload")).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_feature_extraction(self, spark):
+        media = synthetic_media(spark, 60)
+        feats = extract_media_features(media).collect()
+        assert len(feats) == 60
+        by_kind = {}
+        for r in feats:
+            by_kind.setdefault(r["kind"], []).append(r)
+        assert set(by_kind) == {"image", "audio", "video"}
+        img = by_kind["image"][0]
+        assert len(img["signature"]) == 64  # 8x8 thumbnail bits
+        assert 0 <= img["feat_mean"] <= 255
+        aud = by_kind["audio"][0]
+        assert 0 <= aud["feat_mean"] <= 1.0
+
+    def test_spans_media_join(self, spark):
+        from mapchete_spark.functions.spans import with_spans
+        from mapchete_spark.operators.multimodal import join_spans_to_media
+        from mapchete_spark.sources.tables import load_docs
+
+        docs = load_docs(spark, SF, with_spans_col=True, geo=False).limit(20)
+        flat = docs.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select("doc_id", F.col("s.kind").alias("kind"), F.col("s.media_ref").alias("media_ref"))
+        media = synthetic_media(spark, 50)
+        joined = join_spans_to_media(flat, media)
+        assert joined.count() == flat.where(F.col("kind") != "text").count()
