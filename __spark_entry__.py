@@ -179,6 +179,39 @@ def o_hot_tile_skew() -> str:
     )
 
 
+def q_salted_tile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-controlled HOLISTIC agg: per-tile ordered doc-id digest at
+    zoom 2 (4x8 tiles — every tile is hot). Two-phase salted
+    collect_list (phase 1 per (tile, salt), phase 2 merge) — the north
+    rule's 'salting hot tiles' exercised on an agg where map-side
+    combine can't help."""
+    from mapchete_spark.operators.pyramid import collect_tile_payloads_salted
+
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [2])
+    return collect_tile_payloads_salted(
+        assigned.withColumn("doc_id_str", F.col("doc_id").cast("string")),
+        payload_col="doc_id_str",
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_salted_tile_digest() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    SELECT 2 AS zoom,
+           {G.tile_row_sql("lat", "2")} AS tile_row,
+           {G.tile_col_sql("lon", "2")} AS tile_col,
+           COUNT(*) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS docs_md5
+    FROM docs_geo
+    GROUP BY 1, 2, 3
+    ORDER BY tile_row, tile_col
+    """
+    )
+
+
 def q_bbox_cover_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 analog: footprint (bbox) -> covering-tile explode at zoom 6;
     per-tile count of footprint assignments (multi-tile docs)."""
@@ -768,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
+        "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
         "hillshade": q_hillshade,
         "contours": q_contours,
@@ -800,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_tile_skew": o_hot_tile_skew(),
         "bbox_cover_z6": o_bbox_cover_z6(),
         "span_roundtrip": o_span_roundtrip(),
+        "salted_tile_digest": o_salted_tile_digest(),
     }
     out.update(_o_training_ops())
     out["vector_clip"] = o_vector_clip()

@@ -60,6 +60,43 @@ def reduce_docs_to_tiles(
     return partial.groupBy(*group).agg(*finals)
 
 
+def collect_tile_payloads_salted(
+    assigned: DataFrame,
+    payload_col: str = "doc_id",
+    buckets: int = 32,
+    threshold: int = 6,
+) -> DataFrame:
+    """Salted two-phase HOLISTIC aggregation: per-tile ordered payload
+    digest. This is where salting genuinely matters (unlike algebraic
+    counts): collect_list state is per-row sized, so a hot low-zoom
+    tile would funnel its whole payload through one reducer. Phase 1
+    collects per (tile, salt) bucket; phase 2 merges the (few) bucket
+    lists per tile, sorts, and digests.
+
+    Output: (zoom, tile_row, tile_col, n_docs, docs_md5) where docs_md5
+    = md5 of the comma-joined ascending payload values — matching the
+    DuckDB oracle's string_agg(... ORDER BY) digest exactly."""
+    phase1 = (
+        with_salt(assigned, salt_source=payload_col, buckets=buckets, threshold=threshold)
+        .groupBy("zoom", "tile_row", "tile_col", "salt")
+        .agg(
+            F.sort_array(F.collect_list(F.col(payload_col))).alias("bucket_vals"),
+            F.count(F.lit(1)).alias("bucket_n"),
+        )
+    )
+    return (
+        phase1.groupBy("zoom", "tile_row", "tile_col")
+        .agg(
+            F.sum("bucket_n").alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.flatten(F.collect_list("bucket_vals"))), ","
+                )
+            ).alias("docs_md5"),
+        )
+    )
+
+
 def rollup_once(
     tiles: DataFrame, merge_aggs: Dict[str, Column]
 ) -> DataFrame:
