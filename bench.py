@@ -91,10 +91,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup, untimed
 
     timings, aux = {}, {}
-    for name, fn in sf_queries().items():
-        t0 = time.time()
-        aux[name] = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    if not os.environ.get("SPARK_GRAFT_BENCH_ONLY_THROUGHPUT"):
+        for name, fn in sf_queries().items():
+            t0 = time.time()
+            aux[name] = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
 
     for name, fn in throughput_workloads(spark).items():
         t0 = time.time()
@@ -124,26 +125,67 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+    if "--scaling-worker" in sys.argv:
+        # one simulated executor: a 4-core JVM sized via
+        # ActiveProcessorCount, running the core assignment workload on
+        # a disjoint doc-id slice; prints its compute seconds
+        i = sys.argv.index("--scaling-worker")
+        seed, cores, ndocs = (int(x) for x in sys.argv[i + 1 : i + 4])
+        print(json.dumps(_scaling_worker(seed, cores, ndocs)))
+        return
+
     if "--scaling" in sys.argv:
-        n = max(cpus // 4, 2)
+        # N vs 4N EXECUTORS (the BASELINE criterion): K concurrent
+        # single-executor JVMs (4 cores each, JVM thread pools sized to
+        # 4 via ActiveProcessorCount — one big local[32] JVM hits GC /
+        # allocation contention that no real multi-executor cluster
+        # has). Each executor processes the SAME per-executor share of
+        # a disjoint synthetic corpus; efficiency =
+        # (total_throughput_4N / total_throughput_N) / 4.
+        n_execs = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        per_exec_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "25000000"))
         results = {}
-        for c in (n, 4 * n):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
-            p = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True, text=True
-            )
-            line = p.stdout.strip().splitlines()[-1]
-            results[c] = json.loads(line)
-        t_n, t_4n = results[n]["value"], results[4 * n]["value"]
+        for k in (n_execs, 4 * n_execs):
+            t0 = time.time()
+            procs = [
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        __file__,
+                        "--scaling-worker",
+                        str(seed),
+                        "4",
+                        str(per_exec_docs),
+                    ],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    text=True,
+                )
+                for seed in range(k)
+            ]
+            worker_secs = []
+            for p in procs:
+                out, _ = p.communicate()
+                worker_secs.append(json.loads(out.strip().splitlines()[-1])["sec"])
+            wall = time.time() - t0
+            results[k] = {
+                "executors": k,
+                "docs_total": per_exec_docs * k,
+                "wall_sec": round(wall, 2),
+                "worker_compute_sec": worker_secs,
+                "docs_per_sec": round(per_exec_docs * k / max(worker_secs), 1),
+            }
+        thr_n = results[n_execs]["docs_per_sec"]
+        thr_4n = results[4 * n_execs]["docs_per_sec"]
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency N->4N",
-                    "value": round((t_n / t_4n) / 4, 3),
+                    "metric": "throughput scaling efficiency N->4N executors",
+                    "value": round((thr_4n / thr_n) / 4, 3),
                     "unit": "ratio",
-                    "n_cores": n,
-                    "t_n_sec": t_n,
-                    "t_4n_sec": t_4n,
+                    "n_executors": n_execs,
+                    "throughput_n": thr_n,
+                    "throughput_4n": thr_4n,
                     "runs": results,
                 }
             )
@@ -151,6 +193,39 @@ def main():
         return
 
     print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+def _scaling_worker(seed: int, cores: int, ndocs: int) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName(f"scale-worker-{seed}")
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config(
+            "spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={cores}"
+        )
+        .getOrCreate()
+    )
+    from mapchete_spark.functions.geo import with_geo
+    from mapchete_spark.operators.assign import assign_point_tiles
+
+    docs = with_geo(
+        spark.range(seed * ndocs, (seed + 1) * ndocs).select(
+            F.col("id").alias("doc_id")
+        )
+    )
+    assigned = assign_point_tiles(docs, range(0, 13))
+    t0 = time.time()
+    assigned.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("tile_key").alias("s")
+    ).count()
+    sec = time.time() - t0
+    spark.stop()
+    return {"seed": seed, "sec": round(sec, 2)}
 
 
 if __name__ == "__main__":

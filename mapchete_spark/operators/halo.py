@@ -182,6 +182,72 @@ def add_buffers(
     return parts.groupBy("target_key").applyInPandas(assemble, schema=RASTER_SCHEMA)
 
 
+def streamed_groupby(
+    df: DataFrame,
+    key_col: str,
+    group_fn,
+    schema: str,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """groupBy(key).applyInPandas without the per-group overhead:
+    repartition on the key, sort within partitions, then ONE
+    mapInPandas that walks the sorted Arrow batches and calls
+    ``group_fn(key, group_pdf)`` per key run (stitching groups that
+    straddle batch boundaries).  applyInPandas materializes a separate
+    pandas frame + Arrow round trip per group, which at ~5ms/group
+    dominates pipelines with 10^4+ small groups; this streams instead.
+    ``group_fn`` returns a dict of lists (column -> values) or None."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = df.repartition(n, key_col).sortWithinPartitions(key_col)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending_key = None
+        pending: list = []
+
+        def flush():
+            if pending_key is None:
+                return None
+            grp = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            return group_fn(int(pending_key), grp)
+
+        out_rows: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key_col].values
+            # boundaries of key runs within this sorted batch
+            change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(pdf)]])
+            for s, e in zip(starts, ends):
+                k = keys[s]
+                chunk = pdf.iloc[s:e]
+                if pending_key is not None and k == pending_key:
+                    pending.append(chunk)
+                    continue
+                res = flush()
+                if res:
+                    out_rows.append(res)
+                pending_key = k
+                pending = [chunk]
+            # emit accumulated results per input batch to bound memory
+            if out_rows:
+                yield pd.DataFrame(
+                    {c: sum((r[c] for r in out_rows), []) for c in out_rows[0]}
+                )
+                out_rows = []
+        res = flush()
+        if res:
+            out_rows.append(res)
+        if out_rows:
+            yield pd.DataFrame(
+                {c: sum((r[c] for r in out_rows), []) for c in out_rows[0]}
+            )
+
+    return arranged.mapInPandas(walk, schema=schema)
+
+
 def run_buffered_process(
     tiles: DataFrame,
     pyramid: TilePyramid,
@@ -192,48 +258,38 @@ def run_buffered_process(
     out_nodata: Optional[float] = None,
 ) -> DataFrame:
     """Fused halo + process: one strip shuffle, then assemble AND run
-    the raster process inside the same applyInPandas."""
+    the raster process inside one streamed-group mapInPandas."""
     pb = int(pixelbuffer)
     pyr_dict = pyramid.to_dict()
     params = params or {}
     parts = _parts_stage(tiles, pyramid, pb)
 
-    def assemble_and_run(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble_and_run(target_key: int, pdf: pd.DataFrame):
         from mapchete_spark.operators.process import Empty, TileContext
 
         p = TilePyramid(**pyr_dict)
-        me, canvas, nodata, dtype = _assemble_canvas(p, pb, int(key[0]), pdf)
+        me, canvas, nodata, dtype = _assemble_canvas(p, pb, target_key, pdf)
         arr = np.ma.masked_equal(canvas, nodata)
         arr.set_fill_value(nodata)
-        empty_out = pd.DataFrame(
-            {k: [] for k in (
-                "zoom", "tile_row", "tile_col", "tile_key", "bands",
-                "height", "width", "dtype", "nodata", "data",
-            )}
-        )
         ctx = TileContext(tile=me, array=arr, nodata=nodata, params=params)
         try:
             result = process(ctx)
         except Empty:
-            return empty_out
+            return None
         if result is None:
-            return empty_out
+            return None
         nd = out_nodata if out_nodata is not None else nodata
         if out_dtype:
             result = result.astype(out_dtype)
         if isinstance(result, np.ma.MaskedArray) and result.mask.all():
-            return empty_out
+            return None
         data, odtype, bands, h, w = encode_array(
             result if result.ndim == 3 else result[np.newaxis], nd
         )
-        return pd.DataFrame(
-            {
-                "zoom": [me.zoom], "tile_row": [me.row], "tile_col": [me.col],
-                "tile_key": [int(key[0])], "bands": [bands], "height": [h],
-                "width": [w], "dtype": [odtype], "nodata": [nd], "data": [data],
-            }
-        )
+        return {
+            "zoom": [me.zoom], "tile_row": [me.row], "tile_col": [me.col],
+            "tile_key": [target_key], "bands": [bands], "height": [h],
+            "width": [w], "dtype": [odtype], "nodata": [nd], "data": [data],
+        }
 
-    return parts.groupBy("target_key").applyInPandas(
-        assemble_and_run, schema=RASTER_SCHEMA
-    )
+    return streamed_groupby(parts, "target_key", assemble_and_run, RASTER_SCHEMA)

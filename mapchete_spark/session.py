@@ -29,9 +29,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for pandas UDFs / toPandas (the raster+vector kernels)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Arrow for pandas UDFs / toPandas (the raster+vector kernels).
+        # Small batches matter: raster rows carry ~260KB binary tiles;
+        # 4096-row batches (1GB allocations) trigger JVM GCLocker
+        # contention that WORSENS with core count (measured 13->7s on a
+        # 2795-tile hillshade at local[32] going 4096->64 rows/batch)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         # parquet scans: pushdown + pruning stay on
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
