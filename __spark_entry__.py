@@ -604,6 +604,27 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(emb).orderBy("vec_id")
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: deterministic-centroid cell per vector
+    (the partition key of the ANN scale path)."""
+    from mapchete_spark.operators.similarity import ivf_assign
+    from mapchete_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb).orderBy("vec_id")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe top-2 cells, exact-cosine re-rank (recall vs the
+    brute-force baseline is the operator's trade, asserted in tests)."""
+    from mapchete_spark.operators.similarity import ivf_topk
+    from mapchete_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=3, nprobe=2).orderBy("query_id", "rank")
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapchete_spark.operators.similarity import cosine_neardup_pairs
     from mapchete_spark.sources.tables import load_table
@@ -644,6 +665,8 @@ def _o_training_ops() -> dict[str, str]:
         """,
         "cosine_topk": S.cosine_topk_sql(3, "vec_id < 5") + " ORDER BY query_id, rank",
         "lsh_buckets": S.lsh_bucket_sql() + " ORDER BY vec_id",
+        "ivf_assign": S.ivf_assign_sql() + " ORDER BY vec_id",
+        "ivf_topk": S.ivf_topk_sql(3, 2, "vec_id < 5") + " ORDER BY query_id, rank",
         "cosine_neardup": S.cosine_neardup_sql(0.3) + " ORDER BY vec_a, vec_b",
     }
 
@@ -816,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "cosine_neardup": q_cosine_neardup,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "vector_clip": q_vector_clip,
         "vector_union": q_vector_union,
         "vector_reproject": q_vector_reproject,

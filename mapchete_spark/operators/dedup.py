@@ -84,13 +84,26 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, k, minhash): K independent min-hashes; hash_k(s) =
-    md5(k || ':' || shingle), minimum taken as string order."""
+    md5(k || ':' || shingle), minimum taken as string order.
+
+    Computed as K parallel MIN aggregates over one shingle pass (no
+    K-times row explode: 16 agg columns cost one shuffle of one row
+    per doc instead of 16x the shingle table), then unpivoted."""
     sh = shingles(df, id_col, text_col)
-    seeded = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))))
-    return (
-        seeded.groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("k"), F.col("shingle")))).alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"mh{k}").alias("minhash"))
+            for k in range(MINHASH_K)
+        ]
     )
+    return wide.select(
+        "doc_id", F.explode(pairs).alias("kv")
+    ).select("doc_id", F.col("kv.k").alias("k"), F.col("kv.minhash").alias("minhash"))
 
 
 def lsh_band_buckets(signatures: DataFrame) -> DataFrame:

@@ -135,6 +135,128 @@ def cosine_neardup_pairs(
     )
 
 
+# ---- IVF (inverted-file) ANN: the scale path beyond LSH ----------------------
+#
+# Deterministic pseudo-centroids (LCG in (centroid, dim)) make the
+# coarse quantizer reproducible in SQL. At 100 TB the cell assignment
+# is the partition key: queries probe nprobe cells -> the candidate
+# scan touches only those partitions (partition pruning), brute-force
+# re-rank runs inside.
+
+IVF_CENTROIDS = 8
+_IVF_A, _IVF_B, _IVF_C = 48271, 16807, 7
+
+
+def ivf_centroid_component(c: Column, i: Column) -> Column:
+    h = (c.cast("long") * _IVF_A + i.cast("long") * _IVF_B + _IVF_C) % _PLANE_MOD
+    return h.cast("double") / _PLANE_MOD - 0.5
+
+
+def ivf_cell_col(vec: Column, n_centroids: int = IVF_CENTROIDS) -> Column:
+    """argmax-dot centroid id (ties -> lowest id)."""
+    def dot_with(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(1), F.size(vec)),
+                lambda v, i: v.cast("double") * ivf_centroid_component(c, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)), lambda c: dot_with(c)
+    )
+    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell_col(F.col(vec_col), n_centroids).alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """IVF ANN: probe the query's top-nprobe cells, exact-cosine re-rank
+    inside. Output schema matches cosine_topk (may differ from exact
+    top-k when true neighbors live outside probed cells — that recall
+    trade IS the operator)."""
+    def dots(vec: Column) -> Column:
+        def dot_with(c: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(1), F.size(vec)),
+                    lambda v, i: v.cast("double") * ivf_centroid_component(c, i),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)), lambda c: dot_with(c)
+        )
+
+    # corpus cells
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        ivf_cell_col(F.col(vec_col), n_centroids).alias("cell"),
+    )
+    # query probe cells: indexes of the nprobe largest centroid dots
+    scores = dots(F.col(vec_col))
+    ranked = F.slice(
+        F.reverse(F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                lambda c: F.struct(
+                    F.element_at(scores, c.cast("int") + 1).alias("score"),
+                    (-c).cast("int").alias("neg_cell"),
+                ),
+            )
+        )),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(ranked, lambda s: (-s["neg_cell"]).cast("int"))
+        ).alias("cell"),
+    )
+    cand = cells.join(F.broadcast(q), on="cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+        ).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 # ---- DuckDB SQL twins --------------------------------------------------------
 
 
@@ -181,6 +303,72 @@ def lsh_bucket_sql(n_planes: int = LSH_PLANES) -> str:
                k -> CASE WHEN {dot} > 0
                     THEN CAST(POWER(2.0, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
     FROM embeddings
+    """
+
+
+def _ivf_scores_sql(vec: str = "embedding", n_centroids: int = IVF_CENTROIDS) -> str:
+    comp = (
+        f"(CAST((CAST(c AS BIGINT) * {_IVF_A} + CAST(i AS BIGINT) * {_IVF_B} + {_IVF_C}) "
+        f"% {_PLANE_MOD} AS DOUBLE) / {_PLANE_MOD} - 0.5)"
+    )
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({vec})), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {comp}))"
+    )
+    return f"list_transform(generate_series(0, {n_centroids - 1}), c -> {dot})"
+
+
+def ivf_assign_sql(n_centroids: int = IVF_CENTROIDS) -> str:
+    scores = _ivf_scores_sql("embedding", n_centroids)
+    return f"""
+    SELECT vec_id,
+           CAST(list_position({scores}, list_max({scores})) - 1 AS INT) AS cell
+    FROM embeddings
+    """
+
+
+def ivf_topk_sql(
+    k: int = 3, nprobe: int = 2, query_filter: str = "vec_id < 5",
+    n_centroids: int = IVF_CENTROIDS,
+) -> str:
+    scores = _ivf_scores_sql("embedding", n_centroids)
+    dot = _dot_sql("q.embedding", "c.embedding")
+    nq = f"sqrt({_dot_sql('q.embedding', 'q.embedding')})"
+    nc = f"sqrt({_dot_sql('c.embedding', 'c.embedding')})"
+    return f"""
+    WITH cells AS (
+        SELECT vec_id,
+               CAST(list_position({scores}, list_max({scores})) - 1 AS INT) AS cell,
+               embedding
+        FROM embeddings
+    ), probe AS (
+        SELECT vec_id AS query_id, embedding, s.cell
+        FROM (
+            SELECT vec_id, embedding,
+                   UNNEST(list_transform({scores}, x -> x)) AS score,
+                   UNNEST(generate_series(0, {n_centroids - 1})) AS cell
+            FROM embeddings
+            WHERE {query_filter}
+        ) s
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell ASC) <= {nprobe}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, p.embedding AS qemb, cl.vec_id AS neighbor_id,
+               cl.embedding AS cemb
+        FROM probe p JOIN cells cl USING (cell)
+        WHERE p.query_id <> cl.vec_id
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {_dot_sql('qemb', 'cemb')} /
+               (sqrt({_dot_sql('qemb', 'qemb')}) * sqrt({_dot_sql('cemb', 'cemb')})) AS cosine
+        FROM cand
+    )
+    SELECT query_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank,
+           neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= {k}
     """
 
 

@@ -1,0 +1,170 @@
+"""Tile-directory export: write a z/r/c file tree from a tile table.
+
+The reference's tile-directory outputs (S5 GTiff / S7 PNG,
+mapchete/formats/default/gtiff.py:341-387, png.py) write one file per
+output tile in a ``{zoom}/{row}/{col}.{ext}`` layout plus a
+``metadata.json`` sidecar. The engine's canonical sink is the parquet
+tile table (the only shape that survives 100 TB); this exporter
+materializes the file-tree VIEW of it for interop — intended for
+bounded extracts, with a row-count guard.
+
+PNG encoding is pure stdlib (zlib deflate of filtered scanlines) —
+no PIL in the environment. Grayscale 8-bit (1 band) and RGBA (4 band)
+supported; other payloads export as .npy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder: (h, w) uint8 grayscale or (h, w, 4) RGBA."""
+    if arr.ndim == 2:
+        color_type = 0  # grayscale
+        raw = arr
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color_type = 6  # RGBA
+        raw = arr
+    else:
+        raise ValueError(f"unsupported PNG shape {arr.shape}")
+    if raw.dtype != np.uint8:
+        raise ValueError("PNG export requires uint8")
+    h, w = raw.shape[:2]
+    # prepend filter byte 0 (None) to each scanline
+    lines = raw.reshape(h, -1)
+    stream = b"".join(b"\x00" + lines[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(buf: bytes) -> np.ndarray:
+    """Inverse of encode_png for grayscale (test helper)."""
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h = struct.unpack_from(">II", payload, 0)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    return np.frombuffer(
+        b"".join(raw[i * stride + 1 : (i + 1) * stride] for i in range(h)),
+        dtype=np.uint8,
+    ).reshape(h, w)
+
+
+def write_tile_directory(
+    tiles: DataFrame,
+    path: str,
+    pyramid: TilePyramid,
+    fmt: str = "png",
+    max_tiles: int = 100_000,
+    meta_extra: Optional[dict] = None,
+) -> int:
+    """Export a tile raster table to {path}/{zoom}/{row}/{col}.{ext}.
+
+    Guarded by ``max_tiles`` (file trees don't scale; raise it
+    consciously). Returns the number of files written. Writing happens
+    per partition on the executors (foreachPartition) — no driver
+    collect."""
+    n = tiles.count()
+    if n > max_tiles:
+        raise ValueError(
+            f"refusing to write {n} tile files (> {max_tiles}); "
+            "export a bounded extract or raise max_tiles"
+        )
+    os.makedirs(path, exist_ok=True)
+    meta = dict(
+        pyramid=pyramid.to_dict(),
+        driver=dict(format=f"tile_directory_{fmt}"),
+        **(meta_extra or {}),
+    )
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+    fmt_local = fmt
+
+    def write_partition(rows):
+        for r in rows:
+            arr = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
+                r["bands"], r["height"], r["width"]
+            )
+            d = os.path.join(path, str(r["zoom"]), str(r["tile_row"]))
+            os.makedirs(d, exist_ok=True)
+            if fmt_local == "png" and arr.dtype == np.uint8 and r["bands"] in (1, 4):
+                img = arr[0] if r["bands"] == 1 else np.moveaxis(arr, 0, 2)
+                payload = encode_png(img)
+                ext = "png"
+            else:
+                import io
+
+                bio = io.BytesIO()
+                np.save(bio, arr)
+                payload = bio.getvalue()
+                ext = "npy"
+            with open(os.path.join(d, f"{r['tile_col']}.{ext}"), "wb") as f:
+                f.write(payload)
+
+    tiles.foreachPartition(write_partition)
+    return n
+
+
+def tile_index_geojson(index_df: DataFrame, path: str) -> int:
+    """J8: write a GeoJSON FeatureCollection of tile footprints from a
+    tile_index query result (small per-zoom driver-side write, like the
+    reference's gdaltindex-style files, mapchete/index.py:54-130)."""
+    rows = index_df.collect()
+    feats = []
+    for r in rows:
+        l, b, rt, t = r["left"], r["bottom"], r["right"], r["top"]
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {
+                    "zoom": r["zoom"],
+                    "row": r["tile_row"],
+                    "col": r["tile_col"],
+                },
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[l, b], [rt, b], [rt, t], [l, t], [l, b]]
+                    ],
+                },
+            }
+        )
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return len(feats)

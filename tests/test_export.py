@@ -1,0 +1,89 @@
+"""Tile-directory export (PNG/npy tree + metadata) and GeoJSON index."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.process import process_hillshade, run_raster_process
+from mapchete_spark.operators.rastertable import materialize_dem
+from mapchete_spark.sources.tiledir_export import (
+    decode_png_gray,
+    encode_png,
+    tile_index_geojson,
+    write_tile_directory,
+)
+from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+GEO = TilePyramid("geodetic")
+AOI = Bounds(0.0, 20.0, 22.0, 40.0)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 48), dtype=np.uint8)
+    buf = encode_png(img)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    back = decode_png_gray(buf)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_write_tile_directory_png(spark, tmp_path):
+    dem = materialize_dem(spark, 4, GEO, bounds=AOI, hole=False)
+    hs = run_raster_process(dem, GEO, process_hillshade, pixelbuffer=1)
+    out = str(tmp_path / "tiles")
+    n = write_tile_directory(hs, out, GEO, fmt="png")
+    assert n > 0
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+    # every written file decodes back to the engine's array
+    rows = hs.collect()
+    r = rows[0]
+    p = os.path.join(out, str(r["zoom"]), str(r["tile_row"]), f"{r['tile_col']}.png")
+    assert os.path.exists(p)
+    img = decode_png_gray(open(p, "rb").read())
+    expect = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(256, 256)
+    np.testing.assert_array_equal(img, expect)
+
+
+def test_write_guard(spark, tmp_path):
+    dem = materialize_dem(spark, 5, GEO, bounds=AOI, hole=False)
+    with pytest.raises(ValueError):
+        write_tile_directory(dem, str(tmp_path / "x"), GEO, max_tiles=1)
+
+
+def test_float_tiles_export_npy(spark, tmp_path):
+    dem = materialize_dem(spark, 3, GEO, bounds=AOI, hole=False)
+    out = str(tmp_path / "npy")
+    n = write_tile_directory(dem, out, GEO, fmt="png")  # float32 -> npy fallback
+    r = dem.limit(1).collect()[0]
+    p = os.path.join(out, str(r["zoom"]), str(r["tile_row"]), f"{r['tile_col']}.npy")
+    assert os.path.exists(p)
+    arr = np.load(p)
+    assert arr.dtype == np.float32
+
+
+def test_tile_index_geojson(spark, tmp_path):
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute, tile_index
+
+    cfg = JobConfig.from_dict(
+        dict(
+            process="convert",
+            zoom_levels=4,
+            pyramid=dict(grid="geodetic"),
+            input="dem",
+            output=dict(path=str(tmp_path / "job"), dtype="float32", nodata=-9999.0),
+            bounds=list(AOI),
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    idx = tile_index(spark, str(tmp_path / "job"), 4)
+    out = str(tmp_path / "index.geojson")
+    n = tile_index_geojson(idx, out)
+    gj = json.load(open(out))
+    assert gj["type"] == "FeatureCollection" and len(gj["features"]) == n > 0
+    f0 = gj["features"][0]
+    ring = f0["geometry"]["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
