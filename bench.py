@@ -65,6 +65,16 @@ def throughput_workloads(spark):
     }
 
 
+def _warm_raster(spark):
+    from mapchete_spark.operators.process import process_hillshade, run_raster_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    dem = materialize_dem(spark, 5, pyr, bounds=Bounds(0, 20, 20, 40), hole=False)
+    run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1).count()
+
+
 def sf_queries():
     import __spark_entry__ as e
 
@@ -89,6 +99,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup, untimed
+    # warm the Arrow/python-worker/JIT path too (raster pipeline is
+    # 10x slower on a cold JVM; throughput, not startup, is the metric)
+    _warm_raster(spark)
 
     timings, aux = {}, {}
     if not os.environ.get("SPARK_GRAFT_BENCH_ONLY_THROUGHPUT"):

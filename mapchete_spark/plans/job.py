@@ -120,6 +120,20 @@ def execute(
                     out_nodata=cfg.output.get("nodata"),
                     pixelbuffer=pb,
                 )
+                out_meta = int(cfg.output.get("metatiling", cfg.pyramid.metatiling))
+                if out_meta < cfg.pyramid.metatiling:
+                    # Z4: split process metatiles into output tiles
+                    from mapchete_spark.operators.outputsplit import (
+                        split_to_output_tiles,
+                    )
+                    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+                    out_pyr = TilePyramid(
+                        grid=cfg.pyramid.grid,
+                        metatiling=out_meta,
+                        tile_size=cfg.pyramid.tile_size,
+                    )
+                    out = split_to_output_tiles(out, cfg.pyramid, out_pyr)
             else:
                 if pb > 0:
                     tiles = add_buffers(tiles, cfg.pyramid, pb)

@@ -159,3 +159,55 @@ class TestExecute:
         assert idx
         for r in idx:
             assert r["left"] < r["right"] and r["bottom"] < r["top"]
+
+
+class TestCustomGridAndSplit:
+    def test_custom_grid_job(self, spark, tmp_path):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "custom_grid.mapchete"))
+        cfg.output["path"] = str(tmp_path / "cg")
+        counts = execute(spark, cfg, mode="overwrite")
+        assert all(counts[f"process_z{z}"] > 0 for z in (2, 3, 4))
+        out = spark.read.parquet(str(tmp_path / "cg" / "tiles"))
+        # non-global 1x1 grid: zoom 2 has a 4x4 matrix
+        z2 = out.where(F.col("zoom") == 2)
+        assert z2.count() == 16
+        # values match the analytic DEM on the custom grid
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.raster.dem import dem_tile
+        from mapchete_spark.tilegrid import TilePyramid
+
+        pyr = cfg.pyramid
+        r = z2.limit(1).collect()[0]
+        t = pyr.tile(2, r["tile_row"], r["tile_col"])
+        import numpy as np
+
+        got = row_to_array(r.asDict())
+        direct = dem_tile(t)
+        np.testing.assert_allclose(
+            got.filled(-9999.0).astype("float32"),
+            direct.filled(-9999.0).astype("float32"),
+            atol=1e-2,
+        )
+
+    def test_output_metatiling_split_in_job(self, spark, tmp_path):
+        cfg = JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels=4,
+                pyramid=dict(grid="geodetic", metatiling=4),
+                input="dem",
+                output=dict(
+                    path=str(tmp_path / "split"),
+                    dtype="float32",
+                    nodata=-9999.0,
+                    metatiling=1,
+                ),
+                bounds=[0.0, 20.0, 45.0, 50.0],
+            )
+        )
+        execute(spark, cfg, mode="overwrite")
+        out = spark.read.parquet(str(tmp_path / "split" / "tiles"))
+        r = out.limit(1).collect()[0]
+        # output rows are BASE tiles (256x256), not 1024px metatiles
+        assert (r["height"], r["width"]) == (256, 256)
+        assert out.count() > 4
