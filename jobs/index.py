@@ -5,7 +5,11 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow running directly / via spark-submit without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

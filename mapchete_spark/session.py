@@ -43,4 +43,33 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make mapchete_spark importable on executors: zip the package and
+    addPyFile it (the programmatic twin of `spark-submit --py-files`).
+    Cached per session; cheap (pure-python package, ~100 KB)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_mapchete_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mapchete_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "mapchete_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._mapchete_spark_shipped = True
