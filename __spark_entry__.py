@@ -260,6 +260,53 @@ def o_bbox_cover_z6() -> str:
     )
 
 
+def q_span_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span invariant THROUGH the spatial pipeline: docs carrying
+    spans are assigned to zoom-8 tiles, grouped per tile (a real
+    groupBy shuffle on the tile key), then docs are re-extracted and
+    their span-sequence signature recomputed — must equal the source
+    signature (same oracle as span_roundtrip)."""
+    docs = load_docs(spark, sf_dir, with_spans_col=True)
+    assigned = assign_point_tiles(docs, [8])
+    per_tile = assigned.groupBy("tile_key").agg(
+        F.collect_list(F.struct("doc_id", "spans")).alias("docs")
+    )
+    back = per_tile.select(F.explode("docs").alias("d")).select(
+        F.col("d.doc_id").alias("doc_id"),
+        SP.span_signature_col(F.col("d.spans")).alias("span_sig"),
+    )
+    return back.orderBy("doc_id")
+
+
+def q_tiledir_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 TileDirectory input: mercator DEM tile table warped onto
+    geodetic z5 targets via zoom matching (rows-only; exact-value
+    goldens in tests/test_tiledir.py)."""
+    import numpy as np
+
+    from mapchete_spark.geometry.reproject import geodetic_to_mercator
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.operators.tiledir import read_tiledir
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    geod = TilePyramid("geodetic")
+    merc = TilePyramid("mercator")
+    aoi = Bounds(5.0, 30.0, 25.0, 45.0)
+    x0, y0 = geodetic_to_mercator(np.array([aoi.left]), np.array([aoi.bottom]))
+    x1, y1 = geodetic_to_mercator(np.array([aoi.right]), np.array([aoi.top]))
+    aoi_m = Bounds(float(x0[0]) - 1e5, float(y0[0]) - 1e5,
+                   float(x1[0]) + 1e5, float(y1[0]) + 1e5)
+    src = materialize_dem(spark, 5, merc, bounds=aoi_m, hole=False)
+    targets = spark.createDataFrame(
+        [(t.zoom, t.row, t.col) for t in geod.tiles_from_bounds(aoi, 5)],
+        "zoom int, tile_row long, tile_col long",
+    )
+    out = read_tiledir(spark, targets, src, geod, merc)
+    return out.select(
+        "zoom", "tile_row", "tile_col", F.md5("data").alias("tile_md5")
+    ).orderBy("tile_row", "tile_col")
+
+
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graft's per-row invariant: derive interleaved spans, push them
     through an explode -> shuffle -> ordered re-assembly pipeline, and
@@ -824,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
+        "span_tile_roundtrip": q_span_tile_roundtrip,
+        "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
         "hillshade": q_hillshade,
@@ -859,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_tile_skew": o_hot_tile_skew(),
         "bbox_cover_z6": o_bbox_cover_z6(),
         "span_roundtrip": o_span_roundtrip(),
+        "span_tile_roundtrip": o_span_roundtrip(),
         "salted_tile_digest": o_salted_tile_digest(),
     }
     out.update(_o_training_ops())

@@ -6,8 +6,10 @@ shuffle a single long instead of a struct, and so that range-partitioning
 on the key gives z-order spatial locality (SURVEY.md §7 risk 7: WMTS
 (zoom,row,col) stays the semantic key; this is the physical key).
 
-Layout: [ 5 bits zoom | 58 bits morton(row, col) | 1 bit spare ]
-supports zoom <= 28 (row/col < 2^29 each), far beyond the z0-12 target.
+Layout: [ sign 0 | 5 bits zoom (bits 58-62) | 58 bits morton(row, col) ]
+supports zoom <= 31 with row/col < 2^29 each, far beyond the z0-12
+target, and never touches the int64 sign bit (zoom<<59 would at
+zoom >= 16 — caught by a hypothesis property test).
 
 All functions are numpy-vectorized so they can run over whole Arrow
 batches inside pandas UDFs, and have exact Spark SQL Column equivalents
@@ -54,14 +56,14 @@ def pack_tile_key(zoom, row, col) -> np.ndarray:
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     morton = (_part1by1(row) << 1) | _part1by1(col)
-    return (zoom << np.int64(59)) | morton
+    return (zoom << np.int64(58)) | morton
 
 
 def unpack_tile_key(key) -> tuple:
     """Inverse of pack_tile_key → (zoom, row, col) int64 arrays."""
     key = np.asarray(key, dtype=np.int64)
-    zoom = key >> np.int64(59)
-    morton = key & np.int64((1 << 59) - 1)
+    zoom = key >> np.int64(58)
+    morton = key & np.int64((1 << 58) - 1)
     col = _compact1by1(morton)
     row = _compact1by1(morton >> 1)
     return zoom, row, col

@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the tilegrid core — coverage
+the reference suite lacks (SURVEY.md §5: 'no property-based testing').
+Pure Python, no Spark session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapchete_spark.tilegrid import Bounds, TilePyramid, pack_tile_key, unpack_tile_key
+from mapchete_spark.tilegrid.cover import points_to_tiles, tiles_from_geom
+from mapchete_spark.geometry.core import Polygon
+
+GEO = TilePyramid("geodetic")
+
+lon_st = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lat_st = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+zoom_st = st.integers(min_value=0, max_value=14)
+metatiling_st = st.sampled_from([1, 2, 4, 8, 16])
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_st, lat=lat_st, zoom=zoom_st)
+def test_point_inside_its_tile(lon, lat, zoom):
+    # containment up to 1 ulp of the grid arithmetic: a point within
+    # ~2e-16 deg of a tile edge can land in the adjacent tile because
+    # (lon+180)/ts rounds across the boundary — identical behavior in
+    # the reference's tilematrix arithmetic (hypothesis found this)
+    t = GEO.tile_from_xy(lon, lat, zoom)
+    b = t.bounds(pixelbuffer=0)
+    tol = 1e-12
+    assert b.left - tol <= lon <= b.right + tol
+    assert b.bottom - tol <= lat <= b.top + tol
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lon_st, lat=lat_st, zoom=st.integers(min_value=1, max_value=14))
+def test_parent_contains_child(lon, lat, zoom):
+    t = GEO.tile_from_xy(lon, lat, zoom)
+    p = t.get_parent()
+    cb, pb = t.bounds(), p.bounds()
+    assert pb.left <= cb.left and pb.right >= cb.right
+    assert pb.bottom <= cb.bottom and pb.top >= cb.top
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lon_st, lat=lat_st, zoom=st.integers(min_value=0, max_value=13))
+def test_children_partition_parent(lon, lat, zoom):
+    t = GEO.tile_from_xy(lon, lat, zoom)
+    kids = t.get_children()
+    assert len(kids) == 4
+    area = sum(k.bounds().width * k.bounds().height for k in kids)
+    tb = t.bounds()
+    assert abs(area - tb.width * tb.height) < 1e-6 * max(area, 1e-12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    zoom=st.integers(min_value=0, max_value=20),
+    frac_r=st.floats(min_value=0, max_value=1, exclude_max=True),
+    frac_c=st.floats(min_value=0, max_value=1, exclude_max=True),
+)
+def test_key_roundtrip(zoom, frac_r, frac_c):
+    row = int(frac_r * GEO.matrix_height(zoom))
+    col = int(frac_c * GEO.matrix_width(zoom))
+    z, r, c = unpack_tile_key(pack_tile_key(zoom, row, col))
+    assert (int(z), int(r), int(c)) == (zoom, row, col)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lon=st.floats(min_value=-170.0, max_value=160.0, allow_nan=False),
+    lat=st.floats(min_value=-75.0, max_value=70.0, allow_nan=False),
+    w=st.floats(min_value=0.01, max_value=15.0),
+    h=st.floats(min_value=0.01, max_value=15.0),
+    zoom=st.integers(min_value=1, max_value=8),
+    metatiling=metatiling_st,
+)
+def test_snap_bounds_contains_original(lon, lat, w, h, zoom, metatiling):
+    tp = TilePyramid("geodetic", metatiling=metatiling)
+    b = Bounds(lon, lat, min(lon + w, 180.0), min(lat + h, 90.0))
+    snapped = tp.snap_bounds(b, zoom)
+    tol = 1e-12  # 1-ulp boundary effect, same as point containment
+    assert snapped.left <= b.left + tol and snapped.right >= b.right - tol
+    assert snapped.bottom <= b.bottom + tol and snapped.top >= b.top - tol
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cx=st.floats(min_value=-150.0, max_value=150.0),
+    cy=st.floats(min_value=-70.0, max_value=70.0),
+    radius=st.floats(min_value=0.1, max_value=10.0),
+    n=st.integers(min_value=3, max_value=12),
+    zoom=st.integers(min_value=2, max_value=7),
+)
+def test_exact_cover_subset_of_bbox_cover(cx, cy, radius, n, zoom):
+    poly = Polygon.regular(cx, cy, radius, n=n)
+    exact = {t.id for t in tiles_from_geom(GEO, poly, zoom, exact=True)}
+    loose = {t.id for t in tiles_from_geom(GEO, poly, zoom, exact=False)}
+    assert exact <= loose
+    assert exact  # a polygon with area always hits at least one tile
+    # the tile containing the centroid is always in the exact cover
+    ct = GEO.tile_from_xy(cx, cy, zoom)
+    assert ct.id in exact
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lons=st.lists(lon_st, min_size=1, max_size=50),
+    lats=st.lists(lat_st, min_size=1, max_size=50),
+    zoom=zoom_st,
+)
+def test_vectorized_assignment_matches_scalar(lons, lats, zoom):
+    k = min(len(lons), len(lats))
+    lon = np.array(lons[:k])
+    lat = np.array(lats[:k])
+    rows, cols = points_to_tiles(GEO, lon, lat, zoom)
+    for i in range(k):
+        t = GEO.tile_from_xy(lon[i], lat[i], zoom)
+        assert (rows[i], cols[i]) == (t.row, t.col)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lon=lon_st, lat=lat_st, zoom=st.integers(min_value=1, max_value=10))
+def test_neighbors_symmetric(lon, lat, zoom):
+    t = GEO.tile_from_xy(lon, lat, zoom)
+    for n in t.get_neighbors():
+        back = {x.id for x in n.get_neighbors()}
+        assert t.id in back

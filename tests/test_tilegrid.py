@@ -309,7 +309,9 @@ class TestKeys:
         assert abs(int(k1) - int(k2)) < abs(int(k1) - int(k3))
 
     def test_zoom_separated(self):
-        assert pack_tile_key(3, 0, 0) >> 59 == 3
+        assert pack_tile_key(3, 0, 0) >> 58 == 3
+        # zoom 16+ must not flip the int64 sign bit
+        assert pack_tile_key(31, 0, 0) > 0
 
 
 class TestIntersecting:
