@@ -99,6 +99,73 @@ def batch_events_windowed(
     )
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: Optional[str] = None,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    exact dedup on a document stream — per content-hash state remembers
+    whether the hash was seen; only the FIRST occurrence (smallest
+    doc_id within a batch) is emitted. State is keyed by md5(text), so
+    it shards across executors and survives restarts through the
+    streaming checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = schema or (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .withColumn("content_md5", F.md5(F.col("text")))
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            # already emitted for this hash: drop everything
+            for _ in pdfs:
+                pass
+            return iter([])
+        best = None
+        for pdf in pdfs:
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or cand["doc_id"] < best["doc_id"]:
+                best = cand
+        if best is None:
+            return iter([])
+        state.update((True,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "content_md5": [key[0]],
+                        "doc_id": [int(best["doc_id"])],
+                    }
+                )
+            ]
+        )
+
+    deduped = stream.groupBy("content_md5").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="content_md5 string, doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_docs_to_tiles(
     spark: SparkSession,
     docs_dir: str,

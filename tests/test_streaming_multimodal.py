@@ -124,3 +124,41 @@ class TestMultimodal:
         media = synthetic_media(spark, 50)
         joined = join_spans_to_media(flat, media)
         assert joined.count() == flat.where(F.col("kind") != "text").count()
+
+
+class TestStatefulDedup:
+    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+        from mapchete_spark.streaming.pipeline import stream_dedup_first_seen
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        src = tmp_path / "dup_src"
+        src.mkdir()
+        # file A: docs 0..99; file B: the SAME texts with shifted ids
+        # (duplicates) plus fresh docs 100..149
+        a = docs.where(F.col("doc_id") < 100)
+        a.coalesce(1).write.parquet(str(tmp_path / "a"))
+        dup = a.withColumn("doc_id", F.col("doc_id") + 1000)
+        fresh = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        dup.unionByName(fresh).coalesce(1).write.parquet(str(tmp_path / "b"))
+        for f in (tmp_path / "a").glob("*.parquet"):
+            shutil.copy(f, src / "a.parquet")
+
+        q = stream_dedup_first_seen(
+            spark, str(src), str(tmp_path / "ck"), str(tmp_path / "out")
+        )
+        q.awaitTermination(120)
+        out1 = spark.read.parquet(str(tmp_path / "out"))
+        assert out1.count() == 100
+
+        # second micro-batch: duplicates must be suppressed by STATE
+        for f in (tmp_path / "b").glob("*.parquet"):
+            shutil.copy(f, src / "b.parquet")
+        q2 = stream_dedup_first_seen(
+            spark, str(src), str(tmp_path / "ck"), str(tmp_path / "out")
+        )
+        q2.awaitTermination(120)
+        out2 = spark.read.parquet(str(tmp_path / "out"))
+        assert out2.count() == 150  # 100 originals + 50 fresh, 100 dups dropped
+        # every emitted doc_id is the FIRST-seen one (original ids, not +1000)
+        assert out2.where(F.col("doc_id") >= 1000).count() == 0
