@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the .explain audits as assertions.
+
+These lock in the scale properties the engine promises (SURVEY.md §4):
+column pruning reaches the parquet scan, small dimensions broadcast,
+algebraic tile reductions use exactly one shuffle pair, and the
+assignment fan-out adds no shuffle at all.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPruningAndPushdown:
+    def test_assign_reads_only_doc_id(self, spark):
+        import __spark_entry__ as e
+
+        df = e.queries()["tile_assign_z8"](spark, SF)
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        assert m.group(1) == "doc_id:bigint"
+
+    def test_quality_reads_only_needed_columns(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["text_quality"](spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = set(c.split(":")[0] for c in m.group(1).split(","))
+        assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+class TestJoins:
+    def test_cosine_topk_broadcasts_queries(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["cosine_topk"](spark, SF))
+        assert "Broadcast" in plan
+
+    def test_revenue_join_broadcasts_nation(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["revenue_by_nation"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_minhash_bucket_join_is_equi(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["minhash_lsh"](spark, SF))
+        # bucket join must be hash-based (broadcast or sort-merge),
+        # never a nested-loop cross product
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestShuffleBudget:
+    def _exchanges(self, plan: str) -> int:
+        return len(re.findall(r"\bExchange\b", plan))
+
+    def test_assign_fanout_adds_no_shuffle(self, spark):
+        """explode(sequence) over 13 zooms stays in one stage."""
+        from mapchete_spark.operators.assign import assign_point_tiles
+        from mapchete_spark.sources.tables import load_docs
+
+        df = assign_point_tiles(load_docs(spark, SF), range(0, 13))
+        assert self._exchanges(plan_of(df)) == 0
+
+    def test_algebraic_tile_reduce_single_shuffle(self, spark):
+        from mapchete_spark.operators.assign import assign_point_tiles
+        from mapchete_spark.operators.pyramid import reduce_docs_to_tiles
+        from mapchete_spark.sources.tables import load_docs
+
+        assigned = assign_point_tiles(load_docs(spark, SF), [8])
+        df = reduce_docs_to_tiles(assigned, {"n": F.count(F.lit(1))})
+        assert self._exchanges(plan_of(df)) == 1
+
+    def test_output_split_adds_no_shuffle(self, spark):
+        from mapchete_spark.operators.outputsplit import split_to_output_tiles
+        from mapchete_spark.operators.rastertable import materialize_dem
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        meta = TilePyramid("geodetic", metatiling=4)
+        base = TilePyramid("geodetic")
+        dem = materialize_dem(spark, 4, meta, bounds=Bounds(0, 20, 20, 40), hole=False)
+        n_before = self._exchanges(plan_of(dem))
+        out = split_to_output_tiles(dem, meta, base)
+        assert self._exchanges(plan_of(out)) == n_before  # narrow op
+
+    def test_upsample_adds_no_shuffle(self, spark):
+        from mapchete_spark.operators.overviews import overview_upsample
+        from mapchete_spark.operators.rastertable import materialize_dem
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        pyr = TilePyramid("geodetic")
+        dem = materialize_dem(spark, 4, pyr, bounds=Bounds(0, 20, 20, 40), hole=False)
+        n_before = self._exchanges(plan_of(dem))
+        up = overview_upsample(dem, pyr)
+        assert self._exchanges(plan_of(up)) == n_before
