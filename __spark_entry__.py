@@ -593,6 +593,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapchete_spark.operators.dedup import simhash_neardup_pairs
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=2).orderBy("doc_a", "doc_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapchete_spark.operators.dedup import simhash
     from mapchete_spark.sources.tables import load_table
@@ -694,6 +702,7 @@ def _o_training_ops() -> dict[str, str]:
         "ngram_jaccard": D.ngram_jaccard_sql(0.2) + " ORDER BY doc_a, doc_b",
         "minhash_lsh": D.minhash_lsh_pairs_sql() + " ORDER BY doc_a, doc_b",
         "simhash": D.simhash_sql() + " ORDER BY doc_id",
+        "simhash_neardup": D.simhash_neardup_sql(2) + " ORDER BY doc_a, doc_b",
         "text_quality": f"SELECT doc_id,\n           {quality}\n"
         "    FROM documents ORDER BY doc_id",
         "langid": f"""
@@ -882,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,

@@ -178,6 +178,53 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+SIMHASH_BANDS = 4  # 4 bytes of the 32-bit simhash
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit simhash into 4 bytes,
+    candidates share >= 1 band (pigeonhole: any pair within hamming 3
+    must agree on at least one byte), verify with bit_count(xor).
+    Output: (doc_a, doc_b, hamming)."""
+    sh = simhash(df, id_col, text_col)
+    # shift-by-column isn't a builtin: divide by 2^(band*8) instead
+    # (simhash < 2^32, so the double division is exact)
+    banded = sh.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
+    ).withColumn(
+        "band_val",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), (F.col("band") * 8).cast("double"))
+        ).cast("long") % 256,
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---- DuckDB SQL twins --------------------------------------------------------
 
 
@@ -249,6 +296,29 @@ def minhash_lsh_pairs_sql() -> str:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b USING (band, bucket)
     WHERE a.doc_id < b.doc_id
+    """
+
+
+def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    return f"""
+    WITH sh AS ({simhash_sql()}),
+    banded AS (
+        SELECT doc_id, simhash,
+               UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS band
+        FROM sh
+    ), banded2 AS (
+        SELECT doc_id, simhash, band,
+               CAST(FLOOR(simhash / POWER(2.0, band * 8)) AS BIGINT) % 256 AS band_val
+        FROM banded
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded2 a JOIN banded2 b USING (band, band_val)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 
