@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
     zoom-12 tile, reduce to per-tile doc counts, roll the pyramid up to
     zoom 0, return per-zoom tile/doc summary (driver checks rows > 0)."""
     from mapchete_spark.operators.pyramid import rollup_once
+    from mapchete_spark.session import _ship_package
+
+    _ship_package(spark)  # driver-owned sessions: make workers import us
 
     docs = load_docs(spark, "/root/testdata/sf0.001")
     assigned = assign_point_tiles(docs, [12])
@@ -872,7 +875,23 @@ def o_neighbor_halo_counts() -> str:
 # registry
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ensure executors can import mapchete_spark even when the caller
+    owns the SparkSession (the driver's harness does) and the cwd is
+    elsewhere — addPyFile the package zip once per session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mapchete_spark.session import _ship_package
+
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
@@ -908,6 +927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "neighbor_halo_counts": q_neighbor_halo_counts,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
