@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Iterator, List, Tuple
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -29,7 +28,7 @@ from mapchete_spark.operators.rastertable import (
     decode_array,
     encode_array,
 )
-from mapchete_spark.raster.array import extract_from_array, resample_from_array
+from mapchete_spark.raster.array import resample_from_array
 from mapchete_spark.raster.mosaic import create_mosaic
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
 

@@ -26,8 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from mapchete_spark.geometry.core import MultiPolygon, Polygon
-from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+from mapchete_spark.geometry.core import Polygon
+from mapchete_spark.geometry.wkb import to_wkb
 from mapchete_spark.operators.rastertable import (
     RASTER_SCHEMA,
     decode_array,

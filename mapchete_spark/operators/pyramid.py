@@ -14,7 +14,7 @@ the FIRST reduction from the corpus (see reduce_docs_to_tiles).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -28,7 +28,6 @@ from mapchete_spark.operators.rastertable import (
     decode_array,
     encode_array,
 )
-from mapchete_spark.raster.array import resample_from_array
 from mapchete_spark.raster.mosaic import create_mosaic
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
 from mapchete_spark.tilegrid.zoom_match import tile_to_zoom_level
@@ -54,8 +53,6 @@ def target_source_pairs(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapchete_spark.geometry.reproject import get_transform
-        from mapchete_spark.tilegrid.cover import tiles_from_geom
-        from mapchete_spark.geometry.core import Polygon
         from mapchete_spark.tilegrid.grid import Bounds
 
         dst = TilePyramid(**dst_dict)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from mapchete_spark.geometry.antimeridian import repair_antimeridian_polygon
 from mapchete_spark.geometry.core import MultiPolygon, Polygon
-from mapchete_spark.geometry.reproject import get_transform, reproject_ring
+from mapchete_spark.geometry.reproject import reproject_ring
 from mapchete_spark.geometry.wkb import from_wkb, to_wkb
 from mapchete_spark.tilegrid.grid import Bounds
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid

@@ -7,7 +7,7 @@ frame crossing the antimeridian.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

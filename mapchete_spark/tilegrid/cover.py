@@ -16,7 +16,6 @@ Re-implements the scan-planner operators G1-G8 of SURVEY.md §2.1:
 
 from __future__ import annotations
 
-import math
 from typing import Iterator, List, Tuple, Union
 
 import numpy as np
