@@ -299,7 +299,11 @@ def q_tiledir_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1, y1 = geodetic_to_mercator(np.array([aoi.right]), np.array([aoi.top]))
     aoi_m = Bounds(float(x0[0]) - 1e5, float(y0[0]) - 1e5,
                    float(x1[0]) + 1e5, float(y1[0]) + 1e5)
-    src = materialize_dem(spark, 5, merc, bounds=aoi_m, hole=False)
+    # materialize the zooms the matcher can pick (geodetic z5 at these
+    # latitudes matches mercator z5-6)
+    src = materialize_dem(spark, 5, merc, bounds=aoi_m, hole=False).unionByName(
+        materialize_dem(spark, 6, merc, bounds=aoi_m, hole=False)
+    )
     targets = spark.createDataFrame(
         [(t.zoom, t.row, t.col) for t in geod.tiles_from_bounds(aoi, 5)],
         "zoom int, tile_row long, tile_col long",

@@ -45,7 +45,10 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     sql = e.oracle_sql().get(name)
     if sql is None:
         df = q(spark, sf_dir)
-        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only check — but an EMPTY result is a toothless check
+        # (caught a tiledir query silently joining against a missing
+        # source zoom), so demand rows
+        assert df.count() > 0
         return
     s_cols, s_rows = _spark_result(spark, q, sf_dir)
     d_cols, d_rows = _duck_result(duck, sql)
