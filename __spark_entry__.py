@@ -532,9 +532,9 @@ def q_vector_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = {"feature_id": [], "mx0": [], "my0": [], "mx1": [], "my1": []}
-            for _, r in pdf.iterrows():
-                b = from_wkb(r["geometry"]).bounds
-                rows["feature_id"].append(r["feature_id"])
+            for fid, wkb in zip(pdf["feature_id"].values, pdf["geometry"].values):
+                b = from_wkb(wkb).bounds
+                rows["feature_id"].append(fid)
                 rows["mx0"].append(round(b.left, 3))
                 rows["my0"].append(round(b.bottom, 3))
                 rows["mx1"].append(round(b.right, 3))
@@ -865,7 +865,7 @@ def o_neighbor_halo_counts() -> str:
     )
     SELECT p.tile_row, p.tile_col, s.n_neighborhood
     FROM (
-        SELECT nr AS tile_row, nc AS tile_col, SUM(n) AS n_neighborhood
+        SELECT nr AS tile_row, nc AS tile_col, CAST(SUM(n) AS BIGINT) AS n_neighborhood
         FROM neigh WHERE nr >= 0 AND nr < {mh}
         GROUP BY 1, 2
     ) s
