@@ -23,7 +23,13 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct 3-token shingle md5s per doc (explode of a slide window)."""
+    """Distinct 3-token shingle md5s per doc (explode of a slide window).
+
+    Docs with fewer than SHINGLE_SIZE tokens are dropped on BOTH the
+    Spark side and the SQL twin: Spark's concat_ws would silently skip
+    NULL element_at lookups while the SQL twin's ``||`` propagates NULL,
+    so short docs are guarded identically instead (oracle-twin
+    guarantee)."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_SIZE - 1), F.lit(1)))
@@ -35,7 +41,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
             )
         ),
     )
-    return df.select(
+    return df.where(n >= SHINGLE_SIZE).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
@@ -52,14 +58,39 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+MAX_SHINGLE_DF = 1000  # stop-shingle cap: drop shingles shared by more docs
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Candidate pairs sharing >= 1 shingle with Jaccard >= threshold.
 
-    Self-join on the shingle key (the inverted index IS the join);
-    AQE handles hot shingles. Output: (doc_a, doc_b, jaccard)."""
-    sh = shingles(df, id_col, text_col).cache()
+    Self-join on the shingle key (the inverted index IS the join).
+    Shingles with document frequency > ``max_shingle_df`` are dropped
+    BEFORE the self-join (and from the per-doc sizes, so jaccard is
+    computed over the filtered shingle universe): one stop-shingle
+    shared by 10^8 docs would otherwise make the join quadratic.
+    The SQL twin applies the same cap. Output: (doc_a, doc_b, jaccard)."""
+    from pyspark import StorageLevel
+
+    # the exploded shingle table is corpus-sized: spill to disk rather
+    # than pinning executor memory (used by df-filter + both join sides)
+    sh_all = shingles(df, id_col, text_col).persist(StorageLevel.DISK_ONLY)
+    # hot shingles via groupBy (map-side combine absorbs the hot keys —
+    # a window over `shingle` would re-create the very skew this avoids),
+    # then a broadcast anti-join (the hot set is tiny by construction)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,25 +170,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash: bit i = majority over tokens of the high bit of
-    md5(token) hex nibble i (deterministic and identical in SQL).
+    """64-bit SimHash: bit i (1-based) = majority over tokens of bit i
+    of md5(token) — extracted from the hex string as 2 bits per hex
+    char (high bit and second bit of the nibble), deterministic and
+    identical in SQL. Bit 64 carries the sign (weight -2^63), so the
+    full 64-bit space is used without unsigned arithmetic.
+
+    64 bits (vs 32) keep the banded near-dup join selective at corpus
+    scale: with 8 banded bytes each (band, byte) bucket stays small
+    even at 10^12 docs, while 4 bytes of a 32-bit hash would put ~10^9
+    docs in every bucket.
 
     Output: (doc_id, simhash:long)."""
     tok_md5 = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select("doc_id", F.md5("tok").alias("h"))
+    # bit i lives in hex char ceil(i/2): odd i -> nibble high bit (>=8),
+    # even i -> nibble second bit (in 4-7 or c-f)
     bits = tok_md5.withColumn(
         "i", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS)))
     ).select(
         "doc_id",
         "i",
         F.when(
-            F.substring(F.col("h"), F.col("i"), 1).isin(*"89abcdef"), 1
+            (F.col("i") % 2 == 1)
+            & F.substring(F.col("h"), ((F.col("i") + 1) / 2).cast("int"), 1).isin(*"89abcdef"),
+            1,
+        )
+        .when(
+            (F.col("i") % 2 == 0)
+            & F.substring(F.col("h"), ((F.col("i") + 1) / 2).cast("int"), 1).isin(*"4567cdef"),
+            1,
         )
         .otherwise(0)
         .alias("bit"),
@@ -170,7 +218,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             "weighted",
             F.when(
                 F.col("ones") * 2 >= F.col("n"),
-                F.pow(F.lit(2.0), (F.col("i") - 1).cast("double")).cast("long"),
+                F.when(F.col("i") == 64, F.lit(-(2**63)).cast("long")).otherwise(
+                    F.pow(F.lit(2.0), (F.col("i") - 1).cast("double")).cast("long")
+                ),
             ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy("doc_id")
@@ -178,7 +228,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-SIMHASH_BANDS = 4  # 4 bytes of the 32-bit simhash
+SIMHASH_BANDS = 8  # 8 bytes of the 64-bit simhash
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -188,20 +238,21 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit simhash into 4 bytes,
-    candidates share >= 1 band (pigeonhole: any pair within hamming 3
+    """SimHash near-dup pairs: band the 64-bit simhash into 8 bytes,
+    candidates share >= 1 band (pigeonhole: any pair within hamming 7
     must agree on at least one byte), verify with bit_count(xor).
     Output: (doc_a, doc_b, hamming)."""
     sh = simhash(df, id_col, text_col)
-    # shift-by-column isn't a builtin: divide by 2^(band*8) instead
-    # (simhash < 2^32, so the double division is exact)
-    banded = sh.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
-    ).withColumn(
-        "band_val",
-        F.floor(
-            F.col("simhash") / F.pow(F.lit(2.0), (F.col("band") * 8).cast("double"))
-        ).cast("long") % 256,
+    # arithmetic shift + & 255 extracts the byte regardless of sign
+    # (identical semantics in DuckDB's >> / &)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), band * 8).bitwiseAND(F.lit(255))
+            for band in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -229,7 +280,8 @@ def simhash_neardup_pairs(
 
 
 def shingles_sql(text: str = "text") -> str:
-    """CTE body: (doc_id, shingle) distinct 3-gram md5s."""
+    """CTE body: (doc_id, shingle) distinct 3-gram md5s. Short docs
+    (< SHINGLE_SIZE tokens) are dropped, mirroring shingles()."""
     toks = f"string_split({text}, ' ')"
     return f"""
     SELECT DISTINCT doc_id, shingle FROM (
@@ -239,6 +291,7 @@ def shingles_sql(text: str = "text") -> str:
                    i -> md5({toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
                )) AS shingle
         FROM documents
+        WHERE len({toks}) >= {SHINGLE_SIZE}
     )
     """
 
@@ -253,9 +306,15 @@ def dedup_exact_sql(text: str = "text") -> str:
     """
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
-    WITH sh AS ({shingles_sql()}),
+    WITH sh_all AS ({shingles_sql()}),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        WHERE shingle NOT IN (
+            SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) > {max_shingle_df}
+        )
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -307,8 +366,9 @@ def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
                UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS band
         FROM sh
     ), banded2 AS (
+        -- arithmetic shift + & 255 == Spark's shiftright + bitwiseAND
         SELECT doc_id, simhash, band,
-               CAST(FLOOR(simhash / POWER(2.0, band * 8)) AS BIGINT) % 256 AS band_val
+               (simhash >> (band * 8)) & 255 AS band_val
         FROM banded
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -332,13 +392,19 @@ def simhash_sql(text: str = "text") -> str:
     ),
     agg AS (
         SELECT doc_id, i,
-               SUM(CASE WHEN substr(h, CAST(i AS INT), 1) IN
-                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS ones,
+               SUM(CASE
+                   WHEN i % 2 = 1 AND substr(h, CAST((i + 1) // 2 AS INT), 1) IN
+                       ('8','9','a','b','c','d','e','f') THEN 1
+                   WHEN i % 2 = 0 AND substr(h, CAST((i + 1) // 2 AS INT), 1) IN
+                       ('4','5','6','7','c','d','e','f') THEN 1
+                   ELSE 0 END) AS ones,
                COUNT(*) AS n
         FROM bits GROUP BY doc_id, i
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN ones * 2 >= n
-                    THEN CAST(POWER(2.0, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           CAST(SUM(CASE WHEN ones * 2 >= n THEN
+                    CASE WHEN i = 64 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                         ELSE CAST(POWER(2.0, i - 1) AS BIGINT) END
+                    ELSE 0 END) AS BIGINT) AS simhash
     FROM agg GROUP BY doc_id
     """

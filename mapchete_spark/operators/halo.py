@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mapchete_spark.operators.rastertable import (
     RASTER_SCHEMA,
@@ -111,7 +112,13 @@ def _parts_stage(tiles: DataFrame, pyramid: TilePyramid, pb: int) -> DataFrame:
 
 def _assemble_canvas(p: TilePyramid, pb: int, target_key: int, pdf: pd.DataFrame):
     """Stage 2 core: place pieces into the buffered canvas.
-    Returns (tile, canvas ndarray, nodata, dtype)."""
+    Returns (tile, canvas ndarray, nodata, dtype), or ``None`` when the
+    group carries no center piece — i.e. the target tile was NOT in the
+    input set and only exists because neighbors mailed it strips.  Such
+    phantom targets must not produce output (the reference only
+    processes tiles of the input set)."""
+    if not ((pdf["src_dr"].values == 0) & (pdf["src_dc"].values == 0)).any():
+        return None
     z = target_key >> 54
     trow = (target_key >> 27) & ((1 << 27) - 1)
     tcol = target_key & ((1 << 27) - 1)
@@ -150,20 +157,44 @@ def _assemble_canvas(p: TilePyramid, pb: int, target_key: int, pdf: pd.DataFrame
     return me, canvas, nodata, dtype
 
 
+def _drop_skipped_targets(parts: DataFrame, skip_target_keys) -> DataFrame:
+    """Continue-mode compute skip for halo consumers: drop every strip
+    destined for an already-done target BEFORE the shuffle — done tiles
+    are neither assembled nor processed, while their own strips still
+    reach not-yet-done neighbors (pre-filtering the INPUT would starve
+    neighbor canvases instead)."""
+    if skip_target_keys is None:
+        return parts
+    done = skip_target_keys.select(F.col(skip_target_keys.columns[0]).alias("target_key")).distinct()
+    return parts.join(done, on="target_key", how="left_anti")
+
+
 def add_buffers(
-    tiles: DataFrame, pyramid: TilePyramid, pixelbuffer: int
+    tiles: DataFrame, pyramid: TilePyramid, pixelbuffer: int,
+    skip_target_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Tile raster table -> same table with each tile's array replaced
     by its pixel-buffered window (shape per Tile.shape(pixelbuffer))."""
     if pixelbuffer <= 0:
+        if skip_target_keys is not None:
+            done = skip_target_keys.select(
+                F.col(skip_target_keys.columns[0]).alias("tile_key")
+            ).distinct()
+            return tiles.join(done, on="tile_key", how="left_anti")
         return tiles
     pb = int(pixelbuffer)
     pyr_dict = pyramid.to_dict()
-    parts = _parts_stage(tiles, pyramid, pb)
+    parts = _drop_skipped_targets(_parts_stage(tiles, pyramid, pb), skip_target_keys)
 
     def assemble(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p = TilePyramid(**pyr_dict)
-        me, canvas, nodata, dtype = _assemble_canvas(p, pb, int(key[0]), pdf)
+        assembled = _assemble_canvas(p, pb, int(key[0]), pdf)
+        if assembled is None:  # phantom target (not an input tile)
+            return pd.DataFrame({k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )})
+        me, canvas, nodata, dtype = assembled
         return pd.DataFrame(
             {
                 "zoom": [me.zoom],
@@ -256,19 +287,23 @@ def run_buffered_process(
     params: Optional[dict] = None,
     out_dtype: Optional[str] = None,
     out_nodata: Optional[float] = None,
+    skip_target_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Fused halo + process: one strip shuffle, then assemble AND run
     the raster process inside one streamed-group mapInPandas."""
     pb = int(pixelbuffer)
     pyr_dict = pyramid.to_dict()
     params = params or {}
-    parts = _parts_stage(tiles, pyramid, pb)
+    parts = _drop_skipped_targets(_parts_stage(tiles, pyramid, pb), skip_target_keys)
 
     def assemble_and_run(target_key: int, pdf: pd.DataFrame):
         from mapchete_spark.operators.process import Empty, TileContext
 
         p = TilePyramid(**pyr_dict)
-        me, canvas, nodata, dtype = _assemble_canvas(p, pb, target_key, pdf)
+        assembled = _assemble_canvas(p, pb, target_key, pdf)
+        if assembled is None:  # phantom target (not an input tile)
+            return None
+        me, canvas, nodata, dtype = assembled
         arr = np.ma.masked_equal(canvas, nodata)
         arr.set_fill_value(nodata)
         ctx = TileContext(tile=me, array=arr, nodata=nodata, params=params)
@@ -283,6 +318,18 @@ def run_buffered_process(
             result = result.astype(out_dtype)
         if isinstance(result, np.ma.MaskedArray) and result.mask.all():
             return None
+        # crop to the unbuffered tile window (the reference crops at
+        # write time, io/raster/write.py) — processes that self-crop
+        # (e.g. hillshade) pass through unchanged
+        result = result if result.ndim == 3 else result[np.newaxis]
+        th, tw = me.shape(pixelbuffer=0)
+        rh, rw = result.shape[-2:]
+        if (rh, rw) != (th, tw):
+            cb = me.bounds(pixelbuffer=(rw - tw) // 2)
+            tb = me.bounds(pixelbuffer=0)
+            up = int(round((cb.top - tb.top) / me.pixel_y_size))
+            left = (rw - tw) // 2
+            result = result[:, up : up + th, left : left + tw]
         data, odtype, bands, h, w = encode_array(
             result if result.ndim == 3 else result[np.newaxis], nd
         )

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mapchete_spark.geometry.core import Polygon
 from mapchete_spark.geometry.wkb import to_wkb
@@ -54,16 +55,23 @@ class TileContext:
 
     @property
     def affine(self):
-        # affine of the (possibly buffered) window actually carried
-        h, w = self.array.shape[-2:] if self.array is not None else self.tile.shape()
-        b = self.tile.pyramid  # pixel sizes are zoom-constant
+        # affine of the (possibly buffered) window actually carried:
+        # translation terms are the window's left/top, mirroring
+        # Tile.affine and the reference's tile.affine contract
+        # (mapchete/tile.py affine semantics)
+        if self.array is not None:
+            tw = self.tile.shape(pixelbuffer=0)[1]
+            pb = (self.array.shape[-1] - tw) // 2
+        else:
+            pb = 0
+        b = self.tile.bounds(pixelbuffer=pb)
         return (
             self.tile.pixel_x_size,
             0.0,
-            0.0,
+            b.left,
             0.0,
             -self.tile.pixel_y_size,
-            0.0,
+            b.top,
         )
 
 
@@ -78,6 +86,7 @@ def run_raster_process(
     out_dtype: Optional[str] = None,
     out_nodata: Optional[float] = None,
     pixelbuffer: int = 0,
+    skip_target_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Apply a raster process to every tile row; rows whose process
     raises Empty (or returns None) are dropped. Output arrays replace
@@ -88,6 +97,10 @@ def run_raster_process(
     the assembled buffered window inside the same applyInPandas — the
     buffered arrays never make an extra Python->JVM->Python round trip
     (2x less Arrow traffic than add_buffers + separate process pass).
+
+    ``skip_target_keys`` (continue mode): tiles whose key is listed are
+    neither assembled nor processed; with a pixelbuffer their strips
+    still feed neighbors.
     """
     if pixelbuffer > 0:
         from mapchete_spark.operators.halo import run_buffered_process
@@ -95,7 +108,13 @@ def run_raster_process(
         return run_buffered_process(
             tiles, pyramid, pixelbuffer, process, params=params,
             out_dtype=out_dtype, out_nodata=out_nodata,
+            skip_target_keys=skip_target_keys,
         )
+    if skip_target_keys is not None:
+        done = skip_target_keys.select(
+            F.col(skip_target_keys.columns[0]).alias("tile_key")
+        ).distinct()
+        tiles = tiles.join(done, on="tile_key", how="left_anti")
     pyr_dict = pyramid.to_dict()
     params = params or {}
 

@@ -92,6 +92,10 @@ def execute(
             return
         df = df_fn()
         if mode == "continue":
+            # write guard only: the compute skip happens on the INPUT
+            # side (anti-join below mapInPandas is not pushable by
+            # Catalyst, so filtering here alone would recompute
+            # every tile and merely skip the write)
             df = store.filter_todo(df)
         df = df.cache()
         try:
@@ -112,6 +116,17 @@ def execute(
 
         def build(zoom=zoom, params=params):
             tiles = _input_tiles(spark, cfg, zoom)
+            out_meta_ = int(cfg.output.get("metatiling", cfg.pyramid.metatiling))
+            # continue-mode compute skip: drop already-done PROCESS
+            # TARGETS before the process UDF (this is what makes resume
+            # actually save compute — reference skip-existing semantics,
+            # processing/base.py:456-504). With a pixelbuffer the skip
+            # happens on halo targets so done tiles still mail strips
+            # to unfinished neighbors. Output-split jobs (output keys
+            # != process keys) keep the write-guard-only behavior.
+            skip_keys = None
+            if mode == "continue" and out_meta_ == cfg.pyramid.metatiling:
+                skip_keys = store.checkpoint().select("tile_key").distinct()
             if kind == "raster":
                 # pixelbuffer fuses the halo exchange into the process
                 out = run_raster_process(
@@ -119,6 +134,7 @@ def execute(
                     out_dtype=cfg.output.get("dtype"),
                     out_nodata=cfg.output.get("nodata"),
                     pixelbuffer=pb,
+                    skip_target_keys=skip_keys,
                 )
                 out_meta = int(cfg.output.get("metatiling", cfg.pyramid.metatiling))
                 if out_meta < cfg.pyramid.metatiling:
@@ -135,8 +151,9 @@ def execute(
                     )
                     out = split_to_output_tiles(out, cfg.pyramid, out_pyr)
             else:
-                if pb > 0:
-                    tiles = add_buffers(tiles, cfg.pyramid, pb)
+                tiles = add_buffers(
+                    tiles, cfg.pyramid, pb, skip_target_keys=skip_keys
+                )
                 out = run_vector_process(tiles, cfg.pyramid, fn, params=params)
             return out
 
@@ -153,8 +170,26 @@ def execute(
             F.col("zoom") == cfg.baselevels.min
         )
         for zoom in cfg.overview_zooms_lower():
+            src = level_above
+            if mode == "continue":
+                # compute skip: drop children whose PARENT is already
+                # checkpointed before the reduce shuffle
+                parent_key = (
+                    (F.col("zoom").cast("long") - 1) * F.lit(1 << 54).cast("long")
+                    + F.floor(F.col("tile_row") / 2).cast("long")
+                    * F.lit(1 << 27).cast("long")
+                    + F.floor(F.col("tile_col") / 2).cast("long")
+                )
+                done = store.checkpoint().select(
+                    F.col("tile_key").alias("__parent_key")
+                ).distinct()
+                src = (
+                    src.withColumn("__parent_key", parent_key)
+                    .join(done, on="__parent_key", how="left_anti")
+                    .drop("__parent_key")
+                )
             reduced = overview_reduce_once(
-                level_above, cfg.pyramid, resampling=cfg.baselevels.lower
+                src, cfg.pyramid, resampling=cfg.baselevels.lower
             )
             stage(f"overview_z{zoom}", lambda reduced=reduced: reduced)
             level_above = spark.read.parquet(tiles_path).where(F.col("zoom") == zoom)

@@ -60,14 +60,30 @@ def create_mosaic(
     sample_arr = tiles_arrays[0][1]
     bands = sample_arr.shape[0] if sample_arr.ndim == 3 else 1
     dtype = sample_arr.dtype
-    th, tw = tiles[0].shape(pixelbuffer=0)
+    px = pyramid.pixel_x_size(zoom)
+    py = pyramid.pixel_y_size(zoom)
 
+    # mosaic bounds from the corner tiles' FULL (uncropped) lattice
+    # positions; edge metatiles may be cropped smaller than (th, tw),
+    # so each array is placed by its own tile bounds instead of assuming
+    # a uniform shape (the reference places via bounds,
+    # mapchete/io/raster/mosaic.py:103-117)
+    tx = pyramid.tile_x_size(zoom)
+    ty = pyramid.tile_y_size(zoom)
     rows = [t.row for t in tiles]
     xcols = [col_x(t) for t in tiles]
     r0, r1 = min(rows), max(rows)
     c0, c1 = min(xcols), max(xcols)
-    height = (r1 - r0 + 1) * th
-    width = (c1 - c0 + 1) * tw
+    left = pyramid.left + c0 * tx
+    top = pyramid.top - r0 * ty
+    right = pyramid.left + (c1 + 1) * tx
+    bottom = pyramid.top - (r1 + 1) * ty
+    # clip the canvas to the pyramid bounds on the y axis (cropped edge
+    # metatiles never extend below pyramid.bottom)
+    bottom = max(bottom, pyramid.bottom)
+    height = int(round((top - bottom) / py))
+    width = int(round((right - left) / px))
+    bounds = Bounds(left, bottom, right, top)
     canvas = np.ma.MaskedArray(
         np.full((bands, height, width), nodata, dtype=dtype),
         mask=np.ones((bands, height, width), dtype=bool),
@@ -75,20 +91,21 @@ def create_mosaic(
     )
     for tile, arr in tiles_arrays:
         a = arr if arr.ndim == 3 else arr[np.newaxis]
-        # crop any pixelbuffer down to the unbuffered tile window
-        if a.shape[-2:] != (th, tw):
+        th_i, tw_i = tile.shape(pixelbuffer=0)
+        # crop any pixelbuffer down to the unbuffered tile window (the
+        # y offset is derived from bounds: the buffer may be clipped at
+        # the north pyramid edge)
+        if a.shape[-2:] != (th_i, tw_i):
             bh, bw = a.shape[-2:]
-            ob = (bh - th) // 2, (bw - tw) // 2
-            a = a[:, ob[0] : ob[0] + th, ob[1] : ob[1] + tw]
-        ro = (tile.row - r0) * th
-        co = (col_x(tile) - c0) * tw
-        canvas[:, ro : ro + th, co : co + tw] = a
+            pb = (bw - tw_i) // 2
+            bb = tile.bounds(pixelbuffer=pb)
+            tb = tile.bounds(pixelbuffer=0)
+            up = int(round((bb.top - tb.top) / py))
+            a = a[:, up : up + th_i, pb : pb + tw_i]
+        tb = tile.bounds(pixelbuffer=0)
+        shift_x = pyramid.grid.x_size if (shift and tile.col < mw // 2) else 0.0
+        ro = int(round((top - tb.top) / py))
+        co = int(round((tb.left + shift_x - left) / px))
+        canvas[:, ro : ro + th_i, co : co + tw_i] = a
 
-    # mosaic bounds from corner tiles (x from shifted frame)
-    tx = pyramid.tile_x_size(zoom)
-    ty = pyramid.tile_y_size(zoom)
-    left = pyramid.left + c0 * tx
-    right = pyramid.left + (c1 + 1) * tx
-    top = pyramid.top - r0 * ty
-    bottom = pyramid.top - (r1 + 1) * ty
-    return canvas, Bounds(left, bottom, right, top)
+    return canvas, bounds

@@ -87,3 +87,75 @@ def test_changed_since(spark, store):
     run_stage(store2, "s2", lambda: _dem(spark).limit(3), mode="overwrite")
     changed = store2.changed_since(first_run)
     assert changed.count() <= 3
+
+
+def test_continue_mode_skips_compute(spark, tmp_path):
+    """Resume must skip the PROCESS, not just the write: a counting
+    process (accumulator) must not run again for checkpointed tiles
+    (ADVICE round 1: anti-join below the UDF only skipped the write)."""
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute, register_process
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_process(ctx):
+        acc.add(1)
+        return ctx.array
+
+    register_process("counting", "raster", counting_process, 1)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = JobConfig.from_file(os.path.join(here, "configs", "hillshade.mapchete"))
+    cfg.process = "counting"
+    cfg.output["path"] = str(tmp_path / "cnt")
+    cfg.output["dtype"] = None
+    cfg.zoom_levels = [4]
+    c1 = execute(spark, cfg, mode="continue")
+    assert c1["process_z4"] > 0
+    v1 = acc.value
+    assert v1 >= c1["process_z4"]
+    c2 = execute(spark, cfg, mode="continue")
+    assert c2["process_z4"] == 0
+    assert acc.value == v1, "process ran again for checkpointed tiles"
+
+
+def test_partial_resume_recomputes_only_missing_with_halo(spark, tmp_path):
+    """Truncate part of the checkpoint of a pixelbuffered job: the rerun
+    must process exactly the missing tiles, and those tiles must still
+    see their neighbors' strips (results equal the fresh run)."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = JobConfig.from_file(os.path.join(here, "configs", "hillshade.mapchete"))
+    cfg.output["path"] = str(tmp_path / "hsr")
+    cfg.zoom_levels = [5]
+    execute(spark, cfg, mode="continue", store_path=str(tmp_path / "st"))
+    fresh = {
+        (r["tile_key"]): r["h"]
+        for r in spark.read.parquet(str(tmp_path / "hsr" / "tiles"))
+        .select("tile_key", F.md5("data").alias("h"))
+        .collect()
+    }
+
+    # drop half the checkpoint AND the corresponding outputs
+    import shutil
+
+    ck_path = os.path.join(str(tmp_path / "st"), "checkpoint")
+    ck = spark.read.parquet(ck_path)
+    keep = ck.where(F.col("tile_key") % 2 == 0)
+    keep.write.mode("overwrite").parquet(ck_path + "_new")
+    shutil.rmtree(ck_path)
+    shutil.move(ck_path + "_new", ck_path)
+    out2 = str(tmp_path / "hsr2")
+    cfg.output["path"] = out2
+    counts = execute(spark, cfg, mode="continue", store_path=str(tmp_path / "st"))
+    redone = spark.read.parquet(os.path.join(out2, "tiles")).select(
+        "tile_key", F.md5("data").alias("h")
+    )
+    rows = redone.collect()
+    assert counts["process_z5"] == len(rows) > 0
+    for r in rows:
+        assert r["tile_key"] % 2 == 1  # only the missing half recomputed
+        assert fresh[r["tile_key"]] == r["h"]  # halo intact on resume
