@@ -350,10 +350,11 @@ def o_span_roundtrip() -> str:
 
 
 # ---------------------------------------------------------------------------
-# raster pipeline (non-SQL-expressible: rows-only checks; exact-value
-# parity is covered by tests/test_raster_spark.py goldens)
+# raster pipeline: exact-value oracles — the geodetic lattice is dyadic
+# and the DEM is closed-form trig, so DuckDB recomputes per-tile integer
+# digests from first principles (functions/rastersql.py)
 
-_AOI = None  # lazy import guard
+_RASTER_ZOOM = 5
 
 
 def _raster_ctx():
@@ -362,58 +363,99 @@ def _raster_ctx():
     return TilePyramid("geodetic"), Bounds(0.0, 20.0, 45.0, 50.0)
 
 
+def _raster_ranges():
+    """(row0, row1, col0, col1) of the AOI at the raster zoom — shared
+    by the Spark queries and the SQL-twin generators."""
+    pyr, aoi = _raster_ctx()
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(aoi, _RASTER_ZOOM)
+    return r0, r1, c0, c1
+
+
 def q_dem_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 analog: materialized DEM tile table (zoom 5, AOI-pruned)."""
+    """S1 analog: materialized DEM tile table (zoom 5, AOI-pruned,
+    nodata hole) digested to exact per-tile values."""
+    from mapchete_spark.operators.digests import tile_value_digests
     from mapchete_spark.operators.rastertable import materialize_dem
 
     pyr, aoi = _raster_ctx()
-    df = materialize_dem(spark, 5, pyr, bounds=aoi)
-    return df.select("zoom", "tile_row", "tile_col", "bands", "height", "width")
+    df = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi)
+    return tile_value_digests(df).orderBy("tile_row", "tile_col")
+
+
+def o_dem_tiles() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.dem_tiles_sql(_RASTER_ZOOM, *_raster_ranges(), hole=True)
 
 
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: halo-buffered Horn hillshade over the DEM tile table; returns
-    per-tile uint8 checksums (deterministic)."""
+    """P1: halo-buffered Horn hillshade over the DEM tile table,
+    digested to exact per-tile uint8 sums. The DEM is materialized one
+    tile beyond the AOI so every AOI tile has a complete halo (the
+    masked-halo edge path keeps its pytest goldens)."""
+    from mapchete_spark.operators.digests import shade_digests
     from mapchete_spark.operators.process import process_hillshade, run_raster_process
     from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import Bounds
 
     pyr, aoi = _raster_ctx()
-    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+    ts = pyr.tile_x_size(_RASTER_ZOOM)
+    grown = Bounds(aoi.left - ts, aoi.bottom - ts, aoi.right + ts, aoi.top + ts)
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=grown, hole=False)
     hs = run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1)
-    return hs.select(
-        "zoom", "tile_row", "tile_col", F.md5(F.col("data")).alias("tile_md5")
-    ).orderBy("tile_row", "tile_col")
+    r0, r1, c0, c1 = _raster_ranges()
+    hs = hs.where(
+        F.col("tile_row").between(r0, r1) & F.col("tile_col").between(c0, c1)
+    )
+    return shade_digests(hs).orderBy("tile_row", "tile_col")
+
+
+def o_hillshade() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.hillshade_sql(_RASTER_ZOOM, *_raster_ranges())
 
 
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: contour vector tiles from the DEM (counts per tile)."""
+    """P2: marching-squares contours from the DEM, digested per
+    (tile, level): segment count + quantized total length."""
+    from mapchete_spark.operators.digests import contour_digests
     from mapchete_spark.operators.process import process_contours, run_vector_process
     from mapchete_spark.operators.rastertable import materialize_dem
 
     pyr, aoi = _raster_ctx()
-    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
     feats = run_vector_process(dem, pyr, process_contours, params={"interval": 200})
-    return (
-        feats.groupBy("zoom", "tile_row", "tile_col")
-        .agg(F.count(F.lit(1)).alias("n_contours"))
-        .orderBy("tile_row", "tile_col")
-    )
+    return contour_digests(feats).orderBy("tile_row", "tile_col", "level")
+
+
+def o_contours() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.contours_sql(_RASTER_ZOOM, *_raster_ranges(), interval=200.0)
 
 
 def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z1: pyramid overview reduction zoom 5 -> 3 (average), per-level
-    tile counts + checksum of all tile payloads."""
+    """Z1: pyramid overview reduction zoom 5 -> 3 (average), per-tile
+    exact digests of every overview level."""
+    from mapchete_spark.operators.digests import tile_value_digests
     from mapchete_spark.operators.overviews import build_overviews
     from mapchete_spark.operators.rastertable import materialize_dem
 
     pyr, aoi = _raster_ctx()
-    dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
-    levels = build_overviews(dem, pyr, 5, 3, resampling="average")
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    levels = build_overviews(dem, pyr, _RASTER_ZOOM, 3, resampling="average")
     out = None
     for z, df in levels:
-        lvl = df.select("zoom", "tile_row", "tile_col", F.md5("data").alias("tile_md5"))
+        lvl = tile_value_digests(df, with_dims=False)
         out = lvl if out is None else out.unionByName(lvl)
-    return out.orderBy("zoom", "tile_row", "tile_col")
+    return out.orderBy(F.desc("zoom"), "tile_row", "tile_col")
+
+
+def o_overviews() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.overviews_sql(_RASTER_ZOOM, 3, *_raster_ranges())
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +553,105 @@ def q_vector_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = doc_footprint_features(docs)
     clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 6))
     return tile_union_mask_area(clipped).orderBy("tile_row", "tile_col")
+
+
+def o_vector_union() -> str:
+    """Scanline twin of the pixel-grid union: doc footprints are
+    axis-aligned boxes, so per pixel row the union of covered pixel
+    columns is an integer-interval union (gaps-and-islands); pixel
+    centers sit half a (dyadic) pixel off every tile edge, so the
+    center-in-box test is float-exact on both engines."""
+    ts = "(180.0 / POWER(2.0, 6))"
+    px = "(180.0 / POWER(2.0, 6) / 256.0)"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , boxes AS (
+        SELECT doc_id,
+               GREATEST(lon - radius, -180.0) AS l,
+               LEAST(lon + radius, 180.0) AS r,
+               GREATEST(lat - radius, -90.0) AS b,
+               LEAST(lat + radius, 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), ranges AS (
+        SELECT doc_id, l, r, b, t,
+               LEAST(GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0), 127) AS c0,
+               LEAST(GREATEST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, 0), 127) AS c1,
+               LEAST(GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0), 63) AS r0,
+               LEAST(GREATEST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, 0), 63) AS r1
+        FROM boxes
+    ), cover AS (
+        SELECT doc_id, l, r, b, t,
+               UNNEST(generate_series(r0, GREATEST(r1, r0))) AS tile_row
+        FROM ranges
+    ), cover2 AS (
+        SELECT c.doc_id, c.tile_row, c.l, c.r, c.b, c.t,
+               UNNEST(generate_series(g.c0, GREATEST(g.c1, g.c0))) AS tile_col
+        FROM cover c JOIN ranges g USING (doc_id)
+    ), cover3 AS (
+        -- passthrough: DuckDB 1.x binder bug with computed columns
+        -- after chained UNNEST CTEs (no WHERE on computed columns
+        -- anywhere below: validity is encoded as empty ranges instead)
+        SELECT doc_id, tile_row, tile_col, l, r, b, t FROM cover2
+    ), feats0 AS (
+        SELECT doc_id, tile_row, tile_col, l, r, b, t,
+               (-180.0 + tile_col * {ts}) AS left_t,
+               (90.0 - tile_row * {ts}) AS top_t,
+               (LEAST(r, -180.0 + (tile_col + 1) * {ts})
+                - GREATEST(l, -180.0 + tile_col * {ts})) AS w,
+               (LEAST(t, 90.0 - tile_row * {ts})
+                - GREATEST(b, 90.0 - (tile_row + 1) * {ts})) AS h
+        FROM cover3
+    ), n_feat AS (
+        SELECT tile_row, tile_col,
+               CAST(COUNT(*) FILTER (w > 0 AND h > 0) AS BIGINT) AS n_features
+        FROM feats0 GROUP BY 1, 2
+        HAVING COUNT(*) FILTER (w > 0 AND h > 0) > 0
+    ), iv AS (
+        -- per-feature pixel rectangle: pixel centers inside the box;
+        -- clip-empty features get an empty i range
+        SELECT tile_row, tile_col,
+               CASE WHEN w > 0 AND h > 0
+                    THEN GREATEST(CAST(CEIL((top_t - t) / {px} - 0.5) AS BIGINT), 0)
+                    ELSE 0 END AS i0,
+               CASE WHEN w > 0 AND h > 0
+                    THEN LEAST(CAST(FLOOR((top_t - b) / {px} - 0.5) AS BIGINT), 255)
+                    ELSE -1 END AS i1,
+               GREATEST(CAST(CEIL((l - left_t) / {px} - 0.5) AS BIGINT), 0) AS j0,
+               LEAST(CAST(FLOOR((r - left_t) / {px} - 0.5) AS BIGINT), 255) AS j1
+        FROM feats0
+    ), scan AS (
+        SELECT tile_row, tile_col, j0, j1,
+               UNNEST(generate_series(i0, CASE WHEN j0 <= j1 THEN i1 ELSE -1 END)) AS i
+        FROM iv
+    ), runs AS (
+        SELECT tile_row, tile_col, i, j0, j1,
+               MAX(j1) OVER (
+                   PARTITION BY tile_row, tile_col, i ORDER BY j0, j1
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM scan
+    ), grp AS (
+        SELECT tile_row, tile_col, i, j0, j1,
+               SUM(CASE WHEN prev_max IS NULL OR j0 > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY tile_row, tile_col, i ORDER BY j0, j1
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM runs
+    ), islands AS (
+        SELECT tile_row, tile_col, i, g,
+               MAX(j1) - MIN(j0) + 1 AS covered
+        FROM grp GROUP BY 1, 2, 3, 4
+    ), cov AS (
+        SELECT tile_row, tile_col, CAST(SUM(covered) AS BIGINT) AS covered_px
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT 6 AS zoom, n.tile_row, n.tile_col,
+           n.n_features,
+           COALESCE(c.covered_px, 0) AS covered_px
+    FROM n_feat n LEFT JOIN cov c USING (tile_row, tile_col)
+    ORDER BY n.tile_row, n.tile_col
+    """
+    )
 
 
 def q_vector_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,7 +1090,12 @@ def oracle_sql() -> dict[str, str]:
         "salted_tile_digest": o_salted_tile_digest(),
     }
     out.update(_o_training_ops())
+    out["dem_tiles"] = o_dem_tiles()
+    out["hillshade"] = o_hillshade()
+    out["contours"] = o_contours()
+    out["overviews"] = o_overviews()
     out["vector_clip"] = o_vector_clip()
+    out["vector_union"] = o_vector_union()
     out["vector_reproject"] = o_vector_reproject()
     out["events_windowed"] = o_events_windowed()
     out["revenue_by_nation"] = o_revenue_by_nation()

@@ -19,14 +19,24 @@ from mapchete_spark.tilegrid.pyramid import Tile
 DEM_NODATA = -9999.0
 DEM_HOLE_BELOW = 150.0
 
+# analytic-field constants — shared with the DuckDB SQL twins
+# (functions/rastersql.py), so the oracle cannot drift
+DEM_BASE = 500.0
+DEM_AMP1 = 400.0
+DEM_LON_P1 = 30.0
+DEM_LAT_P1 = 20.0
+DEM_AMP2 = 120.0
+DEM_LON_P2 = 3.7
+DEM_LAT_P2 = 2.9
+
 
 def elevation(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     return (
-        500.0
-        + 400.0 * np.sin(lon * np.pi / 30.0) * np.cos(lat * np.pi / 20.0)
-        + 120.0 * np.sin(lon * np.pi / 3.7) * np.sin(lat * np.pi / 2.9)
+        DEM_BASE
+        + DEM_AMP1 * np.sin(lon * np.pi / DEM_LON_P1) * np.cos(lat * np.pi / DEM_LAT_P1)
+        + DEM_AMP2 * np.sin(lon * np.pi / DEM_LON_P2) * np.sin(lat * np.pi / DEM_LAT_P2)
     )
 
 
@@ -38,9 +48,9 @@ def elevation_grid(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     return (
-        500.0
-        + 400.0 * np.outer(np.cos(ys * np.pi / 20.0), np.sin(xs * np.pi / 30.0))
-        + 120.0 * np.outer(np.sin(ys * np.pi / 2.9), np.sin(xs * np.pi / 3.7))
+        DEM_BASE
+        + DEM_AMP1 * np.outer(np.cos(ys * np.pi / DEM_LAT_P1), np.sin(xs * np.pi / DEM_LON_P1))
+        + DEM_AMP2 * np.outer(np.sin(ys * np.pi / DEM_LAT_P2), np.sin(xs * np.pi / DEM_LON_P2))
     )
 
 
