@@ -281,37 +281,95 @@ def q_span_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.orderBy("doc_id")
 
 
-def q_tiledir_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 TileDirectory input: mercator DEM tile table warped onto
-    geodetic z5 targets via zoom matching (rows-only; exact-value
-    goldens in tests/test_tiledir.py)."""
+_TILEDIR_AOI = (5.0, 30.0, 25.0, 45.0)
+_TILEDIR_SRC_ZOOMS = (5, 6)
+
+
+def _tiledir_ctx():
     import numpy as np
 
     from mapchete_spark.geometry.reproject import geodetic_to_mercator
-    from mapchete_spark.operators.rastertable import materialize_dem
-    from mapchete_spark.operators.tiledir import read_tiledir
     from mapchete_spark.tilegrid import Bounds, TilePyramid
 
     geod = TilePyramid("geodetic")
     merc = TilePyramid("mercator")
-    aoi = Bounds(5.0, 30.0, 25.0, 45.0)
+    aoi = Bounds(*_TILEDIR_AOI)
     x0, y0 = geodetic_to_mercator(np.array([aoi.left]), np.array([aoi.bottom]))
     x1, y1 = geodetic_to_mercator(np.array([aoi.right]), np.array([aoi.top]))
     aoi_m = Bounds(float(x0[0]) - 1e5, float(y0[0]) - 1e5,
                    float(x1[0]) + 1e5, float(y1[0]) + 1e5)
+    return geod, merc, aoi, aoi_m
+
+
+def q_tiledir_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 TileDirectory input: mercator DEM tile table warped onto
+    geodetic z5 targets via zoom matching, digested to exact per-tile
+    values (the oracle recomputes the warp closed-form)."""
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.operators.tiledir import read_tiledir
+
+    geod, merc, aoi, aoi_m = _tiledir_ctx()
     # materialize the zooms the matcher can pick (geodetic z5 at these
     # latitudes matches mercator z5-6)
-    src = materialize_dem(spark, 5, merc, bounds=aoi_m, hole=False).unionByName(
-        materialize_dem(spark, 6, merc, bounds=aoi_m, hole=False)
-    )
+    src = None
+    for z in _TILEDIR_SRC_ZOOMS:
+        lvl = materialize_dem(spark, z, merc, bounds=aoi_m, hole=False)
+        src = lvl if src is None else src.unionByName(lvl)
     targets = spark.createDataFrame(
         [(t.zoom, t.row, t.col) for t in geod.tiles_from_bounds(aoi, 5)],
         "zoom int, tile_row long, tile_col long",
     )
     out = read_tiledir(spark, targets, src, geod, merc)
-    return out.select(
-        "zoom", "tile_row", "tile_col", F.md5("data").alias("tile_md5")
-    ).orderBy("tile_row", "tile_col")
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_tiledir_read() -> str:
+    """Per-target warp parameters (matched zoom, source cover, mosaic
+    bounds/pixel sizes) precomputed with the operator's own grid
+    functions; pixel values recomputed in SQL."""
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.geometry.reproject import geodetic_to_mercator
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.zoom_match import tile_to_zoom_level
+
+    geod, merc, aoi, aoi_m = _tiledir_ctx()
+    src_ranges = {}
+    for z in _TILEDIR_SRC_ZOOMS:
+        [(r0, r1, c0, c1)] = merc.tile_ranges_from_bounds(aoi_m, z)
+        src_ranges[z] = (r0, r1, c0, c1)
+    targets = []
+    for t in geod.tiles_from_bounds(aoi, 5):
+        sz = tile_to_zoom_level(t, merc, matching_method="gdal")
+        tb = t.bounds(pixelbuffer=0)
+        xs, ys = geodetic_to_mercator([tb.left, tb.right], [tb.bottom, tb.top])
+        sb = Bounds(float(min(xs)), float(min(ys)), float(max(xs)), float(max(ys)))
+        zr0, zr1, zc0, zc1 = src_ranges[sz]
+        cover = [
+            s for s in merc.tiles_from_bounds(sb, sz)
+            if zr0 <= s.row <= zr1 and zc0 <= s.col <= zc1
+        ]
+        # mosaic bounds/shape exactly as create_mosaic computes them
+        rows = [s.row for s in cover]
+        cols = [s.col for s in cover]
+        r0, r1, c0, c1 = min(rows), max(rows), min(cols), max(cols)
+        tx = merc.tile_x_size(sz)
+        ty = merc.tile_y_size(sz)
+        px = merc.pixel_x_size(sz)
+        py = merc.pixel_y_size(sz)
+        left = merc.left + c0 * tx
+        top = merc.top - r0 * ty
+        right = merc.left + (c1 + 1) * tx
+        bottom = max(merc.top - (r1 + 1) * ty, merc.bottom)
+        sh = int(round((top - bottom) / py))
+        sw = int(round((right - left) / px))
+        targets.append(dict(
+            trow=t.row, tcol=t.col, sz=sz,
+            mleft=left, mtop=top,
+            mpx=(right - left) / sw, mpy=(top - bottom) / sh,
+            sw=sw, sh=sh, roff=r0 * 256, coff=c0 * 256,
+        ))
+    return R.tiledir_read_sql(5, targets, src_ranges)
 
 
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,6 +1154,10 @@ def oracle_sql() -> dict[str, str]:
     out["overviews"] = o_overviews()
     out["vector_clip"] = o_vector_clip()
     out["vector_union"] = o_vector_union()
+    out["tiledir_read"] = o_tiledir_read()
+    from mapchete_spark.operators.multimodal import media_features_sql
+
+    out["media_features"] = media_features_sql(300)
     out["vector_reproject"] = o_vector_reproject()
     out["events_windowed"] = o_events_windowed()
     out["revenue_by_nation"] = o_revenue_by_nation()

@@ -382,3 +382,134 @@ def overviews_sql(base_zoom: int, min_zoom: int,
         + "\nUNION ALL".join(selects)
         + ")\nORDER BY zoom DESC, tile_row, tile_col"
     )
+
+
+# ---- S3: tiledir_read (cross-pyramid warp) --------------------------------------
+
+
+MERC_R = 6378137.0
+MERC_MAX_LAT = 85.0511287798066
+
+
+def _merc_rows_cte(name: str, zoom: int, gi0: int, gi1: int, ty: float,
+                   top0: float) -> str:
+    """Mercator source lattice rows: per-global-pixel-row latitude via
+    the closed-form inverse transform (exactly dem_window's op order:
+    per-tile bounds -> pixel centers -> mercator_to_geodetic), then the
+    DEM's separable trig terms."""
+    lat = f"degrees(2.0 * atan(exp(y / {_r(MERC_R)})) - pi() / 2.0)"
+    return f"""
+    {name} AS (
+        SELECT gi,
+               cos({lat} * pi() / {_r(DEM_LAT_P1)}) AS cy1,
+               sin({lat} * pi() / {_r(DEM_LAT_P2)}) AS sy2
+        FROM (
+            SELECT gi, top_t - (((gi % 256) + 0.5) * ((top_t - bot_t) / 256.0)) AS y
+            FROM (
+                SELECT gi,
+                       ({_r(top0)} - ((gi // 256) * {_r(ty)})) AS top_t,
+                       GREATEST(({_r(top0)} - ((gi // 256) * {_r(ty)})) - {_r(ty)},
+                                {_r(-top0)}) AS bot_t
+                FROM (SELECT UNNEST(generate_series({gi0}, {gi1})) AS gi)
+            )
+        )
+    )"""
+
+
+def _merc_cols_cte(name: str, zoom: int, gj0: int, gj1: int, tx: float,
+                   left0: float) -> str:
+    lon = f"degrees(x / {_r(MERC_R)})"
+    return f"""
+    {name} AS (
+        SELECT gj,
+               sin({lon} * pi() / {_r(DEM_LON_P1)}) AS sx1,
+               sin({lon} * pi() / {_r(DEM_LON_P2)}) AS sx2
+        FROM (
+            SELECT gj, left_t + (((gj % 256) + 0.5) * ((right_t - left_t) / 256.0)) AS x
+            FROM (
+                SELECT gj,
+                       ({_r(left0)} + ((gj // 256) * {_r(tx)})) AS left_t,
+                       LEAST(({_r(left0)} + ((gj // 256) * {_r(tx)})) + {_r(tx)},
+                             {_r(-left0)}) AS right_t
+                FROM (SELECT UNNEST(generate_series({gj0}, {gj1})) AS gj)
+            )
+        )
+    )"""
+
+
+def tiledir_read_sql(dst_zoom: int, targets: list, src_ranges: dict) -> str:
+    """Digest twin of read_tiledir (mercator source -> geodetic targets,
+    nearest resampling). All grid math (zoom matching, source cover,
+    mosaic bounds/pixel sizes) is precomputed per target with the SAME
+    Python functions the operator uses and embedded as literals; pixel
+    VALUES are recomputed in SQL: forward-transform the (dyadic) target
+    pixel centers, truncate to the nearest mosaic index, inverse-
+    transform that source pixel center and evaluate the DEM.
+
+    targets: [{trow, tcol, sz, mleft, mtop, mpx, mpy, sw, sh, roff, coff}]
+    src_ranges: {zoom: (row0, row1, col0, col1)} of materialized source.
+    """
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    geod = TilePyramid("geodetic")
+    merc = TilePyramid("mercator")
+    ts = geod.tile_x_size(dst_zoom)
+    px = geod.pixel_x_size(dst_zoom)
+
+    ctes = []
+    for z, (r0, r1, c0, c1) in sorted(src_ranges.items()):
+        ty = merc.tile_y_size(z)
+        tx = merc.tile_x_size(z)
+        ctes.append(_merc_rows_cte(
+            f"mrows_{z}", z, r0 * 256, (r1 + 1) * 256 - 1, ty, merc.top
+        ).strip())
+        ctes.append(_merc_cols_cte(
+            f"mcols_{z}", z, c0 * 256, (c1 + 1) * 256 - 1, tx, merc.left
+        ).strip())
+
+    vals = ",\n        ".join(
+        f"({t['trow']}, {t['tcol']}, {t['sz']}, {_r(t['mleft'])}, {_r(t['mtop'])}, "
+        f"{_r(t['mpx'])}, {_r(t['mpy'])}, {t['sw']}, {t['sh']}, {t['roff']}, {t['coff']})"
+        for t in targets
+    )
+    ctes.append(f"""tgt AS (
+        SELECT * FROM (VALUES
+        {vals}
+        ) AS v(trow, tcol, sz, mleft, mtop, mpx, mpy, sw, sh, roff, coff)
+    )""")
+    # target pixel centers -> mercator -> nearest mosaic index
+    lon = f"((-180.0 + trow * 0.0 + tcol * {_r(ts)}) + ((jj.j + 0.5) * {_r(px)}))"
+    lon = f"((-180.0 + tcol * {_r(ts)}) + ((jj.j + 0.5) * {_r(px)}))"
+    lat = f"((90.0 - trow * {_r(ts)}) - ((ii.i + 0.5) * {_r(px)}))"
+    sx = f"(radians({lon}) * {_r(MERC_R)})"
+    lat_c = f"LEAST(GREATEST({lat}, {_r(-MERC_MAX_LAT)}), {_r(MERC_MAX_LAT)})"
+    sy = f"(ln(tan(pi() / 4.0 + radians({lat_c}) / 2.0)) * {_r(MERC_R)})"
+    ctes.append(f"""opx AS (
+        SELECT t.trow, t.tcol, t.sz,
+               t.roff + LEAST(GREATEST(CAST(trunc((t.mtop - {sy}) / t.mpy) AS BIGINT), 0), t.sh - 1) AS gsi,
+               t.coff + LEAST(GREATEST(CAST(trunc(({sx} - t.mleft) / t.mpx) AS BIGINT), 0), t.sw - 1) AS gsj
+        FROM tgt t
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS i) ii
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS j) jj
+    )""")
+    e = _elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    branches = []
+    for z in sorted(src_ranges):
+        branches.append(f"""
+    SELECT o.trow, o.tcol, {e} AS e
+    FROM opx o
+    JOIN mrows_{z} r ON r.gi = o.gsi
+    JOIN mcols_{z} c ON c.gj = o.gsj
+    WHERE o.sz = {z}""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + ", ev AS (" + "\nUNION ALL".join(branches) + ")\n"
+        + f"""
+    SELECT {dst_zoom} AS zoom, trow AS tile_row, tcol AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           {_qsum("e")} AS value_q_sum
+    FROM ev
+    GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+    )

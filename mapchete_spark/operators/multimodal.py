@@ -30,8 +30,36 @@ MEDIA_SCHEMA = "media_ref string, kind string, payload binary, meta string"
 _KINDS = ("image", "audio", "video")
 
 
+def media_dims(i: int) -> dict:
+    """Deterministic media metadata per index — shared by the table
+    generator and the SQL twin (oracle-twin pattern)."""
+    kind = _KINDS[i % 3]
+    if kind == "image":
+        w, h = 32 + (i % 4) * 16, 32 + (i % 3) * 16
+        return dict(kind=kind, n_bytes=w * h * 3,
+                    meta={"width": w, "height": h, "channels": 3})
+    if kind == "audio":
+        sr, dur = 16000, 1 + (i % 3)
+        return dict(kind=kind, n_bytes=sr * dur,
+                    meta={"sample_rate": sr, "duration_s": dur})
+    w, h, frames = 16, 16, 4 + (i % 5)
+    return dict(kind=kind, n_bytes=w * h * frames,
+                meta={"width": w, "height": h, "n_frames": frames})
+
+
+def seeded_bytes(ref: str, n: int) -> bytes:
+    """Deterministic payload bytes: an md5 chain over (ref, block) —
+    reproducible in DuckDB SQL (md5 of the same strings), unlike a PRNG."""
+    import hashlib
+
+    out = bytearray()
+    for blk in range((n + 15) // 16):
+        out += hashlib.md5(f"{ref}:{blk}".encode()).digest()
+    return bytes(out[:n])
+
+
 def synthetic_media(spark: SparkSession, n: int = 200) -> DataFrame:
-    """Deterministic fake media table: payload = seeded byte pattern,
+    """Deterministic fake media table: payload = md5-chain byte pattern,
     meta carries the 'decoded' dimensions."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -39,24 +67,12 @@ def synthetic_media(spark: SparkSession, n: int = 200) -> DataFrame:
             rows = {"media_ref": [], "kind": [], "payload": [], "meta": []}
             for i in pdf["id"].values:
                 i = int(i)
-                kind = _KINDS[i % 3]
-                rng = np.random.default_rng(i)  # seeded by id: deterministic
-                if kind == "image":
-                    w, h = 32 + (i % 4) * 16, 32 + (i % 3) * 16
-                    payload = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
-                    meta = {"width": w, "height": h, "channels": 3}
-                elif kind == "audio":
-                    sr, dur = 16000, 1 + (i % 3)
-                    payload = rng.integers(-128, 128, sr * dur, dtype=np.int8)
-                    meta = {"sample_rate": sr, "duration_s": dur}
-                else:
-                    w, h, frames = 16, 16, 4 + (i % 5)
-                    payload = rng.integers(0, 256, w * h * frames, dtype=np.uint8)
-                    meta = {"width": w, "height": h, "n_frames": frames}
-                rows["media_ref"].append(f"media://{i}")
-                rows["kind"].append(kind)
-                rows["payload"].append(payload.tobytes())
-                rows["meta"].append(json.dumps(meta, sort_keys=True))
+                d = media_dims(i)
+                ref = f"media://{i}"
+                rows["media_ref"].append(ref)
+                rows["kind"].append(d["kind"])
+                rows["payload"].append(seeded_bytes(ref, d["n_bytes"]))
+                rows["meta"].append(json.dumps(d["meta"], sort_keys=True))
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
@@ -71,7 +87,9 @@ def _fake_decode(kind: str, payload: bytes, meta: dict) -> np.ndarray:
             meta["height"], meta["width"], meta["channels"]
         )
     if kind == "audio":
-        return np.frombuffer(payload, dtype=np.int8).astype(np.float32) / 128.0
+        # float64 (not float32): downstream means/rms then reduce with
+        # exact dyadic samples, keeping the SQL twin's sums comparable
+        return np.frombuffer(payload, dtype=np.int8).astype(np.float64) / 128.0
     if kind == "video":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
             meta["n_frames"], meta["height"], meta["width"]
@@ -135,6 +153,158 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             "feat_mean double, feat_std double, signature string"
         ),
     )
+
+
+# ---- DuckDB SQL twin -----------------------------------------------------------
+
+
+def media_features_sql(n: int) -> str:
+    """Recompute extract_media_features(synthetic_media(n)) in DuckDB:
+    the md5-chain payload bytes are re-derived per index (hex-pair ->
+    value), then every feature (means, stds, thumbnail signature,
+    zero crossings, frame means) is re-aggregated from them. Generated
+    from the same media_dims() the table generator uses."""
+    rows = []
+    for i in range(n):
+        d = media_dims(i)
+        m = d["meta"]
+        rows.append(
+            f"('media://{i}', '{d['kind']}', {d['n_bytes']}, "
+            f"{m.get('width', 0)}, {m.get('height', 0)}, {m.get('n_frames', 0)})"
+        )
+    vals = ",\n        ".join(rows)
+    # byte k of the chain lives in md5(ref || ':' || k//16) hex chars
+    # (k%16)*2 .. +1
+    val = (
+        "(strpos('0123456789abcdef', substr(hx, (k % 16) * 2 + 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, (k % 16) * 2 + 2, 1)) - 1)"
+    )
+    return f"""
+    WITH media AS (
+        SELECT * FROM (VALUES
+        {vals}
+        ) AS m(media_ref, kind, n_bytes, w, h, n_frames)
+    ),
+    bytes AS (
+        SELECT media_ref, kind, n_bytes, w, h, k, {val} AS v
+        FROM (
+            SELECT media_ref, kind, n_bytes, w, h, k,
+                   md5(media_ref || ':' || CAST(k // 16 AS VARCHAR)) AS hx
+            FROM (
+                SELECT media_ref, kind, n_bytes, w, h,
+                       UNNEST(generate_series(0, n_bytes - 1)) AS k
+                FROM media
+            )
+        )
+    ),
+    -- image: channel-interleaved uint8 (h, w, 3)
+    img AS (
+        SELECT media_ref, n_bytes, k % 3 AS ch,
+               (k // 3) % w AS jp, (k // 3) // w AS ip,
+               (ip_b // (h // 8)) AS bi, (jp_b // (w // 8)) AS bj, v, h, w
+        FROM (
+            SELECT media_ref, n_bytes, k, v, w, h,
+                   (k // 3) % w AS jp_b, (k // 3) // w AS ip_b
+            FROM bytes WHERE kind = 'image'
+        )
+    ),
+    img_mean AS (
+        SELECT media_ref, n_bytes, SUM(v) / COUNT(*) AS m FROM img GROUP BY 1, 2
+    ),
+    img_stats AS (
+        SELECT i.media_ref, im.n_bytes, im.m,
+               sqrt(SUM((i.v - im.m) * (i.v - im.m)) / COUNT(*)) AS s
+        FROM img i JOIN img_mean im USING (media_ref)
+        GROUP BY 1, 2, 3
+    ),
+    th AS (
+        SELECT media_ref, bi, bj, ch, SUM(v) / COUNT(*) AS tv
+        FROM img GROUP BY 1, 2, 3, 4
+    ),
+    thm AS (
+        SELECT media_ref, bi, bj, SUM(tv) / COUNT(*) AS tm
+        FROM th GROUP BY 1, 2, 3
+    ),
+    th_all AS (
+        SELECT media_ref, SUM(tv) / COUNT(*) AS overall FROM th GROUP BY 1
+    ),
+    img_sig AS (
+        SELECT t.media_ref,
+               string_agg(CASE WHEN t.tm > a.overall THEN '1' ELSE '0' END,
+                          '' ORDER BY t.bi, t.bj) AS sig
+        FROM thm t JOIN th_all a USING (media_ref)
+        GROUP BY t.media_ref
+    ),
+    img_out AS (
+        SELECT s.media_ref, 'image' AS kind, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+               round_even(s.m, 6) AS feat_mean, round_even(s.s, 6) AS feat_std, g.sig AS signature
+        FROM img_stats s JOIN img_sig g USING (media_ref)
+    ),
+    -- audio: int8 samples scaled to [-1, 1)
+    aud AS (
+        SELECT media_ref, n_bytes, k,
+               (CASE WHEN v > 127 THEN v - 256 ELSE v END) AS sv,
+               (CASE WHEN v > 127 THEN v - 256 ELSE v END) / 128.0 AS a
+        FROM bytes WHERE kind = 'audio'
+    ),
+    aud_zc AS (
+        SELECT media_ref,
+               SUM(CASE WHEN prev_sv * sv < 0 THEN 1 ELSE 0 END) AS zc
+        FROM (
+            SELECT media_ref, sv,
+                   LAG(sv) OVER (PARTITION BY media_ref ORDER BY k) AS prev_sv
+            FROM aud
+        )
+        GROUP BY 1
+    ),
+    aud_out AS (
+        SELECT s.media_ref, 'audio' AS kind, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+               round_even(s.m, 6) AS feat_mean, round_even(s.s, 6) AS feat_std,
+               CAST(z.zc AS VARCHAR) AS signature
+        FROM (
+            SELECT media_ref, n_bytes,
+                   SUM(ABS(a)) / COUNT(*) AS m,
+                   sqrt(SUM(a * a) / COUNT(*)) AS s
+            FROM aud GROUP BY 1, 2
+        ) s JOIN aud_zc z USING (media_ref)
+    ),
+    -- video: (frames, 16, 16) uint8; every 2nd frame sampled
+    vid AS (
+        SELECT media_ref, n_bytes, k, v, k // 256 AS f
+        FROM bytes WHERE kind = 'video'
+    ),
+    vid_s AS (SELECT * FROM vid WHERE f % 2 = 0),
+    vid_mean AS (
+        SELECT media_ref, n_bytes, SUM(v) / COUNT(*) AS m FROM vid_s GROUP BY 1, 2
+    ),
+    vid_stats AS (
+        SELECT v.media_ref, vm.n_bytes, vm.m,
+               sqrt(SUM((v.v - vm.m) * (v.v - vm.m)) / COUNT(*)) AS s
+        FROM vid_s v JOIN vid_mean vm USING (media_ref)
+        GROUP BY 1, 2, 3
+    ),
+    vid_sig AS (
+        SELECT media_ref,
+               string_agg(CAST(fm AS VARCHAR), ',' ORDER BY f) AS sig
+        FROM (
+            SELECT media_ref, f,
+                   CAST(FLOOR(SUM(v) / 256.0) AS BIGINT) AS fm
+            FROM vid_s WHERE f < 8 GROUP BY 1, 2
+        )
+        GROUP BY 1
+    ),
+    vid_out AS (
+        SELECT s.media_ref, 'video' AS kind, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+               round_even(s.m, 6) AS feat_mean, round_even(s.s, 6) AS feat_std, g.sig AS signature
+        FROM vid_stats s JOIN vid_sig g USING (media_ref)
+    )
+    SELECT * FROM (
+        SELECT * FROM img_out
+        UNION ALL SELECT * FROM aud_out
+        UNION ALL SELECT * FROM vid_out
+    )
+    ORDER BY media_ref
+    """
 
 
 def join_spans_to_media(spans_flat: DataFrame, media: DataFrame) -> DataFrame:
