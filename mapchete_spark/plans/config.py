@@ -119,6 +119,9 @@ class JobConfig:
     raw_params: Dict[str, Any] = field(default_factory=dict)
     baselevels: Optional[Baselevels] = None
     bounds: Optional[Bounds] = None
+    # directory of the .mapchete file: relative `process: my_process.py`
+    # paths resolve against it (reference config semantics)
+    config_dir: Optional[str] = None
 
     @staticmethod
     def from_dict(conf: dict) -> "JobConfig":
@@ -160,6 +163,7 @@ class JobConfig:
             raw_params=conf.get("process_parameters") or {},
             baselevels=bl,
             bounds=bounds,
+            config_dir=conf.get("config_dir"),
         )
 
     @staticmethod
@@ -168,8 +172,12 @@ class JobConfig:
 
     @staticmethod
     def from_file(path: str) -> "JobConfig":
+        import os
+
         with open(path) as f:
-            return JobConfig.from_yaml(f.read())
+            conf = yaml.safe_load(f.read())
+        conf.setdefault("config_dir", os.path.dirname(os.path.abspath(path)))
+        return JobConfig.from_dict(conf)
 
     # ---- per-zoom views ------------------------------------------------------
 

@@ -52,12 +52,37 @@ def register_process(name: str, kind: str, fn: Callable, min_pixelbuffer: int = 
     PROCESS_REGISTRY[name] = (kind, fn, min_pixelbuffer)
 
 
+# output formats producing feature rows instead of raster payloads
+_VECTOR_FORMATS = {"geojson", "flatgeobuf", "vector", "parquet_features"}
+
+
+def resolve_process(cfg: JobConfig):
+    """(kind, fn, min_pixelbuffer) for a config's ``process:`` entry:
+    a registry name, a path to a Python file, or a dotted module path
+    (reference: mapchete/config/process_func.py:24-60). File/module
+    processes are signature-validated against the per-zoom parameters
+    at resolve time (analyze_parameters), like the reference does at
+    config parse."""
+    if cfg.process in PROCESS_REGISTRY:
+        return PROCESS_REGISTRY[cfg.process]
+    from mapchete_spark.plans.process_func import ProcessFunc
+
+    pf = ProcessFunc(cfg.process, config_dir=getattr(cfg, "config_dir", None))
+    pf.analyze_parameters({z: cfg.params_at_zoom(z) for z in cfg.process_zooms()})
+    kind = (
+        "vector"
+        if str(cfg.output.get("format", "")).lower() in _VECTOR_FORMATS
+        else "raster"
+    )
+    return kind, pf, 0
+
+
 def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
     """Materialize the input tile table for one zoom. The built-in
     source is the synthetic DEM ('dem'); a parquet path reads an
     existing tile table (S3/S4 analog: another job's output)."""
     inp = cfg.input_at_zoom(zoom)
-    if inp in (None, "dem") or inp == {"source": "dem"}:
+    if inp in (None, "dem") or (isinstance(inp, dict) and inp.get("source") == "dem"):
         return materialize_dem(
             spark, zoom, cfg.pyramid, bounds=cfg.bounds,
             hole=bool((inp or {}).get("hole", True)) if isinstance(inp, dict) else True,
@@ -79,7 +104,7 @@ def execute(
     """Run a job config. Returns per-stage processed-tile counts.
 
     mode: continue | overwrite | readonly (J1 semantics)."""
-    kind, fn, min_pb = PROCESS_REGISTRY[cfg.process]
+    kind, fn, min_pb = resolve_process(cfg)
     out_path = cfg.output["path"]
     tiles_path = os.path.join(out_path, "tiles")
     store = JobStore(spark, store_path or os.path.join(out_path, "_state"))
