@@ -516,6 +516,41 @@ def o_overviews() -> str:
     return R.overviews_sql(_RASTER_ZOOM, 3, *_raster_ranges())
 
 
+def q_singlefile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 single-file output analog: coalesce the whole DEM zoom into
+    ONE array (driver-side sink with an in-memory threshold guard,
+    reference gtiff.py:390-509) and digest it."""
+    import numpy as np
+
+    from mapchete_spark.operators.digests import QUANT
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.raster.dem import DEM_NODATA
+    from mapchete_spark.sources.singlefile import assemble_single_array
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi)
+    mosaic, bounds, nodata = assemble_single_array(dem, pyr, _RASTER_ZOOM)
+    raw = np.asarray(mosaic.filled(DEM_NODATA))
+    valid = raw != np.float32(DEM_NODATA)
+    vq = np.floor(raw[valid].astype(np.float64) * QUANT).astype(np.int64)
+    row = (
+        _RASTER_ZOOM,
+        int(raw.shape[-2]),
+        int(raw.shape[-1]),
+        int(valid.sum()),
+        int(vq.sum()),
+    )
+    return spark.createDataFrame(
+        [row], "zoom int, height int, width int, n_valid long, value_q_sum long"
+    )
+
+
+def o_singlefile_mosaic() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.single_mosaic_sql(_RASTER_ZOOM, *_raster_ranges(), hole=True)
+
+
 # ---------------------------------------------------------------------------
 # vector pipeline (V1-V13): the square-footprint variant is
 # oracle-checked (square clip == rectangle algebra); polygon variants
@@ -708,6 +743,120 @@ def o_vector_union() -> str:
            COALESCE(c.covered_px, 0) AS covered_px
     FROM n_feat n LEFT JOIN cov c USING (tile_row, tile_col)
     ORDER BY n.tile_row, n.tile_col
+    """
+    )
+
+
+def q_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 LineString path: deterministic 'V' polylines per doc exploded
+    to zoom-6 tiles (Liang–Barsky intersect test), clipped by the REAL
+    vector pipeline (counts) and digested parametrically (lengths)."""
+    from mapchete_spark.operators.vector import (
+        clip_features_to_tiles,
+        doc_vline_features,
+        explode_features_to_tiles,
+        line_clip_digests,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    feats = doc_vline_features(docs)
+    exploded = explode_features_to_tiles(feats, 6)
+    clipped = clip_features_to_tiles(exploded)
+    counts = clipped.groupBy("zoom", "tile_row", "tile_col").agg(
+        F.count(F.lit(1)).alias("n_clipped")
+    )
+    lens = line_clip_digests(exploded)
+    return counts.join(lens, ["zoom", "tile_row", "tile_col"]).orderBy(
+        "tile_row", "tile_col"
+    )
+
+
+def o_line_clip() -> str:
+    """Liang–Barsky in SQL, operation order mirroring
+    geometry.core.segment_clip_params verbatim."""
+    ts = "(180.0 / POWER(2.0, 6))"
+
+    def clip_len(x1, y1, x2, y2):
+        dx = f"({x2} - {x1})"
+        dy = f"({y2} - {y1})"
+        tx_min = (f"CASE WHEN {dx} = 0 THEN (CASE WHEN {x1} >= tl AND {x1} <= tr "
+                  f"THEN -1e308 ELSE 1e308 END) "
+                  f"ELSE LEAST((tl - {x1}) / {dx}, (tr - {x1}) / {dx}) END")
+        tx_max = (f"CASE WHEN {dx} = 0 THEN (CASE WHEN {x1} >= tl AND {x1} <= tr "
+                  f"THEN 1e308 ELSE -1e308 END) "
+                  f"ELSE GREATEST((tl - {x1}) / {dx}, (tr - {x1}) / {dx}) END")
+        ty_min = (f"CASE WHEN {dy} = 0 THEN (CASE WHEN {y1} >= tb AND {y1} <= tt "
+                  f"THEN -1e308 ELSE 1e308 END) "
+                  f"ELSE LEAST((tb - {y1}) / {dy}, (tt - {y1}) / {dy}) END")
+        ty_max = (f"CASE WHEN {dy} = 0 THEN (CASE WHEN {y1} >= tb AND {y1} <= tt "
+                  f"THEN 1e308 ELSE -1e308 END) "
+                  f"ELSE GREATEST((tb - {y1}) / {dy}, (tt - {y1}) / {dy}) END")
+        t0 = f"GREATEST(GREATEST(0.0, {tx_min}), {ty_min})"
+        t1 = f"LEAST(LEAST(1.0, {tx_max}), {ty_max})"
+        seglen = f"sqrt({dx} * {dx} + {dy} * {dy})"
+        return t0, t1, seglen
+
+    segs = []
+    for (x1, y1, x2, y2) in (("x0", "y0", "xm", "ym"), ("xm", "ym", "x2", "y2")):
+        t0, t1, sl = clip_len(x1, y1, x2, y2)
+        segs.append(
+            f"CASE WHEN ({t0}) <= ({t1}) THEN "
+            f"CAST(FLOOR(((({t1}) - ({t0})) * {sl}) * 262144.0) AS BIGINT) "
+            f"ELSE NULL END"
+        )
+    inside_any = " OR ".join(
+        f"({clip_len(x1, y1, x2, y2)[0]}) <= ({clip_len(x1, y1, x2, y2)[1]})"
+        for (x1, y1, x2, y2) in (("x0", "y0", "xm", "ym"), ("xm", "ym", "x2", "y2"))
+    )
+    return (
+        _docs_geo_cte()
+        + f"""
+    , vee AS (
+        SELECT doc_id,
+               GREATEST(lon - radius, -180.0) AS x0,
+               GREATEST(lat - radius, -90.0) AS y0,
+               lon AS xm,
+               LEAST(lat + radius, 90.0) AS ym,
+               LEAST(lon + radius, 180.0) AS x2,
+               GREATEST(lat - radius, -90.0) AS y2
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), ranges AS (
+        SELECT doc_id, x0, y0, xm, ym, x2, y2,
+               LEAST(GREATEST(CAST(FLOOR((x0 + 180.0) / {ts}) AS BIGINT), 0), 127) AS c0,
+               LEAST(GREATEST(CAST(CEIL((x2 + 180.0) / {ts}) AS BIGINT) - 1, 0), 127) AS c1,
+               LEAST(GREATEST(CAST(FLOOR((90.0 - ym) / {ts}) AS BIGINT), 0), 63) AS r0,
+               LEAST(GREATEST(CAST(CEIL((90.0 - y0) / {ts}) AS BIGINT) - 1, 0), 63) AS r1
+        FROM vee
+    ), cover AS (
+        SELECT doc_id, x0, y0, xm, ym, x2, y2,
+               UNNEST(generate_series(r0, GREATEST(r1, r0))) AS tile_row
+        FROM ranges
+    ), cover2 AS (
+        SELECT c.doc_id, c.tile_row, c.x0, c.y0, c.xm, c.ym, c.x2, c.y2,
+               UNNEST(generate_series(g.c0, GREATEST(g.c1, g.c0))) AS tile_col
+        FROM cover c JOIN ranges g USING (doc_id)
+    ), cover3 AS (
+        SELECT * FROM cover2
+    ), rects AS (
+        SELECT doc_id, tile_row, tile_col, x0, y0, xm, ym, x2, y2,
+               (-180.0 + tile_col * {ts}) AS tl,
+               (-180.0 + (tile_col + 1) * {ts}) AS tr,
+               (90.0 - (tile_row + 1) * {ts}) AS tb,
+               (90.0 - tile_row * {ts}) AS tt
+        FROM cover3
+    ), digs AS (
+        SELECT tile_row, tile_col, doc_id,
+               ({inside_any}) AS inside,
+               COALESCE({segs[0]}, 0) + COALESCE({segs[1]}, 0) AS len_q
+        FROM rects
+    )
+    SELECT 6 AS zoom, tile_row, tile_col,
+           CAST(COUNT(*) FILTER (inside) AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN inside THEN len_q ELSE 0 END) AS BIGINT) AS len_q_sum
+    FROM digs
+    GROUP BY 2, 3
+    HAVING COUNT(*) FILTER (inside) > 0
+    ORDER BY tile_row, tile_col
     """
     )
 
@@ -1106,6 +1255,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
+        "singlefile_mosaic": q_singlefile_mosaic,
         "hillshade": q_hillshade,
         "contours": q_contours,
         "overviews": q_overviews,
@@ -1123,6 +1273,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "vector_clip": q_vector_clip,
+        "line_clip": q_line_clip,
         "vector_union": q_vector_union,
         "vector_reproject": q_vector_reproject,
         "events_windowed": q_events_windowed,
@@ -1149,10 +1300,12 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(_o_training_ops())
     out["dem_tiles"] = o_dem_tiles()
+    out["singlefile_mosaic"] = o_singlefile_mosaic()
     out["hillshade"] = o_hillshade()
     out["contours"] = o_contours()
     out["overviews"] = o_overviews()
     out["vector_clip"] = o_vector_clip()
+    out["line_clip"] = o_line_clip()
     out["vector_union"] = o_vector_union()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql

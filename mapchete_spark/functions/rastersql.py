@@ -513,3 +513,32 @@ def tiledir_read_sql(dst_zoom: int, targets: list, src_ranges: dict) -> str:
     ORDER BY tile_row, tile_col
     """
     )
+
+
+# ---- S6: single-file mosaic ------------------------------------------------------
+
+
+def single_mosaic_sql(zoom: int, row0: int, row1: int, col0: int, col1: int,
+                      hole: bool = True) -> str:
+    """One-row digest of the assembled single artifact: the mosaic of a
+    full tile-range rectangle is exactly the contiguous lattice window,
+    so the digest is the dem_tiles digest aggregated across all tiles."""
+    _, px = _geodetic_sizes(zoom)
+    gi0, gi1 = row0 * TILE_SIZE, (row1 + 1) * TILE_SIZE - 1
+    gj0, gj1 = col0 * TILE_SIZE, (col1 + 1) * TILE_SIZE - 1
+    e = _elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    valid = f"({e}) >= {_r(DEM_HOLE_BELOW)}" if hole else "TRUE"
+    h = (row1 - row0 + 1) * TILE_SIZE
+    w = (col1 - col0 + 1) * TILE_SIZE
+    return f"""
+    WITH {_rows_cte("rows_g", gi0, gi1, px)},
+    {_cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT CASE WHEN {valid} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {zoom} AS zoom, {h} AS height, {w} AS width,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           COALESCE({_qsum("e")}, 0) AS value_q_sum
+    FROM px
+    """

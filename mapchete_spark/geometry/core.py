@@ -145,9 +145,121 @@ class LineString:
     def is_empty(self) -> bool:
         return len(self.coords) == 0
 
+    def intersects_rect(self, bounds: Bounds) -> bool:
+        """Any segment portion inside the rect (Liang–Barsky)."""
+        c = self.coords
+        if len(c) < 2:
+            return False
+        t0, t1, _ = segment_clip_params(
+            c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1],
+            bounds.left, bounds.bottom, bounds.right, bounds.top,
+        )
+        return bool((t0 <= t1).any())
+
     def __eq__(self, other):
         return isinstance(other, LineString) and np.array_equal(
             self.coords, other.coords
+        )
+
+
+_LB_INF = 1e308  # finite sentinel so the SQL twin can mirror exactly
+
+
+def segment_clip_params(x1, y1, x2, y2, left, bottom, right, top):
+    """Liang–Barsky parametric clip of segments against a rectangle,
+    vectorized. Returns (t0, t1, seglen): the segment portion inside is
+    p(t) for t in [t0, t1] (empty iff t0 > t1), seglen the full segment
+    length. Operation order is mirrored verbatim by the SQL twin in
+    __spark_entry__.o_line_clip, so (t1 - t0) * seglen is bit-identical
+    across engines."""
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    dx = x2 - x1
+    dy = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        txa = (left - x1) / dx
+        txb = (right - x1) / dx
+        tya = (bottom - y1) / dy
+        tyb = (top - y1) / dy
+    x_in = (x1 >= left) & (x1 <= right)
+    y_in = (y1 >= bottom) & (y1 <= top)
+    tx_min = np.where(dx == 0, np.where(x_in, -_LB_INF, _LB_INF), np.minimum(txa, txb))
+    tx_max = np.where(dx == 0, np.where(x_in, _LB_INF, -_LB_INF), np.maximum(txa, txb))
+    ty_min = np.where(dy == 0, np.where(y_in, -_LB_INF, _LB_INF), np.minimum(tya, tyb))
+    ty_max = np.where(dy == 0, np.where(y_in, _LB_INF, -_LB_INF), np.maximum(tya, tyb))
+    t0 = np.maximum(np.maximum(0.0, tx_min), ty_min)
+    t1 = np.minimum(np.minimum(1.0, tx_max), ty_max)
+    seglen = np.sqrt(dx * dx + dy * dy)
+    return t0, t1, seglen
+
+
+def clip_line_to_rect(coords: np.ndarray, left, bottom, right, top):
+    """Clip a polyline to a rectangle: list of polyline pieces (each an
+    (N, 2) array). Consecutive segments whose clipped portions join at
+    the shared vertex are stitched into one piece."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return []
+    t0, t1, _ = segment_clip_params(
+        c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1], left, bottom, right, top
+    )
+    pieces = []
+    cur: list = []
+    for i in range(len(c) - 1):
+        if t0[i] > t1[i]:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = []
+            continue
+        dx = c[i + 1, 0] - c[i, 0]
+        dy = c[i + 1, 1] - c[i, 1]
+        p0 = (c[i, 0] + t0[i] * dx, c[i, 1] + t0[i] * dy)
+        p1 = (c[i, 0] + t1[i] * dx, c[i, 1] + t1[i] * dy)
+        starts_fresh = not cur or t0[i] > 0.0 or tuple(cur[-1]) != p0
+        if starts_fresh:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = [p0, p1]
+        else:
+            cur.append(p1)
+        if t1[i] < 1.0:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = []
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    return pieces
+
+
+@dataclass(frozen=True)
+class MultiLineString:
+    lines: Tuple["LineString", ...]
+
+    geom_type = "MultiLineString"
+
+    @property
+    def bounds(self) -> Bounds:
+        bs = [ln.bounds for ln in self.lines]
+        return Bounds(
+            min(b.left for b in bs),
+            min(b.bottom for b in bs),
+            max(b.right for b in bs),
+            max(b.top for b in bs),
+        )
+
+    def is_empty(self) -> bool:
+        return not self.lines
+
+    def intersects_rect(self, bounds: Bounds) -> bool:
+        return any(ln.intersects_rect(bounds) for ln in self.lines)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, MultiLineString)
+            and len(self.lines) == len(other.lines)
+            and all(a == b for a, b in zip(self.lines, other.lines))
         )
 
 

@@ -1,4 +1,5 @@
-"""Tiny WKB codec for Point / LineString / Polygon / MultiPolygon.
+"""Tiny WKB codec for Point / LineString / MultiLineString / Polygon /
+MultiPolygon.
 
 The engine's vector payload is a ``geometry:binary`` (WKB) column
 (SURVEY.md §1.1); with shapely unavailable we read/write the ISO WKB
@@ -12,14 +13,21 @@ from typing import Union
 
 import numpy as np
 
-from mapchete_spark.geometry.core import LineString, MultiPolygon, Point, Polygon
+from mapchete_spark.geometry.core import (
+    LineString,
+    MultiLineString,
+    MultiPolygon,
+    Point,
+    Polygon,
+)
 
 _POINT = 1
 _LINESTRING = 2
 _POLYGON = 3
+_MULTILINESTRING = 5
 _MULTIPOLYGON = 6
 
-Geometry = Union[Point, LineString, Polygon, MultiPolygon]
+Geometry = Union[Point, LineString, MultiLineString, Polygon, MultiPolygon]
 
 
 def _ring_bytes(ring: np.ndarray) -> bytes:
@@ -45,6 +53,12 @@ def to_wkb(geom: Geometry) -> bytes:
         return (
             struct.pack("<bII", 1, _LINESTRING, len(coords)) + coords.tobytes()
         )
+    if isinstance(geom, MultiLineString):
+        out = struct.pack("<bII", 1, _MULTILINESTRING, len(geom.lines))
+        for ln in geom.lines:
+            coords = np.asarray(ln.coords, dtype="<f8")
+            out += struct.pack("<bII", 1, _LINESTRING, len(coords)) + coords.tobytes()
+        return out
     if isinstance(geom, Polygon):
         return struct.pack("<bI", 1, _POLYGON) + _polygon_body(geom)
     if isinstance(geom, MultiPolygon):
@@ -92,6 +106,14 @@ def from_wkb(buf: bytes) -> Geometry:
     if gtype == _LINESTRING:
         (n,) = r.take("<I")
         return LineString(r.coords(n))
+    if gtype == _MULTILINESTRING:
+        (n,) = r.take("<I")
+        lines = []
+        for _ in range(n):
+            r.take("<bI")
+            (npts,) = r.take("<I")
+            lines.append(LineString(r.coords(npts)))
+        return MultiLineString(tuple(lines))
     if gtype == _POLYGON:
         return _read_polygon_body(r)
     if gtype == _MULTIPOLYGON:

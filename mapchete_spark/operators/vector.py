@@ -128,17 +128,82 @@ def explode_features_to_tiles(
     )
 
 
+def _clip_polygonal(geom, tb) -> Optional[tuple]:
+    """(clipped geometry, area) of polygon ∩ rect, interior rings kept
+    (reference read_vector_window keeps holes through the clip,
+    mapchete/io/vector/read.py:85-143). None when empty."""
+    from mapchete_spark.geometry.core import clip_ring_to_rect, ring_area
+
+    polys = list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
+    pieces = []
+    area = 0.0
+    for poly in polys:
+        try:
+            ring = repair_ring(poly.exterior)
+        except ValueError:
+            continue
+        clipped = clip_ring_to_rect(ring, tb.left, tb.bottom, tb.right, tb.top)
+        if len(clipped) < 3:
+            continue
+        a = ring_area(clipped)
+        if a <= 0:
+            continue
+        holes = []
+        for hole in poly.interiors:
+            try:
+                hring = repair_ring(hole)
+            except ValueError:
+                continue
+            hc = clip_ring_to_rect(hring, tb.left, tb.bottom, tb.right, tb.top)
+            if len(hc) >= 3:
+                ha = ring_area(hc)
+                if ha > 0:
+                    holes.append(hc)
+                    a -= ha
+        pieces.append(Polygon(clipped, tuple(holes)))
+        area += a
+    if not pieces:
+        return None
+    merged = pieces[0] if len(pieces) == 1 else MultiPolygon(tuple(pieces))
+    return merged, area
+
+
+def _clip_linear(geom, tb) -> Optional[tuple]:
+    """(clipped MultiLineString/LineString, 0.0) of line ∩ rect via
+    Liang–Barsky; None when no portion inside."""
+    from mapchete_spark.geometry.core import (
+        LineString,
+        MultiLineString,
+        clip_line_to_rect,
+    )
+
+    lines = list(geom.lines) if isinstance(geom, MultiLineString) else [geom]
+    pieces = []
+    for ln in lines:
+        for piece in clip_line_to_rect(
+            ln.coords, tb.left, tb.bottom, tb.right, tb.top
+        ):
+            pieces.append(LineString(piece))
+    if not pieces:
+        return None
+    return (pieces[0] if len(pieces) == 1 else MultiLineString(tuple(pieces))), 0.0
+
+
 def clip_features_to_tiles(
     exploded: DataFrame, pyramid: Optional[TilePyramid] = None
 ) -> DataFrame:
-    """V1 core: intersect each feature with its tile's bbox
-    (repair -> Sutherland-Hodgman clip -> drop empties). Adds
-    clipped geometry WKB + exact clipped area."""
+    """V1 core: intersect each feature with its tile's bbox and drop
+    empties. Polygons: repair -> Sutherland-Hodgman clip (interior
+    rings kept); lines: Liang–Barsky segment clip stitched to
+    polylines; points: tile-bbox containment (reference pipeline,
+    mapchete/io/vector/read.py:85-143 + geometry/filter.py:18-121).
+    Adds clipped geometry WKB + exact clipped area (0 for points/lines).
+    """
     pyr = pyramid or TilePyramid("geodetic")
     pyr_dict = pyr.to_dict()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mapchete_spark.geometry.core import clip_ring_to_rect, ring_area
+        from mapchete_spark.geometry.core import LineString, MultiLineString, Point
 
         p = TilePyramid(**pyr_dict)
         for pdf in batches:
@@ -155,27 +220,19 @@ def clip_features_to_tiles(
                 t = Tile(p, int(z), int(trow), int(tcol))
                 tb = t.bounds(pixelbuffer=0)
                 geom = from_wkb(gwkb)
-                polys = (
-                    list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
-                )
-                pieces = []
-                area = 0.0
-                for poly in polys:
-                    try:
-                        ring = repair_ring(poly.exterior)
-                    except ValueError:
-                        continue
-                    clipped = clip_ring_to_rect(
-                        ring, tb.left, tb.bottom, tb.right, tb.top
+                if isinstance(geom, Point):
+                    inside = (
+                        tb.left <= geom.x <= tb.right
+                        and tb.bottom <= geom.y <= tb.top
                     )
-                    if len(clipped) >= 3:
-                        a = ring_area(clipped)
-                        if a > 0:
-                            pieces.append(Polygon(clipped))
-                            area += a
-                if not pieces:
+                    res = (geom, 0.0) if inside else None
+                elif isinstance(geom, (LineString, MultiLineString)):
+                    res = _clip_linear(geom, tb)
+                else:
+                    res = _clip_polygonal(geom, tb)
+                if res is None:
                     continue
-                merged = pieces[0] if len(pieces) == 1 else MultiPolygon(tuple(pieces))
+                merged, area = res
                 out["feature_id"].append(fid)
                 out["zoom"].append(int(z))
                 out["tile_row"].append(int(trow))
@@ -310,4 +367,80 @@ def doc_footprint_features(docs_geo: DataFrame) -> DataFrame:
 
     return docs_geo.select("doc_id", "lon", "lat", "radius").mapInPandas(
         gen, schema=FEATURE_SCHEMA
+    )
+
+
+def doc_vline_features(docs_geo: DataFrame) -> DataFrame:
+    """Deterministic 2-segment 'V' polyline per doc with a radius:
+    (lon-r, lat-r) -> (lon, lat+r) -> (lon+r, lat-r), clamped to the
+    world rect — the line-clipping analog of the square footprints
+    (coordinates are plain column algebra, so the SQL twin rebuilds
+    them exactly)."""
+    from mapchete_spark.geometry.core import LineString
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["radius"].notna()]
+            geoms = []
+            for lon, lat, r in zip(sel["lon"], sel["lat"], sel["radius"]):
+                coords = np.array(
+                    [
+                        [max(lon - r, -180.0), max(lat - r, -90.0)],
+                        [lon, min(lat + r, 90.0)],
+                        [min(lon + r, 180.0), max(lat - r, -90.0)],
+                    ],
+                    dtype=np.float64,
+                )
+                geoms.append(bytearray(to_wkb(LineString(coords))))
+            yield pd.DataFrame(
+                {
+                    "feature_id": sel["doc_id"].astype(str),
+                    "geometry": geoms,
+                    "geom_type": ["LineString"] * len(sel),
+                    "properties": ["{}"] * len(sel),
+                }
+            )
+
+    return docs_geo.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        gen, schema=FEATURE_SCHEMA
+    )
+
+
+def line_clip_digests(exploded: DataFrame, pyramid: Optional[TilePyramid] = None) -> DataFrame:
+    """Per (feature, tile) quantized inside-length of line features:
+    SUM(floor((t1 - t0) * seglen * 2^18)) over Liang–Barsky-clipped
+    segments — operation order mirrored by the SQL twin."""
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_dict = pyr.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapchete_spark.geometry.core import segment_clip_params
+
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {"zoom": [], "tile_row": [], "tile_col": [], "len_q": []}
+            for z, trow, tcol, gwkb in zip(
+                pdf["zoom"].values, pdf["tile_row"].values,
+                pdf["tile_col"].values, pdf["geometry"].values,
+            ):
+                t = Tile(p, int(z), int(trow), int(tcol))
+                tb = t.bounds(pixelbuffer=0)
+                c = from_wkb(gwkb).coords
+                t0, t1, seglen = segment_clip_params(
+                    c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1],
+                    tb.left, tb.bottom, tb.right, tb.top,
+                )
+                inside = t0 <= t1
+                lq = np.floor(((t1 - t0) * seglen) * 262144.0).astype(np.int64)
+                out["zoom"].append(int(z))
+                out["tile_row"].append(int(trow))
+                out["tile_col"].append(int(tcol))
+                out["len_q"].append(int(lq[inside].sum()))
+            yield pd.DataFrame(out)
+
+    per_feature = exploded.mapInPandas(
+        gen, schema="zoom int, tile_row long, tile_col long, len_q long"
+    )
+    return per_feature.groupBy("zoom", "tile_row", "tile_col").agg(
+        F.sum("len_q").alias("len_q_sum")
     )

@@ -1,0 +1,103 @@
+"""S6 single-file / COG output analog: coalesce ONE zoom level of a
+tile table into a single georeferenced artifact.
+
+Reference semantics (mapchete/formats/default/gtiff.py:390-509): the
+single-file GTiff driver assembles the whole zoom in the parent process
+(``write_in_parent_process``), guarded by ``IN_MEMORY_THRESHOLD``
+(:71) — beyond it the reference streams through a temporary file. Here
+the artifact is a .npy array + JSON sidecar (no GDAL in the env); the
+guard estimates the assembled size from a Spark aggregate BEFORE
+collecting, and the collect streams via toLocalIterator so only the
+canvas (not all rows at once) is held.
+
+This is deliberately a DRIVER-side sink: a single artifact is a single
+writer by definition. The distributed path for large outputs is the
+partitioned tile table; this sink exists for the reference's
+one-file-deliverable workflow and refuses (like the reference's
+threshold) to assemble something that cannot fit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapchete_spark.raster.mosaic import create_mosaic
+from mapchete_spark.operators.rastertable import row_to_array
+from mapchete_spark.tilegrid.grid import Bounds
+from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+IN_MEMORY_THRESHOLD = 20037 * 20037 * 2  # ~800 MB, gtiff.py:71 analog
+
+
+class SingleFileTooLarge(ValueError):
+    pass
+
+
+def assemble_single_array(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    zoom: int,
+    threshold_bytes: int = IN_MEMORY_THRESHOLD,
+) -> Tuple[np.ma.MaskedArray, Bounds, float]:
+    """Mosaic one zoom of a tile table into a single masked array.
+    Raises SingleFileTooLarge when the estimated assembled size exceeds
+    the threshold (checked with one cheap aggregate before any data is
+    pulled to the driver)."""
+    lvl = tiles.where(F.col("zoom") == zoom)
+    est = lvl.agg(
+        F.sum(F.length("data")).alias("nbytes"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not est["n"]:
+        raise ValueError(f"no tiles at zoom {zoom}")
+    if int(est["nbytes"] or 0) > threshold_bytes:
+        raise SingleFileTooLarge(
+            f"assembled zoom {zoom} needs ~{est['nbytes']} bytes "
+            f"(> threshold {threshold_bytes}); write the partitioned "
+            "tile table instead"
+        )
+    tiles_arrays = []
+    nodata = 0.0
+    for row in lvl.toLocalIterator():
+        d = row.asDict()
+        t = Tile(pyramid, int(d["zoom"]), int(d["tile_row"]), int(d["tile_col"]))
+        tiles_arrays.append((t, row_to_array(d)))
+        nodata = float(d["nodata"])
+    mosaic, bounds = create_mosaic(tiles_arrays, nodata=nodata)
+    return mosaic, bounds, nodata
+
+
+def write_single_artifact(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    zoom: int,
+    path: str,
+    threshold_bytes: int = IN_MEMORY_THRESHOLD,
+) -> dict:
+    """Write the assembled zoom as <path>.npy + <path>.json sidecar
+    (bounds, pixel sizes, nodata, dtype — everything a GTiff header
+    would carry). Returns the sidecar dict."""
+    mosaic, bounds, nodata = assemble_single_array(
+        tiles, pyramid, zoom, threshold_bytes
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path + ".npy", mosaic.filled(nodata))
+    meta = dict(
+        zoom=zoom,
+        bounds=list(bounds),
+        shape=list(mosaic.shape),
+        dtype=str(mosaic.dtype),
+        nodata=nodata,
+        pixel_x_size=pyramid.pixel_x_size(zoom),
+        pixel_y_size=pyramid.pixel_y_size(zoom),
+        crs=pyramid.crs,
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

@@ -87,3 +87,51 @@ def test_tile_index_geojson(spark, tmp_path):
     f0 = gj["features"][0]
     ring = f0["geometry"]["coordinates"][0]
     assert len(ring) == 5 and ring[0] == ring[-1]
+
+
+class TestSingleFile:
+    """S6 single-file output analog (reference gtiff.py:390-509)."""
+
+    def test_write_single_artifact_matches_tiles(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+
+        from mapchete_spark.operators.rastertable import (
+            materialize_dem,
+            row_to_array,
+        )
+        from mapchete_spark.sources.singlefile import write_single_artifact
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        pyr = TilePyramid("geodetic")
+        aoi = Bounds(0.0, 20.0, 45.0, 50.0)
+        dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+        meta = write_single_artifact(dem, pyr, 5, str(tmp_path / "dem_z5"))
+        arr = np.load(str(tmp_path / "dem_z5.npy"))
+        assert arr.shape == tuple(meta["shape"])
+        with open(str(tmp_path / "dem_z5.json")) as f:
+            side = json.load(f)
+        assert side["crs"] == "EPSG:4326"
+        # golden: a tile's window of the artifact equals the tile payload
+        row = dem.orderBy("tile_row", "tile_col").limit(1).collect()[0].asDict()
+        tile_arr = np.asarray(row_to_array(row))
+        r0 = int((side["bounds"][3] - (90.0 - row["tile_row"] * 5.625)) / -side["pixel_y_size"])
+        c0 = int(((-180.0 + row["tile_col"] * 5.625) - side["bounds"][0]) / side["pixel_x_size"])
+        window = arr[:, r0 : r0 + 256, c0 : c0 + 256]
+        np.testing.assert_array_equal(window, tile_arr)
+
+    def test_threshold_guard(self, spark):
+        import pytest
+
+        from mapchete_spark.operators.rastertable import materialize_dem
+        from mapchete_spark.sources.singlefile import (
+            SingleFileTooLarge,
+            assemble_single_array,
+        )
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        pyr = TilePyramid("geodetic")
+        dem = materialize_dem(spark, 5, pyr, bounds=Bounds(0.0, 20.0, 45.0, 50.0))
+        with pytest.raises(SingleFileTooLarge):
+            assemble_single_array(dem, pyr, 5, threshold_bytes=1024)

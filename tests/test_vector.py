@@ -144,3 +144,115 @@ def test_doc_footprints_clip_matches_rect_algebra(spark):
         # float association order differs between shoelace and rect
         # algebra at ~1e-13 — compare at 1e-6 relative
         assert r["clipped_area"] == pytest.approx(max(w, 0) * max(h, 0), rel=1e-6)
+
+
+class TestLinePointClip:
+    """V1 point/line path + polygon interior rings through the clip
+    (round-2 items; reference mapchete/io/vector/read.py:85-143)."""
+
+    def test_clip_line_to_rect_crossing(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import clip_line_to_rect
+
+        line = np.array([[-1.0, 0.5], [2.0, 0.5]])
+        [piece] = clip_line_to_rect(line, 0.0, 0.0, 1.0, 1.0)
+        np.testing.assert_allclose(piece, [[0.0, 0.5], [1.0, 0.5]])
+
+    def test_clip_line_multiple_pieces(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import clip_line_to_rect
+
+        # W shape dipping out of the rect between visits
+        line = np.array([[0.2, 0.5], [0.4, -1.0], [0.6, 0.5]])
+        pieces = clip_line_to_rect(line, 0.0, 0.0, 1.0, 1.0)
+        assert len(pieces) == 2
+        for p in pieces:
+            assert (p[:, 1] >= -1e-12).all()
+
+    def test_clip_line_stitches_through_interior_vertex(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import clip_line_to_rect
+
+        line = np.array([[0.1, 0.1], [0.5, 0.5], [0.9, 0.1]])
+        pieces = clip_line_to_rect(line, 0.0, 0.0, 1.0, 1.0)
+        assert len(pieces) == 1 and len(pieces[0]) == 3
+
+    def test_multilinestring_wkb_roundtrip(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import LineString, MultiLineString
+        from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+
+        ml = MultiLineString(
+            (
+                LineString(np.array([[0.0, 0.0], [1.0, 1.0]])),
+                LineString(np.array([[2.0, 2.0], [3.0, 2.0], [3.0, 4.0]])),
+            )
+        )
+        assert from_wkb(to_wkb(ml)) == ml
+
+    def test_point_and_line_features_clip(self, spark):
+        import json
+
+        import numpy as np
+
+        from mapchete_spark.geometry.core import LineString, Point
+        from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+        from mapchete_spark.operators.vector import (
+            clip_features_to_tiles,
+            explode_features_to_tiles,
+        )
+
+        rows = [
+            ("pt-in", bytearray(to_wkb(Point(10.0, 10.0))), "Point", "{}"),
+            (
+                "line",
+                bytearray(
+                    to_wkb(LineString(np.array([[5.0, 4.0], [15.0, 14.0]])))
+                ),
+                "LineString",
+                "{}",
+            ),
+        ]
+        feats = spark.createDataFrame(
+            rows, "feature_id string, geometry binary, geom_type string, properties string"
+        )
+        clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 4)).collect()
+        by_id = {}
+        for r in clipped:
+            by_id.setdefault(r["feature_id"], []).append(r)
+        assert len(by_id["pt-in"]) == 1  # the point lands in exactly one tile
+        assert by_id["pt-in"][0]["clipped_area"] == 0.0
+        # the line (5,4)->(15,14) visits three z4 tiles (11.25-degree
+        # tiles): crosses lon 11.25 at lat 10.25, then lat 11.25 at
+        # lon 12.25
+        assert len(by_id["line"]) == 3
+        for r in by_id["line"]:
+            geom = from_wkb(r["geometry"])
+            assert geom.geom_type in ("LineString", "MultiLineString")
+
+    def test_polygon_interior_ring_kept(self, spark):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import Polygon
+        from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+        from mapchete_spark.operators.vector import (
+            clip_features_to_tiles,
+            explode_features_to_tiles,
+        )
+
+        outer = np.array([[1.0, 1.0], [9.0, 1.0], [9.0, 9.0], [1.0, 9.0], [1.0, 1.0]])
+        hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]])
+        poly = Polygon(outer, (hole,))
+        feats = spark.createDataFrame(
+            [("donut", bytearray(to_wkb(poly)), "Polygon", "{}")],
+            "feature_id string, geometry binary, geom_type string, properties string",
+        )
+        clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 4)).collect()
+        [r] = [c for c in clipped if c["tile_row"] == 7 and c["tile_col"] == 16]
+        got = from_wkb(r["geometry"])
+        assert len(got.interiors) == 1  # hole survived the clip
+        assert abs(r["clipped_area"] - (64.0 - 4.0)) < 1e-9
