@@ -113,6 +113,28 @@ def parent_col(col: Column) -> Column:
     return F.floor(col / 2).cast("long")
 
 
+def zorder_key_col(zoom: Column, row: Column, col: Column) -> Column:
+    """Z-order (morton) physical sort key — the Column twin of
+    tilegrid.keys.pack_tile_key: [5 bits zoom | 58 bits morton(row,col)].
+    Used as the within-partition WRITE ORDER so parquet row groups get
+    spatial locality (neighboring tiles share row groups -> min/max
+    stats prune spatial range scans); the linear tile_key stays the
+    semantic join key. Pure shift/mask Column algebra, whole-stage
+    codegen friendly."""
+
+    def part1by1(x: Column) -> Column:
+        x = x.cast("long").bitwiseAND(F.lit(0x1FFFFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return x
+
+    morton = F.shiftleft(part1by1(row), 1).bitwiseOR(part1by1(col))
+    return F.shiftleft(zoom.cast("long"), 58).bitwiseOR(morton)
+
+
 def tile_key_col(zoom: Column, row: Column, col: Column) -> Column:
     """Canonical packed int64 tile key: zoom*2^54 + row*2^27 + col.
     Cheap shifts, exact in both Spark and DuckDB (< 2^63)."""

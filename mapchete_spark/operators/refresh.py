@@ -27,14 +27,16 @@ _R = 1 << 27
 
 
 def parent_key_col(key: F.Column) -> F.Column:
-    """tile_key -> parent tile_key, pure arithmetic on the packed key."""
-    z = (key / _Z).cast("long")
-    row = ((key % _Z) / _R).cast("long")
-    col = key % _R
+    """tile_key -> parent tile_key, exact bit arithmetic on the packed
+    key (shift/mask — a double division would round wrong for row/col
+    near 2^27)."""
+    z = F.shiftright(key, 54)
+    row = F.shiftright(key, 27).bitwiseAND(F.lit(_R - 1))
+    col = key.bitwiseAND(F.lit(_R - 1))
     return (
-        (z - 1) * F.lit(_Z).cast("long")
-        + F.floor(row / 2).cast("long") * F.lit(_R).cast("long")
-        + F.floor(col / 2).cast("long")
+        F.shiftleft(z - 1, 54)
+        .bitwiseOR(F.shiftleft(F.shiftright(row, 1), 27))
+        .bitwiseOR(F.shiftright(col, 1))
     )
 
 

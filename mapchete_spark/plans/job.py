@@ -126,7 +126,15 @@ def execute(
         try:
             n = df.count()
             if n:
-                df.write.mode("append").partitionBy("zoom").parquet(tiles_path)
+                # physical layout: sort each partition in z-order so
+                # parquet row groups carry spatial locality (row/col
+                # min/max stats then prune spatial range scans)
+                from mapchete_spark.functions.geo import zorder_key_col
+
+                ordered = df.sortWithinPartitions(
+                    zorder_key_col(F.col("zoom"), F.col("tile_row"), F.col("tile_col"))
+                )
+                ordered.write.mode("append").partitionBy("zoom").parquet(tiles_path)
                 store.commit_tiles(df, payload_col=payload)
         finally:
             df.unpersist()

@@ -121,7 +121,7 @@ def resample_from_array(
         and abs((in_bounds.top - out_bounds.top) % px_in_y) < 1e-9
     )
 
-    if resampling == "average" and int_down:
+    if resampling in ("average", "max", "min") and int_down:
         kx, ky = int(round(fx)), int(round(fy))
         r0, r1, c0, c1 = bounds_to_ranges(in_bounds, (in_h, in_w), out_bounds)
         # the source may not fully cover the target window (e.g. mosaic
@@ -134,11 +134,14 @@ def resample_from_array(
                 arr[:, sr0:sr1, sc0:sc1].filled(np.nan).astype(np.float64)
             )
         blocks = data.reshape(bands, out_h, ky, out_w, kx)
+        reducer = {"average": np.nanmean, "max": np.nanmax, "min": np.nanmin}[
+            resampling
+        ]
         with np.errstate(invalid="ignore"), warnings.catch_warnings():
             # all-NaN blocks (fully masked / uncovered) are expected and
             # become nodata below
             warnings.simplefilter("ignore", category=RuntimeWarning)
-            mean = np.nanmean(blocks, axis=(2, 4))
+            mean = reducer(blocks, axis=(2, 4))
         mask = np.isnan(mean)
         out = np.ma.MaskedArray(
             np.where(mask, nodata, mean).astype(arr.dtype), mask=mask
@@ -170,6 +173,47 @@ def resample_from_array(
         )
         out.set_fill_value(nodata)
         return out
+
+    if resampling == "cubic":
+        # separable bicubic (Keys kernel, a = -0.5 — the GDAL 'cubic'),
+        # mapchete exposes it via the rasterio Resampling enum
+        # (mapchete/io/raster/array.py:84-192)
+        a = -0.5
+
+        def kernel(t):
+            t = np.abs(t)
+            return np.where(
+                t <= 1,
+                (a + 2) * t**3 - (a + 3) * t**2 + 1,
+                np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+            )
+
+        c0 = np.floor(fcols).astype(int)
+        r0 = np.floor(frows).astype(int)
+        wx = fcols - c0
+        wy = frows - r0
+        d = arr.filled(np.nan).astype(np.float64)
+        val = np.zeros((bands, out_h, out_w), dtype=np.float64)
+        kx = [kernel(wx - o) for o in (-1, 0, 1, 2)]
+        ky = [kernel(wy - o) for o in (-1, 0, 1, 2)]
+        # normalize at edges (clipped taps reuse edge pixels, GDAL-style
+        # edge clamping keeps weights summing to 1 automatically)
+        for oy, kyv in zip((-1, 0, 1, 2), ky):
+            ri = np.clip(r0 + oy, 0, in_h - 1)
+            rowv = np.zeros((bands, out_h, out_w), dtype=np.float64)
+            for ox, kxv in zip((-1, 0, 1, 2), kx):
+                ci = np.clip(c0 + ox, 0, in_w - 1)
+                rowv += d[:, ri[:, None], ci] * kxv
+            val += rowv * kyv[:, None]
+        mask = np.isnan(val)
+        out = np.ma.MaskedArray(
+            np.where(mask, nodata, val).astype(arr.dtype), mask=mask
+        )
+        out.set_fill_value(nodata)
+        return out
+
+    if resampling not in ("nearest", "average", "max", "min"):
+        raise ValueError(f"unsupported resampling: {resampling}")
 
     # nearest (also the fallback for 'average' on non-integer ratios)
     cols = np.clip(np.round(fcols).astype(int), 0, in_w - 1)

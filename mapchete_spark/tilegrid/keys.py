@@ -12,8 +12,14 @@ target, and never touches the int64 sign bit (zoom<<59 would at
 zoom >= 16 — caught by a hypothesis property test).
 
 All functions are numpy-vectorized so they can run over whole Arrow
-batches inside pandas UDFs, and have exact Spark SQL Column equivalents
-in mapchete_spark.functions.geo (JVM-side, codegen-friendly).
+batches inside pandas UDFs. The exact Spark Column twin is
+``functions.geo.zorder_key_col`` (JVM-side, codegen-friendly), which the
+job runner uses as the within-partition WRITE ORDER (plans/job.py):
+parquet row groups then carry spatial locality so row/col min-max stats
+prune spatial range scans. The linear ``zoom<<54 | row<<27 | col``
+packing (functions.geo.tile_key_col) remains the semantic join key —
+the two serve different purposes and both are tested against each
+other (tests/test_tilegrid.py).
 """
 
 from __future__ import annotations

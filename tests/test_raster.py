@@ -277,3 +277,108 @@ class TestDem:
         np.testing.assert_allclose(
             buf[0, 2:-2, 2:-2], unbuf[0], rtol=0, atol=1e-5
         )
+
+
+class TestCubicResampling:
+    """R2 cubic/max/min kernels (round-2; reference exposes the full
+    rasterio Resampling enum, mapchete/io/raster/array.py:84-192)."""
+
+    def _grid(self, fn, n=16):
+        import numpy as np
+
+        ys, xs = np.mgrid[0:n, 0:n]
+        return fn(xs.astype(np.float64), ys.astype(np.float64))[np.newaxis]
+
+    def test_cubic_reproduces_constant(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = self._grid(lambda x, y: np.full_like(x, 7.25))
+        out = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(2, 2, 14, 14), (24, 24),
+            resampling="cubic", nodata=-1,
+        )
+        np.testing.assert_allclose(np.asarray(out), 7.25, rtol=1e-12)
+
+    def test_cubic_reproduces_linear_ramp(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        # f(x, y) = x + 2y sampled at pixel centers; cubic convolution
+        # reproduces polynomials up to degree 1 exactly (interior taps)
+        arr = self._grid(lambda x, y: (x + 0.5) + 2 * (y + 0.5), n=32)
+        out = resample_from_array(
+            arr, Bounds(0, 0, 32, 32), Bounds(8, 8, 24, 24), (32, 32),
+            resampling="cubic", nodata=-1,
+        )
+        px = 16.0 / 32
+        xs = 8 + (np.arange(32) + 0.5) * px
+        ys = 24 - (np.arange(32) + 0.5) * px
+        # array row 0 is the TOP of the bounds: f(fr, fc) = x + 2*(32 - y)
+        want = xs[None, :] + 2 * (32.0 - ys[:, None])
+        np.testing.assert_allclose(np.asarray(out)[0], want, rtol=1e-10)
+
+    def test_cubic_overshoot_differs_from_bilinear(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = self._grid(lambda x, y: (x >= 8).astype(np.float64) * 100, n=16)
+        cub = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(4, 4, 12, 12), (32, 32),
+            resampling="cubic", nodata=-1,
+        )
+        # cubic convolution overshoots at the step edge
+        assert float(np.asarray(cub).max()) > 100.0
+        assert float(np.asarray(cub).min()) < 0.0
+
+    def test_max_min_downscale(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = self._grid(lambda x, y: x + y * 16, n=16)
+        mx = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(0, 0, 16, 16), (8, 8),
+            resampling="max", nodata=-1,
+        )
+        mn = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(0, 0, 16, 16), (8, 8),
+            resampling="min", nodata=-1,
+        )
+        # 2x2 block extremes of f = x + 16y
+        assert float(np.asarray(mx)[0, 0, 0]) == 1 + 16 * 1
+        assert float(np.asarray(mn)[0, 0, 0]) == 0.0
+
+    def test_unknown_resampling_raises(self):
+        import numpy as np
+        import pytest
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = self._grid(lambda x, y: x)
+        with pytest.raises(ValueError, match="unsupported resampling"):
+            resample_from_array(
+                arr, Bounds(0, 0, 16, 16), Bounds(0, 0, 16, 16), (8, 8),
+                resampling="lanczos5", nodata=-1,
+            )
+
+    def test_cubic_through_config_baselevels(self, spark, tmp_path):
+        import os
+
+        from mapchete_spark.plans.config import JobConfig
+        from mapchete_spark.plans.job import execute
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = JobConfig.from_file(os.path.join(here, "configs", "baselevels.mapchete"))
+        cfg.baselevels.lower = "cubic"
+        cfg.output["path"] = str(tmp_path / "bl_cubic")
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["overview_z4"] > 0

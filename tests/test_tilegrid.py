@@ -322,3 +322,57 @@ class TestIntersecting:
         small = meta.intersecting(tp1)
         assert len(small) == 16
         assert all(s.bounds().intersects(meta.bounds()) for s in small)
+
+
+def test_zorder_column_twin_matches_numpy(spark):
+    """functions.geo.zorder_key_col == tilegrid.keys.pack_tile_key —
+    the z-order key is the physical write-sort key (job.py), packed
+    identically JVM-side and numpy-side."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.functions.geo import zorder_key_col
+    from mapchete_spark.tilegrid.keys import pack_tile_key, unpack_tile_key
+
+    rng = np.random.RandomState(7)
+    zoom = rng.randint(0, 13, 200)
+    row = np.array([rng.randint(0, 2**z) for z in zoom], dtype=np.int64)
+    col = np.array([rng.randint(0, 2 * 2**z) for z in zoom], dtype=np.int64)
+    want = pack_tile_key(zoom, row, col)
+    df = spark.createDataFrame(
+        [(int(z), int(r), int(c)) for z, r, c in zip(zoom, row, col)],
+        "zoom int, tile_row long, tile_col long",
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            zorder_key_col(F.col("zoom"), F.col("tile_row"), F.col("tile_col")).alias("k")
+        ).collect()
+    ]
+    assert got == [int(x) for x in want]
+    z2, r2, c2 = unpack_tile_key(np.array(got))
+    assert (z2 == zoom).all() and (r2 == row).all() and (c2 == col).all()
+
+
+def test_refresh_parent_key_exact_at_high_rowcol(spark):
+    """The old double-division decode rounded wrong near 2^27; the
+    bit-op decode must be exact across the full row/col range."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.refresh import parent_key_col
+
+    cases = [
+        (12, 3000, 5000),
+        (26, 2**26 - 1, 2**27 - 1),
+        (27, 2**27 - 2, 2**27 - 1),
+    ]
+    rows = [
+        (int((z << 54) | (r << 27) | c), int(((z - 1) << 54) | ((r // 2) << 27) | (c // 2)))
+        for z, r, c in cases
+    ]
+    df = spark.createDataFrame(rows, "tile_key long, want long")
+    got = df.select(
+        parent_key_col(F.col("tile_key")).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
