@@ -75,6 +75,23 @@ def _warm_raster(spark):
     run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1).count()
 
 
+def _warm_assign(spark):
+    """JIT-compile the codegen hot loops of the throughput workload
+    (md5 geo derivation, tile assignment, rollup shuffle) on a small
+    corpus so a COLD JVM's first timed run measures throughput, not
+    C2 compilation (the driver runs this script exactly once)."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.assign import assign_point_tiles
+    from mapchete_spark.operators.pyramid import reduce_docs_to_tiles, rollup_to_zoom
+    from mapchete_spark.sources.tables import synthetic_docs
+
+    docs = synthetic_docs(spark, 300_000)
+    assigned = assign_point_tiles(docs, [12])
+    base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
+    rollup_to_zoom(base, 12, 6, {"n_docs": F.sum("n_docs")}).count()
+
+
 def sf_queries():
     import __spark_entry__ as e
 
@@ -99,9 +116,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup, untimed
-    # warm the Arrow/python-worker/JIT path too (raster pipeline is
+    # warm the Arrow/python-worker/JIT paths too (raster pipeline is
     # 10x slower on a cold JVM; throughput, not startup, is the metric)
     _warm_raster(spark)
+    _warm_assign(spark)
 
     timings, aux = {}, {}
     if not os.environ.get("SPARK_GRAFT_BENCH_ONLY_THROUGHPUT"):
