@@ -924,6 +924,82 @@ def o_vector_reproject() -> str:
 # training-data pipeline ops: dedup / similarity / text analysis
 
 
+def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 arbitrary-CRS path: each doc's point reprojected into ITS UTM
+    zone (closed-form spherical transverse Mercator) — zone selection +
+    forward transform, oracle-twinned in SQL."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir)
+
+    def utm(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.reproject import (
+            geodetic_to_utm_factory,
+            utm_zone,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "utm_epsg": [], "ux": [], "uy": []}
+            for did, lon, lat in zip(
+                pdf["doc_id"].values, pdf["lon"].values, pdf["lat"].values
+            ):
+                crs = utm_zone(float(lon), float(lat))
+                fwd = geodetic_to_utm_factory(crs)
+                x, y = fwd(np.array([lon]), np.array([lat]))
+                out["doc_id"].append(int(did))
+                out["utm_epsg"].append(int(crs.split(":")[1]))
+                out["ux"].append(round(float(x[0]), 3))
+                out["uy"].append(round(float(y[0]), 3))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "lon", "lat")
+        .mapInPandas(utm, schema="doc_id long, utm_epsg int, ux double, uy double")
+        .orderBy("doc_id")
+    )
+
+
+def o_utm_reproject() -> str:
+    from mapchete_spark.geometry.reproject import (
+        EARTH_RADIUS,
+        UTM_FALSE_EASTING,
+        UTM_FALSE_NORTHING_SOUTH,
+        UTM_K0,
+    )
+
+    kR = f"({UTM_K0!r} * {EARTH_RADIUS!r})"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , zoned AS (
+        SELECT doc_id, lon, lat,
+               LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1, 1), 60) AS zone,
+               lat < 0 AS south
+        FROM docs_geo
+    ), args AS (
+        SELECT doc_id, zone, south,
+               radians(lon - (-183.0 + 6.0 * zone)) AS lam,
+               radians(lat) AS phi
+        FROM zoned
+    ), proj AS (
+        SELECT doc_id,
+               CASE WHEN south THEN 32700 + zone ELSE 32600 + zone END AS utm_epsg,
+               {UTM_K0!r} * {EARTH_RADIUS!r}
+                   * (0.5 * ln((1.0 + cos(phi) * sin(lam)) / (1.0 - cos(phi) * sin(lam))))
+                   + {UTM_FALSE_EASTING!r} AS x,
+               {UTM_K0!r} * {EARTH_RADIUS!r} * atan2(tan(phi), cos(lam))
+                   + CASE WHEN south THEN {UTM_FALSE_NORTHING_SOUTH!r} ELSE 0.0 END AS y
+        FROM args
+    )
+    SELECT doc_id, utm_epsg, ROUND(x, 3) AS ux, ROUND(y, 3) AS uy
+    FROM proj
+    ORDER BY doc_id
+    """
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapchete_spark.operators.dedup import dedup_exact
     from mapchete_spark.sources.tables import load_table
@@ -1276,6 +1352,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_clip": q_line_clip,
         "vector_union": q_vector_union,
         "vector_reproject": q_vector_reproject,
+        "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1312,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["media_features"] = media_features_sql(300)
     out["vector_reproject"] = o_vector_reproject()
+    out["utm_reproject"] = o_utm_reproject()
     out["events_windowed"] = o_events_windowed()
     out["revenue_by_nation"] = o_revenue_by_nation()
     out["neighbor_halo_counts"] = o_neighbor_halo_counts()
