@@ -861,6 +861,123 @@ def o_line_clip() -> str:
     )
 
 
+def q_vector_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 EXACT dissolve measure: per-tile union area of the clipped
+    footprints via y-slab sweep (exact for the axis-aligned fixture
+    rectangles; the GEOS-free path next to the pixel-grid union)."""
+    from mapchete_spark.operators.vector import (
+        clip_features_to_tiles,
+        doc_footprint_features,
+        explode_features_to_tiles,
+        tile_union_area_exact,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    feats = doc_footprint_features(docs)
+    clipped = clip_features_to_tiles(explode_features_to_tiles(feats, 6))
+    return tile_union_area_exact(clipped).orderBy("tile_row", "tile_col")
+
+
+def o_vector_union_exact() -> str:
+    """Sweep-line union area in SQL: y-breakpoints per tile, active
+    boxes per slab, gaps-and-islands x-interval union, slab-height ×
+    union-length summed; ROUND(,6) absorbs summation-order ulps."""
+    ts = "(180.0 / POWER(2.0, 6))"
+    return (
+        _docs_geo_cte()
+        + f"""
+    , boxes AS (
+        SELECT doc_id,
+               GREATEST(lon - radius, -180.0) AS l,
+               LEAST(lon + radius, 180.0) AS r,
+               GREATEST(lat - radius, -90.0) AS b,
+               LEAST(lat + radius, 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), ranges AS (
+        SELECT doc_id, l, r, b, t,
+               LEAST(GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0), 127) AS c0,
+               LEAST(GREATEST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, 0), 127) AS c1,
+               LEAST(GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0), 63) AS r0,
+               LEAST(GREATEST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, 0), 63) AS r1
+        FROM boxes
+    ), cover AS (
+        SELECT doc_id, l, r, b, t,
+               UNNEST(generate_series(r0, GREATEST(r1, r0))) AS tile_row
+        FROM ranges
+    ), cover2 AS (
+        SELECT c.doc_id, c.tile_row, c.l, c.r, c.b, c.t,
+               UNNEST(generate_series(g.c0, GREATEST(g.c1, g.c0))) AS tile_col
+        FROM cover c JOIN ranges g USING (doc_id)
+    ), cover3 AS (
+        SELECT doc_id, tile_row, tile_col, l, r, b, t FROM cover2
+    ), clipped AS (
+        -- feature boxes clipped to their tile (the engine clips with
+        -- Sutherland-Hodgman; for axis-aligned boxes that IS min/max)
+        SELECT doc_id, tile_row, tile_col,
+               GREATEST(l, -180.0 + tile_col * {ts}) AS cl,
+               LEAST(r, -180.0 + (tile_col + 1) * {ts}) AS cr,
+               GREATEST(b, 90.0 - (tile_row + 1) * {ts}) AS cb,
+               LEAST(t, 90.0 - tile_row * {ts}) AS ct
+        FROM cover3
+    ), feats AS (
+        -- no WHERE on computed columns below a chained-UNNEST CTE
+        -- (DuckDB 1.0 binder bug): clip-empty boxes get sentinel y
+        -- ranges that never activate in any slab
+        SELECT doc_id, tile_row, tile_col, cl, cr,
+               CASE WHEN cr > cl AND ct > cb THEN cb ELSE 1e18 END AS cb,
+               CASE WHEN cr > cl AND ct > cb THEN ct ELSE -1e18 END AS ct,
+               (cr > cl AND ct > cb) AS ok
+        FROM clipped
+    ), ybreaks AS (
+        SELECT tile_row, tile_col, y FROM (
+            SELECT tile_row, tile_col, cb AS y FROM feats
+            UNION
+            SELECT tile_row, tile_col, ct AS y FROM feats
+        )
+    ), slabs AS (
+        SELECT tile_row, tile_col, y AS y1,
+               LEAD(y) OVER (PARTITION BY tile_row, tile_col ORDER BY y) AS y2
+        FROM ybreaks
+    ), active AS (
+        SELECT s.tile_row, s.tile_col, s.y1, s.y2, f.cl, f.cr
+        FROM slabs s
+        JOIN feats f ON f.tile_row = s.tile_row AND f.tile_col = s.tile_col
+                    AND f.cb <= s.y1 AND f.ct >= s.y2
+        WHERE s.y2 IS NOT NULL AND s.y2 > s.y1
+    ), runs AS (
+        SELECT tile_row, tile_col, y1, y2, cl, cr,
+               MAX(cr) OVER (
+                   PARTITION BY tile_row, tile_col, y1 ORDER BY cl, cr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM active
+    ), grp AS (
+        SELECT tile_row, tile_col, y1, y2, cl, cr,
+               SUM(CASE WHEN prev_max IS NULL OR cl > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY tile_row, tile_col, y1 ORDER BY cl, cr
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM runs
+    ), islands AS (
+        SELECT tile_row, tile_col, y1, y2, g,
+               MAX(cr) - MIN(cl) AS len
+        FROM grp GROUP BY 1, 2, 3, 4, 5
+    ), areas AS (
+        SELECT tile_row, tile_col, SUM((y2 - y1) * len) AS area
+        FROM islands GROUP BY 1, 2
+    ), counts AS (
+        SELECT tile_row, tile_col,
+               CAST(COUNT(*) FILTER (ok) AS BIGINT) AS n_features
+        FROM feats GROUP BY 1, 2
+        HAVING COUNT(*) FILTER (ok) > 0
+    )
+    SELECT 6 AS zoom, c.tile_row, c.tile_col, c.n_features,
+           ROUND(COALESCE(a.area, 0.0), 6) AS union_area
+    FROM counts c LEFT JOIN areas a USING (tile_row, tile_col)
+    ORDER BY c.tile_row, c.tile_col
+    """
+    )
+
+
 def q_vector_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5: geodetic->mercator reprojection; output = per-feature mercator
     bbox rounded to 3 decimals. Oracle: the closed-form spherical
@@ -1351,6 +1468,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_clip": q_vector_clip,
         "line_clip": q_line_clip,
         "vector_union": q_vector_union,
+        "vector_union_exact": q_vector_union_exact,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -1384,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
     out["vector_clip"] = o_vector_clip()
     out["line_clip"] = o_line_clip()
     out["vector_union"] = o_vector_union()
+    out["vector_union_exact"] = o_vector_union_exact()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

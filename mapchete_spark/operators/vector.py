@@ -293,6 +293,68 @@ def tile_union_mask_area(
     )
 
 
+def tile_union_area_exact(
+    clipped: DataFrame, pyramid: Optional[TilePyramid] = None
+) -> DataFrame:
+    """V3 exact dissolve MEASURE: per-tile union area of the clipped
+    features' bounding rectangles by y-slab sweep (coordinate
+    compression) — exact for axis-aligned footprints (the engine's
+    synthetic fixtures), an upper bound otherwise. This is the
+    GEOS-free exact-union path next to the pixel-grid measure
+    (tile_union_mask_area); the reference dissolves via shapely
+    unary_union (mapchete/io/vector/indexed_features.py:190-217)."""
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_dict = pyr.to_dict()
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = TilePyramid(**pyr_dict)
+        tile_key = int(key[0])
+        z = tile_key >> 54
+        row = (tile_key >> 27) & ((1 << 27) - 1)
+        col = tile_key & ((1 << 27) - 1)
+        boxes = []
+        for g in pdf["geometry"]:
+            b = from_wkb(g).bounds
+            boxes.append((b.left, b.bottom, b.right, b.top))
+        ys = sorted({b[1] for b in boxes} | {b[3] for b in boxes})
+        area = 0.0
+        for y1, y2 in zip(ys[:-1], ys[1:]):
+            if y2 <= y1:
+                continue
+            active = sorted(
+                (b[0], b[2]) for b in boxes if b[1] <= y1 and b[3] >= y2
+            )
+            if not active:
+                continue
+            total = 0.0
+            cur_l, cur_r = active[0]
+            for l, r in active[1:]:
+                if l > cur_r:
+                    total += cur_r - cur_l
+                    cur_l, cur_r = l, r
+                else:
+                    cur_r = max(cur_r, r)
+            total += cur_r - cur_l
+            area += (y2 - y1) * total
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_row": [int(row)],
+                "tile_col": [int(col)],
+                "n_features": [len(pdf)],
+                "union_area": [round(area, 6)],
+            }
+        )
+
+    return clipped.groupBy("tile_key").applyInPandas(
+        fn,
+        schema=(
+            "zoom int, tile_row long, tile_col long, "
+            "n_features long, union_area double"
+        ),
+    )
+
+
 def reproject_features(
     features: DataFrame, src: str = "EPSG:4326", dst: str = "EPSG:3857"
 ) -> DataFrame:
