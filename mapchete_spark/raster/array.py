@@ -23,6 +23,39 @@ from mapchete_spark.tilegrid.grid import Bounds
 ArrayLike = Union[np.ndarray, np.ma.MaskedArray]
 
 
+def _keys_cubic(t: np.ndarray) -> np.ndarray:
+    a = -0.5
+    t = np.abs(t)
+    return np.where(
+        t <= 1,
+        (a + 2) * t**3 - (a + 3) * t**2 + 1,
+        np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+    )
+
+
+def _bspline_cubic(t: np.ndarray) -> np.ndarray:
+    t = np.abs(t)
+    return np.where(
+        t < 1,
+        2.0 / 3.0 - t**2 + 0.5 * t**3,
+        np.where(t < 2, ((2.0 - t) ** 3) / 6.0, 0.0),
+    )
+
+
+def _lanczos3(t: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.sinc(t) * np.sinc(t / 3.0)
+    return np.where(np.abs(t) < 3.0, v, 0.0)
+
+
+# name -> (kernel, tap count, normalize-weights)
+_SEPARABLE_KERNELS = {
+    "cubic": (_keys_cubic, 4, False),
+    "cubic_spline": (_bspline_cubic, 4, False),
+    "lanczos": (_lanczos3, 6, True),
+}
+
+
 def prepare_array(
     data,
     masked: bool = True,
@@ -174,34 +207,32 @@ def resample_from_array(
         out.set_fill_value(nodata)
         return out
 
-    if resampling == "cubic":
-        # separable bicubic (Keys kernel, a = -0.5 — the GDAL 'cubic'),
-        # mapchete exposes it via the rasterio Resampling enum
-        # (mapchete/io/raster/array.py:84-192)
-        a = -0.5
-
-        def kernel(t):
-            t = np.abs(t)
-            return np.where(
-                t <= 1,
-                (a + 2) * t**3 - (a + 3) * t**2 + 1,
-                np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
-            )
-
+    if resampling in _SEPARABLE_KERNELS:
+        # separable convolution kernels (the GDAL/rasterio Resampling
+        # enum the reference exposes, mapchete/io/raster/array.py:84-192):
+        # cubic (Keys a=-0.5, interpolating), cubic_spline (cardinal
+        # B-spline, smoothing), lanczos (a=3 windowed sinc, normalized)
+        kernel, taps, normalize = _SEPARABLE_KERNELS[resampling]
+        offsets = list(range(1 - taps // 2, taps // 2 + 1))
         c0 = np.floor(fcols).astype(int)
         r0 = np.floor(frows).astype(int)
         wx = fcols - c0
         wy = frows - r0
         d = arr.filled(np.nan).astype(np.float64)
         val = np.zeros((bands, out_h, out_w), dtype=np.float64)
-        kx = [kernel(wx - o) for o in (-1, 0, 1, 2)]
-        ky = [kernel(wy - o) for o in (-1, 0, 1, 2)]
-        # normalize at edges (clipped taps reuse edge pixels, GDAL-style
-        # edge clamping keeps weights summing to 1 automatically)
-        for oy, kyv in zip((-1, 0, 1, 2), ky):
+        kx = [kernel(wx - o) for o in offsets]
+        ky = [kernel(wy - o) for o in offsets]
+        if normalize:  # lanczos tap weights don't sum to 1
+            sx = np.sum(kx, axis=0)
+            sy = np.sum(ky, axis=0)
+            kx = [k / sx for k in kx]
+            ky = [k / sy for k in ky]
+        # edge taps clamp to the border pixel (GDAL-style), which keeps
+        # unit-sum kernels exact at the edges too
+        for oy, kyv in zip(offsets, ky):
             ri = np.clip(r0 + oy, 0, in_h - 1)
             rowv = np.zeros((bands, out_h, out_w), dtype=np.float64)
-            for ox, kxv in zip((-1, 0, 1, 2), kx):
+            for ox, kxv in zip(offsets, kx):
                 ci = np.clip(c0 + ox, 0, in_w - 1)
                 rowv += d[:, ri[:, None], ci] * kxv
             val += rowv * kyv[:, None]
@@ -212,7 +243,44 @@ def resample_from_array(
         out.set_fill_value(nodata)
         return out
 
-    if resampling not in ("nearest", "average", "max", "min"):
+    if resampling == "mode" and int_down:
+        kx, ky = int(round(fx)), int(round(fy))
+        r0, r1, c0, c1 = bounds_to_ranges(in_bounds, (in_h, in_w), out_bounds)
+        data = np.full((bands, out_h * ky, out_w * kx), np.nan, dtype=np.float64)
+        sr0, sc0 = max(r0, 0), max(c0, 0)
+        sr1, sc1 = min(r1, in_h), min(c1, in_w)
+        if sr1 > sr0 and sc1 > sc0:
+            data[:, sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = (
+                arr[:, sr0:sr1, sc0:sc1].filled(np.nan).astype(np.float64)
+            )
+        blocks = (
+            data.reshape(bands, out_h, ky, out_w, kx)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(bands, out_h, out_w, ky * kx)
+        )
+        sorted_b = np.sort(blocks, axis=-1)  # NaN sorts last
+        # longest run of equal values = the mode (ties -> smallest value)
+        n = ky * kx
+        best_val = sorted_b[..., 0]
+        best_run = np.zeros(best_val.shape, dtype=np.int64)
+        run = np.zeros(best_val.shape, dtype=np.int64)
+        cur = np.full(best_val.shape, np.nan)
+        for i in range(n):
+            v = sorted_b[..., i]
+            same = (v == cur) & ~np.isnan(v)
+            run = np.where(same, run + 1, np.where(np.isnan(v), 0, 1))
+            cur = v
+            better = run > best_run
+            best_run = np.where(better, run, best_run)
+            best_val = np.where(better, v, best_val)
+        mask = best_run == 0
+        out = np.ma.MaskedArray(
+            np.where(mask, nodata, best_val).astype(arr.dtype), mask=mask
+        )
+        out.set_fill_value(nodata)
+        return out
+
+    if resampling not in ("nearest", "average", "max", "min", "mode"):
         raise ValueError(f"unsupported resampling: {resampling}")
 
     # nearest (also the fallback for 'average' on non-integer ratios)

@@ -382,3 +382,86 @@ class TestCubicResampling:
         cfg.output["path"] = str(tmp_path / "bl_cubic")
         counts = execute(spark, cfg, mode="overwrite")
         assert counts["overview_z4"] > 0
+
+
+class TestMoreKernels:
+    """lanczos / cubic_spline / mode — completing the reference's
+    Resampling enum coverage (mapchete/io/raster/array.py:84-192)."""
+
+    def _ramp(self, n=32):
+        import numpy as np
+
+        ys, xs = np.mgrid[0:n, 0:n]
+        return ((xs + 0.5) + 2 * (ys + 0.5)).astype(np.float64)[np.newaxis]
+
+    def test_lanczos_reproduces_constant(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = np.full((1, 16, 16), 3.5)
+        out = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(4, 4, 12, 12), (24, 24),
+            resampling="lanczos", nodata=-1,
+        )
+        np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-9)
+
+    def test_lanczos_reproduces_linear_interior(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        out = resample_from_array(
+            self._ramp(), Bounds(0, 0, 32, 32), Bounds(10, 10, 22, 22), (24, 24),
+            resampling="lanczos", nodata=-1,
+        )
+        px = 12.0 / 24
+        xs = 10 + (np.arange(24) + 0.5) * px
+        ys = 22 - (np.arange(24) + 0.5) * px
+        want = xs[None, :] + 2 * (32.0 - ys[:, None])
+        # normalized lanczos-3 approximates (not reproduces) linears:
+        # ~2e-3 relative is the kernel's own ripple
+        np.testing.assert_allclose(np.asarray(out)[0], want, rtol=5e-3)
+
+    def test_cubic_spline_smooths_but_preserves_constant(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = np.full((1, 16, 16), 9.0)
+        out = resample_from_array(
+            arr, Bounds(0, 0, 16, 16), Bounds(4, 4, 12, 12), (16, 16),
+            resampling="cubic_spline", nodata=-1,
+        )
+        np.testing.assert_allclose(np.asarray(out), 9.0, rtol=1e-12)
+        # B-spline smooths a step (no overshoot, unlike Keys cubic)
+        step = np.zeros((1, 16, 16))
+        step[:, :, 8:] = 100.0
+        sm = resample_from_array(
+            step, Bounds(0, 0, 16, 16), Bounds(4, 4, 12, 12), (32, 32),
+            resampling="cubic_spline", nodata=-1,
+        )
+        assert float(np.asarray(sm).max()) <= 100.0 + 1e-9
+        assert float(np.asarray(sm).min()) >= -1e-9
+
+    def test_mode_downscale(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        arr = np.zeros((1, 4, 4))
+        arr[0, :2, :2] = [[1, 1], [1, 2]]   # block mode 1
+        arr[0, :2, 2:] = [[5, 5], [6, 6]]   # tie 5/6 -> smallest (5)
+        arr[0, 2:, :2] = [[7, 7], [7, 7]]   # unanimous
+        arr[0, 2:, 2:] = [[1, 2], [3, 3]]   # mode 3
+        out = resample_from_array(
+            arr, Bounds(0, 0, 4, 4), Bounds(0, 0, 4, 4), (2, 2),
+            resampling="mode", nodata=-1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out)[0], [[1.0, 5.0], [7.0, 3.0]]
+        )
