@@ -117,6 +117,10 @@ class JobConfig:
     output: Dict[str, Any]
     raw_input: Any = None
     raw_params: Dict[str, Any] = field(default_factory=dict)
+    # J3: {name: {process: file.py|module, args: {...}}} — driver-side
+    # tasks run once before any stage, results injected into process
+    # params under 'preprocessing.<name>'
+    raw_preprocessing: Dict[str, Any] = field(default_factory=dict)
     baselevels: Optional[Baselevels] = None
     bounds: Optional[Bounds] = None
     # directory of the .mapchete file: relative `process: my_process.py`
@@ -161,6 +165,7 @@ class JobConfig:
             output=output,
             raw_input=conf.get("input"),
             raw_params=conf.get("process_parameters") or {},
+            raw_preprocessing=conf.get("preprocessing") or {},
             baselevels=bl,
             bounds=bounds,
             config_dir=conf.get("config_dir"),

@@ -95,6 +95,33 @@ def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
     raise ValueError(f"unsupported input spec: {inp!r}")
 
 
+def run_preprocessing_tasks(spark: SparkSession, cfg: JobConfig) -> Dict[str, object]:
+    """J3 preprocessing tasks: driver-side computations executed ONCE
+    before any tile stage, their results injected into every tile's
+    process parameters under ``preprocessing.<name>`` (the reference
+    runs per-input preprocessing tasks before tile tasks,
+    mapchete/processing/tasks.py preprocessing flow + formats/base.py
+    add_preprocessing_task). Spark shape: compute on the driver (often
+    one small aggregate) — the values ride to executors inside the
+    process params (broadcast-by-closure).
+
+    Config:
+        preprocessing:
+          <name>: { process: tasks.py | pkg.mod, args: {...} }
+    where the module exposes ``execute(spark, cfg, **args)``.
+    """
+    conf = getattr(cfg, "raw_preprocessing", None) or {}
+    results: Dict[str, object] = {}
+    for name, spec in conf.items():
+        from mapchete_spark.plans.process_func import ProcessFunc
+
+        spec = dict(spec) if isinstance(spec, dict) else {"process": spec}
+        pf = ProcessFunc(spec["process"], config_dir=cfg.config_dir)
+        func = pf._load_func()
+        results[name] = func(spark, cfg, **(spec.get("args") or {}))
+    return results
+
+
 def execute(
     spark: SparkSession,
     cfg: JobConfig,
@@ -105,6 +132,7 @@ def execute(
 
     mode: continue | overwrite | readonly (J1 semantics)."""
     kind, fn, min_pb = resolve_process(cfg)
+    prep = run_preprocessing_tasks(spark, cfg)
     out_path = cfg.output["path"]
     tiles_path = os.path.join(out_path, "tiles")
     store = JobStore(spark, store_path or os.path.join(out_path, "_state"))
@@ -146,6 +174,8 @@ def execute(
     # ---- process zooms (descending; one Spark action per zoom = Z5) ----
     for zoom in cfg.process_zooms():
         params = cfg.params_at_zoom(zoom)
+        if prep:
+            params = {**params, "preprocessing": prep}
 
         def build(zoom=zoom, params=params):
             tiles = _input_tiles(spark, cfg, zoom)

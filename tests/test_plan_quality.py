@@ -104,3 +104,28 @@ class TestShuffleBudget:
         n_before = self._exchanges(plan_of(dem))
         up = overview_upsample(dem, pyr)
         assert self._exchanges(plan_of(up)) == n_before
+
+
+class TestRound2Plans:
+    def test_ngram_df_cap_is_broadcast_anti(self, spark):
+        """The stop-shingle filter must be a broadcast LEFT ANTI join
+        (the hot set is tiny); a shuffled anti-join or window over the
+        shingle key would re-create the skew the cap removes."""
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["ngram_jaccard"](spark, SF))
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+        assert "Window" not in plan
+
+    def test_line_clip_no_cartesian(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["line_clip"](spark, SF))
+        assert "CartesianProduct" not in plan
+
+    def test_utm_reproject_prunes_scan(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.queries()["utm_reproject"](spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "doc_id:bigint"

@@ -110,3 +110,60 @@ class TestUserProcessJob:
         )
         with pytest.raises(ConfigError, match="must_have"):
             resolve_process(cfg)
+
+
+class TestPreprocessingTasks:
+    """J3: driver-side tasks run once, results injected into process
+    params (reference preprocessing-task flow)."""
+
+    def test_task_result_reaches_process(self, spark, tmp_path):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from mapchete_spark.operators.rastertable import (
+            materialize_dem,
+            row_to_array,
+        )
+        from mapchete_spark.plans.job import execute, register_process
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        task = tmp_path / "prep.py"
+        task.write_text(
+            "def execute(spark, cfg, delta=0.0):\n"
+            "    return 100.0 + delta\n"
+        )
+
+        def add_offset(ctx):
+            return ctx.array + ctx.params["preprocessing"]["offset"]
+
+        register_process("add_offset", "raster", add_offset, 0)
+        cfg = JobConfig.from_dict(
+            dict(
+                process="add_offset",
+                zoom_levels=[4],
+                pyramid={"grid": "geodetic"},
+                bounds=[0.0, 20.0, 45.0, 50.0],
+                input={"source": "dem", "hole": False},
+                preprocessing={
+                    "offset": {"process": str(task), "args": {"delta": 11.0}}
+                },
+                output={"path": str(tmp_path / "o"), "format": "parquet_tiles"},
+            )
+        )
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["process_z4"] > 0
+        out = spark.read.parquet(str(tmp_path / "o" / "tiles"))
+        row = out.orderBy("tile_row", "tile_col").limit(1).collect()[0].asDict()
+        dem = materialize_dem(
+            spark, 4, TilePyramid("geodetic"),
+            bounds=Bounds(0.0, 20.0, 45.0, 50.0), hole=False,
+        )
+        src = dem.where(
+            (F.col("tile_row") == row["tile_row"])
+            & (F.col("tile_col") == row["tile_col"])
+        ).collect()[0].asDict()
+        np.testing.assert_allclose(
+            np.asarray(row_to_array(row)),
+            np.asarray(row_to_array(src)) + 111.0,
+            rtol=1e-6,
+        )
