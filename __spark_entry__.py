@@ -1141,6 +1141,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (connected components over the LSH-bucket
+    graph) — the linear-output shape of dedup at corpus scale; pair
+    emission is quadratic in cluster size. Oracle: recursive-CTE
+    transitive min-label closure."""
+    from mapchete_spark.operators.dedup import minhash_lsh_clusters
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_clusters(docs).orderBy("doc_id")
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapchete_spark.operators.dedup import simhash_neardup_pairs
     from mapchete_spark.sources.tables import load_table
@@ -1249,6 +1261,7 @@ def _o_training_ops() -> dict[str, str]:
         "dedup_exact": D.dedup_exact_sql() + " ORDER BY content_md5",
         "ngram_jaccard": D.ngram_jaccard_sql(0.2) + " ORDER BY doc_a, doc_b",
         "minhash_lsh": D.minhash_lsh_pairs_sql() + " ORDER BY doc_a, doc_b",
+        "minhash_clusters": D.minhash_lsh_clusters_sql(),
         "simhash": D.simhash_sql() + " ORDER BY doc_id",
         "simhash_neardup": D.simhash_neardup_sql(2) + " ORDER BY doc_a, doc_b",
         "text_quality": f"SELECT doc_id,\n           {quality}\n"
@@ -1455,6 +1468,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,

@@ -170,6 +170,94 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def minhash_lsh_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS via connected components over the LSH-bucket
+    graph: every doc gets the MIN doc_id of its component as cluster id.
+
+    This is the at-scale shape of dedup output: emitting PAIRS is
+    quadratic in cluster size (a 10^6-doc duplicate cluster would emit
+    5*10^11 pairs), while labels are linear. Components are computed by
+    alternating min-label propagation through the (doc, bucket)
+    bipartite graph — per iteration two shuffles (groupBy bucket, then
+    groupBy doc), converging in O(log(diameter)) rounds; each round's
+    result is localCheckpoint()ed so the plan doesn't grow.
+
+    Output: (doc_id, cluster) — cluster == doc_id for singletons."""
+    buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col)).select(
+        "doc_id", F.concat_ws("|", "band", "bucket").alias("bkey")
+    )
+    docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    labels = docs.withColumn("label", F.col("doc_id"))
+    edges = buckets.persist()
+    try:
+        for _ in range(max_iterations):
+            # doc label -> bucket min -> back to docs
+            bucket_min = (
+                edges.join(labels, "doc_id")
+                .groupBy("bkey")
+                .agg(F.min("label").alias("bmin"))
+            )
+            new_labels = (
+                edges.join(bucket_min, "bkey")
+                .groupBy("doc_id")
+                .agg(F.min("bmin").alias("via_bucket"))
+                .join(labels, "doc_id", "right")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.coalesce(F.col("via_bucket"), F.col("label")), F.col("label")
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if not changed:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
+def minhash_lsh_clusters_sql() -> str:
+    """Recursive-CTE twin: transitive min-label closure over the
+    LSH-bucket edges (doc -- bucket -- doc)."""
+    return f"""
+    WITH RECURSIVE sig AS ({minhash_signatures_sql()}),
+    buckets AS (
+        SELECT doc_id, CAST(k // {MINHASH_K // LSH_BANDS} AS INT) AS band,
+               md5(array_to_string(list_sort(list(CAST(k AS VARCHAR) || '|' || minhash)), ',')) AS bucket
+        FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM buckets a JOIN buckets b USING (band, bucket)
+    ),
+    reach (doc_id, label) AS (
+        SELECT src, MIN(dst) FROM pairs GROUP BY src
+        UNION
+        SELECT p.src, r.label
+        FROM reach r JOIN pairs p ON p.dst = r.doc_id
+        WHERE r.label < p.src
+    )
+    SELECT d.doc_id, COALESCE(MIN(r.label), d.doc_id) AS cluster
+    FROM documents d LEFT JOIN reach r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 SIMHASH_BITS = 64
 
 

@@ -115,3 +115,33 @@ def test_shingles_match_sql_on_short_docs(spark, duck):
     got = duck.execute(sql).fetchall()
     assert {r[0] for r in got} == {"b"}
     assert all(r[1] is not None for r in got)
+
+
+def test_minhash_clusters_transitive(spark):
+    """Connected components must close transitively: a~b and b~c put
+    a, b, c in ONE cluster even when a and c share no bucket."""
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    # b = a with the 3 trailing words changed; c = b with the 3 LEADING
+    # words also changed — empirically a~b and b~c share LSH bands
+    # while a~c does not (deterministic md5 min-hashing)
+    b = " ".join(base[:-3] + [f"x{i}" for i in range(3)])
+    c = " ".join([f"y{i}" for i in range(3)] + base[3:-3] + [f"x{i}" for i in range(3)])
+    d = " ".join(f"z{i}" for i in range(40))                 # singleton
+    from mapchete_spark.operators.dedup import (
+        minhash_lsh_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c), ("d", d)], "doc_id string, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    labels = {r["doc_id"]: r["cluster"] for r in minhash_lsh_clusters(docs).collect()}
+    # fixture construction: a-b and b-c are LSH candidates, a-c is not
+    assert ("a", "b") in pairs and ("b", "c") in pairs
+    assert ("a", "c") not in pairs
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["d"] == "d"
