@@ -162,6 +162,82 @@ class LineString:
         )
 
 
+def _seg_intersection(p1, p2, p3, p4):
+    """Proper intersection point of open segments p1p2 and p3p4, or
+    None (touching at endpoints does not count)."""
+    x1, y1 = p1
+    x2, y2 = p2
+    x3, y3 = p3
+    x4, y4 = p4
+    d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+    if d == 0:
+        return None
+    t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+    u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+    eps = 1e-12
+    if eps < t < 1 - eps and eps < u < 1 - eps:
+        return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+    return None
+
+
+def untangle_ring(ring: np.ndarray) -> List[np.ndarray]:
+    """Resolve ring self-intersections into simple loops — the GEOS
+    buffer(0) repair analog (mapchete/geometry/repair.py:7-21): insert
+    vertices at every proper segment crossing, then walk the ring and
+    cut out a loop whenever a point repeats (a bow-tie becomes two
+    triangles). Returns the simple sub-rings with positive area;
+    already-simple rings come back unchanged (length-1 list)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.allclose(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    n = len(r) - 1
+    # collect crossings per segment (parametric position -> point);
+    # crossings AT shared vertices (figure-8s) need no insertion — the
+    # revisit walk below catches them
+    inserts: dict = {i: [] for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or abs(i - j) == 1 or (i == 0 and j == n - 1):
+                continue
+            pt = _seg_intersection(r[i], r[i + 1], r[j], r[j + 1])
+            if pt is not None:
+                for k, (a, b) in ((i, (r[i], r[i + 1])), (j, (r[j], r[j + 1]))):
+                    dx, dy = b[0] - a[0], b[1] - a[1]
+                    t = ((pt[0] - a[0]) * dx + (pt[1] - a[1]) * dy) / (
+                        dx * dx + dy * dy
+                    )
+                    inserts[k].append((t, pt))
+    path = []
+    for i in range(n):
+        path.append(tuple(r[i]))
+        for _, pt in sorted(inserts[i]):
+            path.append((round(pt[0], 12), round(pt[1], 12)))
+    path.append(tuple(r[0]))
+    # walk, cutting loops at repeated points
+    loops: List[np.ndarray] = []
+    stack: list = []
+    seen: dict = {}
+    for pt in path:
+        key = (round(pt[0], 9), round(pt[1], 9))
+        if key in seen:
+            start = seen[key]
+            loop = stack[start:] + [pt]
+            if len(loop) >= 4 and ring_area(np.asarray(loop)) > 0:
+                loops.append(np.asarray(loop, dtype=np.float64))
+            # unwind
+            for q in stack[start + 1 :]:
+                seen.pop((round(q[0], 9), round(q[1], 9)), None)
+            stack = stack[: start + 1]
+        else:
+            seen[key] = len(stack)
+            stack.append(pt)
+    if len(stack) >= 3:
+        loop = stack + [stack[0]]
+        if ring_area(np.asarray(loop)) > 0:
+            loops.append(np.asarray(loop, dtype=np.float64))
+    return loops
+
+
 _LB_INF = 1e308  # finite sentinel so the SQL twin can mirror exactly
 
 

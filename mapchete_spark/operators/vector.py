@@ -132,16 +132,28 @@ def _clip_polygonal(geom, tb) -> Optional[tuple]:
     """(clipped geometry, area) of polygon ∩ rect, interior rings kept
     (reference read_vector_window keeps holes through the clip,
     mapchete/io/vector/read.py:85-143). None when empty."""
-    from mapchete_spark.geometry.core import clip_ring_to_rect, ring_area
+    from mapchete_spark.geometry.core import (
+        clip_ring_to_rect,
+        ring_area,
+        untangle_ring,
+    )
 
     polys = list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
     pieces = []
     area = 0.0
+    rings = []
     for poly in polys:
         try:
-            ring = repair_ring(poly.exterior)
+            repaired = repair_ring(poly.exterior)
         except ValueError:
             continue
+        # buffer(0) analog: split self-intersecting exteriors into
+        # simple loops (a bow-tie clips as two triangles with the TRUE
+        # area, not the lobe-cancelling shoelace of the tangled ring)
+        for loop in untangle_ring(repaired):
+            rings.append((loop, poly.interiors))
+    for ring, interiors in rings:
+        poly = Polygon(ring, interiors)
         clipped = clip_ring_to_rect(ring, tb.left, tb.bottom, tb.right, tb.top)
         if len(clipped) < 3:
             continue

@@ -256,3 +256,50 @@ class TestLinePointClip:
         got = from_wkb(r["geometry"])
         assert len(got.interiors) == 1  # hole survived the clip
         assert abs(r["clipped_area"] - (64.0 - 4.0)) < 1e-9
+
+
+class TestUntangle:
+    """V7 buffer(0) analog: self-intersection repair by planar loop
+    extraction (reference mapchete/geometry/repair.py:7-21)."""
+
+    def test_bowtie_splits_into_two_triangles(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import ring_area, untangle_ring
+
+        bowtie = np.array(
+            [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]
+        )
+        loops = untangle_ring(bowtie)
+        assert len(loops) == 2
+        areas = sorted(ring_area(lp) for lp in loops)
+        # two congruent triangles of area 1 each ((1,1) apex)
+        assert areas == [1.0, 1.0]
+        for lp in loops:
+            assert any(np.allclose(p, [1.0, 1.0]) for p in lp)
+
+    def test_simple_ring_unchanged(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import untangle_ring
+
+        sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])
+        loops = untangle_ring(sq)
+        assert len(loops) == 1
+        np.testing.assert_array_equal(loops[0], sq)
+
+    def test_figure_eight(self):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import ring_area, untangle_ring
+
+        # explicit figure-8 sharing the middle vertex (1,1)
+        fig8 = np.array(
+            [
+                [0.0, 0.0], [1.0, 1.0], [2.0, 0.0], [2.0, 2.0],
+                [1.0, 1.0], [0.0, 2.0], [0.0, 0.0],
+            ]
+        )
+        loops = untangle_ring(fig8)
+        assert len(loops) == 2
+        assert all(ring_area(lp) > 0 for lp in loops)
