@@ -203,3 +203,83 @@ def stream_docs_to_tiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_pyramid_maintenance(
+    spark: SparkSession,
+    base_stream_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    pyramid=None,
+    base_zoom: int = 5,
+    min_zoom: int = 3,
+    resampling: str = "average",
+):
+    """Incremental pyramid maintenance: a STREAM of base-zoom tiles
+    keeps every overview level fresh (Z2 refresh on Structured
+    Streaming). Per micro-batch (foreachBatch):
+
+    1. append the batch to the base-level table,
+    2. refresh ONLY the overview tiles whose descendants arrived
+       (operators/refresh.refresh_overviews — unchanged siblings still
+       contribute through the level read-back),
+    3. patch each overview snapshot (anti-join + union, atomic dir swap).
+
+    The streaming checkpoint provides exactly-once input progress; the
+    per-level snapshots are idempotent under batch replay because the
+    refresh recomputes from the patched base level. trigger=availableNow
+    drains everything then stops (tests); continuous on a cluster."""
+    import shutil
+
+    from mapchete_spark.operators.rastertable import RASTER_SCHEMA
+    from mapchete_spark.operators.refresh import refresh_overviews
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = pyramid or TilePyramid("geodetic")
+
+    def level_path(z: int) -> str:
+        return os.path.join(out_dir, f"zoom={z}")
+
+    def read_level(z: int) -> DataFrame:
+        p = level_path(z)
+        try:
+            return spark.read.schema(RASTER_SCHEMA).parquet(p)
+        except Exception:
+            return spark.createDataFrame([], RASTER_SCHEMA)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(level_path(base_zoom))
+        changed = batch_df.select("tile_key").distinct()
+        # phase 1: materialize every patched level to a tmp dir while
+        # the OLD snapshots still exist (the refresh plans read them
+        # lazily across levels); phase 2: swap all dirs at once
+        tmps = []
+        for z, refreshed in refresh_overviews(
+            read_level, changed, pyr, base_zoom, min_zoom, resampling=resampling
+        ):
+            existing = read_level(z)
+            patched = existing.join(
+                refreshed.select(F.col("tile_key").alias("__rk")),
+                on=existing["tile_key"] == F.col("__rk"),
+                how="left_anti",
+            ).unionByName(refreshed)
+            tmp = level_path(z) + "__patch"
+            patched.write.mode("overwrite").parquet(tmp)
+            tmps.append((z, tmp))
+        for z, tmp in tmps:
+            if os.path.exists(level_path(z)):
+                shutil.rmtree(level_path(z))
+            shutil.move(tmp, level_path(z))
+
+    stream = spark.readStream.schema(
+        "zoom int, tile_row long, tile_col long, tile_key long, "
+        "bands int, height int, width int, dtype string, nodata double, data binary"
+    ).parquet(base_stream_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

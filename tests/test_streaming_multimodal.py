@@ -162,3 +162,55 @@ class TestStatefulDedup:
         assert out2.count() == 150  # 100 originals + 50 fresh, 100 dups dropped
         # every emitted doc_id is the FIRST-seen one (original ids, not +1000)
         assert out2.where(F.col("doc_id") >= 1000).count() == 0
+
+
+class TestStreamingPyramid:
+    def test_incremental_overviews_match_batch(self, spark, tmp_path):
+        """Two micro-batches of base tiles through
+        stream_pyramid_maintenance == a from-scratch batch overview
+        build of the full base level (Z2 on Structured Streaming)."""
+        import os
+
+        from mapchete_spark.operators.overviews import build_overviews
+        from mapchete_spark.operators.rastertable import materialize_dem
+        from mapchete_spark.streaming.pipeline import stream_pyramid_maintenance
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        pyr = TilePyramid("geodetic")
+        aoi = Bounds(0.0, 20.0, 45.0, 50.0)
+        dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False).cache()
+        dem.count()
+
+        stream_dir = str(tmp_path / "incoming")
+        os.makedirs(stream_dir)
+        out_dir = str(tmp_path / "pyr")
+        ck = str(tmp_path / "ck")
+
+        # batch 1: western half of the AOI
+        dem.where(F.col("tile_col") < 36).write.mode("append").parquet(stream_dir)
+        q = stream_pyramid_maintenance(
+            spark, stream_dir, ck, out_dir, pyr, base_zoom=5, min_zoom=3
+        )
+        q.awaitTermination(300)
+        # batch 2: the rest
+        dem.where(F.col("tile_col") >= 36).write.mode("append").parquet(stream_dir)
+        q = stream_pyramid_maintenance(
+            spark, stream_dir, ck, out_dir, pyr, base_zoom=5, min_zoom=3
+        )
+        q.awaitTermination(300)
+
+        want = {}
+        for z, df in build_overviews(dem, pyr, 5, 3, resampling="average"):
+            want[z] = {
+                r["tile_key"]: r["h"]
+                for r in df.select("tile_key", F.md5("data").alias("h")).collect()
+            }
+        for z in (4, 3):
+            got = {
+                r["tile_key"]: r["h"]
+                for r in spark.read.parquet(os.path.join(out_dir, f"zoom={z}"))
+                .select("tile_key", F.md5("data").alias("h"))
+                .collect()
+            }
+            assert got == want[z], f"zoom {z} mismatch"
+        dem.unpersist()
