@@ -1367,6 +1367,47 @@ def o_revenue_by_nation() -> str:
     """
 
 
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star 'kNN neighbor-tile lookups': exact k nearest docs per
+    query point via tile-ring expansion (ring grows until the k-th hit
+    provably beats anything outside the covered box). Oracle: brute
+    force over all docs — the ring search must reproduce it exactly."""
+    from mapchete_spark.operators.knn import spatial_knn_join
+
+    docs = load_docs(spark, sf_dir)
+    queries = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "lon", "lat"
+    )
+    return spatial_knn_join(
+        docs.select("doc_id", "lon", "lat"), queries, k=5, zoom=5
+    ).orderBy("query_id", "rank")
+
+
+def o_spatial_knn() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    , q AS (
+        SELECT doc_id AS query_id, lon AS q_lon, lat AS q_lat
+        FROM docs_geo WHERE doc_id < 10
+    ), pairs AS (
+        SELECT q.query_id, d.doc_id,
+               (q.q_lon - d.lon) * (q.q_lon - d.lon)
+               + (q.q_lat - d.lat) * (q.q_lat - d.lat) AS dist
+        FROM q, docs_geo d
+        WHERE d.doc_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, doc_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, dist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+    )
+
+
 def q_neighbor_halo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 neighbors as a JOIN: for each occupied zoom-6 tile, the doc
     count over its 8-neighborhood (antimeridian-wrapping key
@@ -1489,6 +1530,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "revenue_by_nation": q_revenue_by_nation,
         "neighbor_halo_counts": q_neighbor_halo_counts,
+        "spatial_knn": q_spatial_knn,
     }
 
 
@@ -1526,4 +1568,5 @@ def oracle_sql() -> dict[str, str]:
     out["events_windowed"] = o_events_windowed()
     out["revenue_by_nation"] = o_revenue_by_nation()
     out["neighbor_halo_counts"] = o_neighbor_halo_counts()
+    out["spatial_knn"] = o_spatial_knn()
     return out

@@ -1,0 +1,74 @@
+"""Spatial kNN via tile-ring expansion (north star: 'kNN neighbor-tile
+lookups') — exactness vs brute force, ring termination, wrap dedup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.knn import spatial_knn_join
+
+
+def _brute(docs, queries, k):
+    out = {}
+    for qid, qx, qy in queries:
+        cands = sorted(
+            ((qx - dx) * (qx - dx) + (qy - dy) * (qy - dy), did)
+            for did, dx, dy in docs
+            if did != qid
+        )
+        out[qid] = [(r + 1, did, d) for r, (d, did) in enumerate(cands[:k])]
+    return out
+
+
+@pytest.fixture(scope="module")
+def point_sets(spark):
+    rng = np.random.RandomState(11)
+    docs = []
+    # dense cluster + sparse far-away points (forces ring expansion)
+    for i in range(200):
+        docs.append((i, float(10 + rng.rand() * 2), float(45 + rng.rand() * 2)))
+    for i in range(200, 210):
+        docs.append((i, float(-170 + rng.rand() * 20), float(-70 + rng.rand() * 10)))
+    docs_df = spark.createDataFrame(docs, "doc_id long, lon double, lat double")
+    queries = [(0, docs[0][1], docs[0][2]), (205, docs[205][1], docs[205][2])]
+    q_df = spark.createDataFrame(queries, "query_id long, lon double, lat double")
+    return docs, docs_df, queries, q_df
+
+
+def test_knn_exact_vs_brute_force(spark, point_sets):
+    docs, docs_df, queries, q_df = point_sets
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist"])
+        for r in spatial_knn_join(docs_df, q_df, k=5, zoom=5).collect()
+    }
+    want = _brute(docs, queries, 5)
+    for qid, rows in want.items():
+        for rank, did, d in rows:
+            gdid, gd = got[(qid, rank)]
+            assert gdid == did and gd == pytest.approx(d, rel=1e-12)
+    assert len(got) == 10
+
+
+def test_knn_dense_query_terminates_in_one_ring(spark, point_sets):
+    """A query inside the dense cluster finds its 5 NN within ring 1 —
+    the result must still be exact (the bound, not luck, decides)."""
+    docs, docs_df, queries, q_df = point_sets
+    dense_q = q_df.where(F.col("query_id") == 0)
+    rows = spatial_knn_join(docs_df, dense_q, k=5, zoom=5).collect()
+    assert len(rows) == 5
+    want = _brute(docs, queries, 5)[0]
+    got = sorted((r["rank"], r["doc_id"]) for r in rows)
+    assert got == [(r, d) for r, d, _ in want]
+
+
+def test_knn_k_larger_than_cluster(spark):
+    """k exceeding nearby density forces expansion to the far group."""
+    docs = [(i, float(i) * 0.001, 0.0) for i in range(3)] + [
+        (100, 170.0, 80.0), (101, 171.0, 80.0), (102, 172.0, 80.0),
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id long, lon double, lat double")
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "query_id long, lon double, lat double")
+    rows = spatial_knn_join(docs_df, q, k=5, zoom=5).collect()
+    assert len(rows) == 5
+    ids = {r["doc_id"] for r in rows}
+    assert {1, 2} <= ids and len(ids & {100, 101, 102}) == 3
