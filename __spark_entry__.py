@@ -557,6 +557,103 @@ def o_singlefile_mosaic() -> str:
 # are covered by pytest goldens
 
 
+def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 'mapchete index': per-tile bounds columns over the AOI's DEM
+    tile set — pure Column arithmetic from the pyramid constants."""
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr, aoi = _raster_ctx()
+    ts = pyr.tile_x_size(_RASTER_ZOOM)
+    tiles = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi).select(
+        "zoom", "tile_row", "tile_col"
+    )
+    return tiles.select(
+        "zoom",
+        "tile_row",
+        "tile_col",
+        (F.lit(pyr.left) + F.col("tile_col") * ts).alias("left"),
+        (F.lit(pyr.top) - (F.col("tile_row") + 1) * ts).alias("bottom"),
+        (F.lit(pyr.left) + (F.col("tile_col") + 1) * ts).alias("right"),
+        (F.lit(pyr.top) - F.col("tile_row") * ts).alias("top"),
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_tile_index() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr, _ = _raster_ctx()
+    ts = repr(pyr.tile_x_size(_RASTER_ZOOM))
+    r0, r1, c0, c1 = _raster_ranges()
+    return f"""
+    WITH tiles AS (
+        SELECT r.tile_row, c.tile_col
+        FROM (SELECT UNNEST(generate_series({r0}, {r1})) AS tile_row) r
+        CROSS JOIN (SELECT UNNEST(generate_series({c0}, {c1})) AS tile_col) c
+    )
+    SELECT {_RASTER_ZOOM} AS zoom, tile_row, tile_col,
+           -180.0 + tile_col * {ts} AS "left",
+           90.0 - (tile_row + 1) * {ts} AS bottom,
+           -180.0 + (tile_col + 1) * {ts} AS "right",
+           90.0 - tile_row * {ts} AS top
+    FROM tiles
+    ORDER BY tile_row, tile_col
+    """
+
+
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 higher path: parent tiles exploded into 4 nearest-resampled
+    children (no-shuffle mapInPandas), digested per child tile. On the
+    dyadic grid the nearest source index is exactly gi_child // 2, so
+    the oracle recomputes each child pixel from the parent lattice."""
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.overviews import overview_upsample
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    parents = materialize_dem(spark, _RASTER_ZOOM - 1, pyr, bounds=aoi, hole=False)
+    children = overview_upsample(parents, pyr, resampling="nearest")
+    return tile_value_digests(children, with_dims=False).orderBy(
+        "tile_row", "tile_col"
+    )
+
+
+def o_upsample() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr, aoi = _raster_ctx()
+    z = _RASTER_ZOOM - 1
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(aoi, z)
+    _, px = R._geodetic_sizes(z)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    ppx AS (
+        SELECT r.gi, c.gj, {e} AS e FROM rows_g r CROSS JOIN cols_g c
+    ),
+    cpx AS (
+        -- child global pixel (gi5, gj5) samples parent pixel
+        -- (gi5 // 2, gj5 // 2): the dyadic nearest-neighbor index
+        SELECT ci.gi AS gi5, cj.gj AS gj5, p.e
+        FROM (SELECT UNNEST(generate_series({gi0 * 2}, {(gi1 + 1) * 2 - 1})) AS gi) ci
+        CROSS JOIN (SELECT UNNEST(generate_series({gj0 * 2}, {(gj1 + 1) * 2 - 1})) AS gj) cj
+        JOIN ppx p ON p.gi = ci.gi // 2 AND p.gj = cj.gj // 2
+    )
+    SELECT {z + 1} AS zoom,
+           gi5 // 256 AS tile_row,
+           gj5 // 256 AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           {R._qsum("e")} AS value_q_sum
+    FROM cpx
+    GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
 def q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 read_vector_window analog over doc footprints at zoom 6: the
     REAL pipeline (WKB -> repair -> Sutherland-Hodgman clip) per tile;
@@ -1506,6 +1603,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "contours": q_contours,
         "overviews": q_overviews,
+        "upsample": q_upsample,
+        "tile_index": q_tile_index,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1555,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
     out["hillshade"] = o_hillshade()
     out["contours"] = o_contours()
     out["overviews"] = o_overviews()
+    out["upsample"] = o_upsample()
+    out["tile_index"] = o_tile_index()
     out["vector_clip"] = o_vector_clip()
     out["line_clip"] = o_line_clip()
     out["vector_union"] = o_vector_union()
