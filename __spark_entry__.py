@@ -1413,6 +1413,49 @@ def o_events_windowed() -> str:
     """
 
 
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30-min inactivity gap):
+    lag + cumulative-sum sessionization with exact int64 microsecond
+    arithmetic on both engines."""
+    import os
+
+    from mapchete_spark.streaming.pipeline import sessionize_events
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_events(ev, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+def o_events_sessionized() -> str:
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR tus - prev > {gap_us}
+                       THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), sess AS (
+        SELECT *, SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary columns: deterministic fake decode + feature
     extraction over Arrow batches (rows-only check; determinism and
@@ -1626,6 +1669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
         "revenue_by_nation": q_revenue_by_nation,
         "neighbor_halo_counts": q_neighbor_halo_counts,
@@ -1667,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
     out["vector_reproject"] = o_vector_reproject()
     out["utm_reproject"] = o_utm_reproject()
     out["events_windowed"] = o_events_windowed()
+    out["events_sessionized"] = o_events_sessionized()
     out["revenue_by_nation"] = o_revenue_by_nation()
     out["neighbor_halo_counts"] = o_neighbor_halo_counts()
     out["spatial_knn"] = o_spatial_knn()

@@ -283,3 +283,48 @@ def stream_pyramid_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session windows per user (the events-axis range
+    operator): a new session starts when the inter-event gap exceeds
+    ``gap_minutes``. Classic lag + cumulative-sum sessionization —
+    the window partitions by user_id, so parallelism is per-user
+    (salt bot-grade users by day at corpus scale). Timestamps reduce
+    through unix_micros (exact int64 arithmetic, oracle-identical).
+
+    Streaming twin: the same semantics run incrementally with
+    applyInPandasWithState keyed by user (see stream_dedup_first_seen
+    for the state pattern); the batch form is the oracle-checked one.
+    """
+    from pyspark.sql import Window
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events carry TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
+    # is a type relabel (driver-local epoch semantics match DuckDB's
+    # epoch_us on the same naive timestamps when the session TZ is UTC)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = events.select(
+        "user_id", "event_id", "ts", "value", tus.alias("tus")
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )

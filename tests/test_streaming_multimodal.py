@@ -214,3 +214,40 @@ class TestStreamingPyramid:
             }
             assert got == want[z], f"zoom {z} mismatch"
         dem.unpersist()
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        from mapchete_spark.streaming.pipeline import sessionize_events
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, t0, 7, "a", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=10), 7, "a", 2.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=55), 7, "a", 4.0, "{}"),  # gap > 30
+            (4, t0, 8, "a", 8.0, "{}"),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string",
+        )
+        got = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"], r["sum_value"])
+            for r in sessionize_events(ev, gap_minutes=30).collect()
+        }
+        assert got[(7, 1)] == (2, 10 * 60 * 1_000_000, 3.0)
+        assert got[(7, 2)] == (1, 0, 4.0)
+        assert got[(8, 1)] == (1, 0, 8.0)
+
+    def test_sessionize_parallelism_invariant(self, spark):
+        from mapchete_spark.streaming.pipeline import sessionize_events
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = sorted(tuple(r) for r in sessionize_events(ev).collect())
+        b = sorted(
+            tuple(r) for r in sessionize_events(ev.repartition(13)).collect()
+        )
+        assert a == b
