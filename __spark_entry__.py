@@ -446,6 +446,87 @@ def o_dem_tiles() -> str:
     return R.dem_tiles_sql(_RASTER_ZOOM, *_raster_ranges(), hole=True)
 
 
+def q_dem_tiles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metatiling path (G-layer): the same AOI materialized on a
+    metatiling=2 pyramid (512px metatiles) and digested — the oracle
+    regroups the SAME global pixel lattice by 512-pixel windows."""
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import TilePyramid
+
+    _, aoi = _raster_ctx()
+    pyr2 = TilePyramid("geodetic", metatiling=2)
+    df = materialize_dem(spark, _RASTER_ZOOM, pyr2, bounds=aoi)
+    return tile_value_digests(df).orderBy("tile_row", "tile_col")
+
+
+def o_dem_tiles_meta() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid import TilePyramid
+
+    _, aoi = _raster_ctx()
+    pyr2 = TilePyramid("geodetic", metatiling=2)
+    [(r0, r1, c0, c1)] = pyr2.tile_ranges_from_bounds(aoi, _RASTER_ZOOM)
+    _, px = R._geodetic_sizes(_RASTER_ZOOM)
+    m = 512  # metatile pixels
+    gi0, gi1 = r0 * m, (r1 + 1) * m - 1
+    gj0, gj1 = c0 * m, (c1 + 1) * m - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    from mapchete_spark.raster.dem import DEM_HOLE_BELOW
+
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj,
+               CASE WHEN ({e}) >= {DEM_HOLE_BELOW!r} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_RASTER_ZOOM} AS zoom,
+           gi // {m} AS tile_row, gj // {m} AS tile_col,
+           1 AS bands, {m} AS height, {m} AS width,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           COALESCE({R._qsum("e")}, 0) AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+def q_count_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 closed-form tile counting: count_tiles' recursive quadtree
+    (with the sum-4^z shortcut) vs the oracle's per-zoom enumeration of
+    positive-overlap ranges."""
+    from mapchete_spark.tilegrid.cover import count_tiles
+    from mapchete_spark.tilegrid import Bounds
+
+    pyr, aoi = _raster_ctx()
+    rows = [
+        (z, int(count_tiles(aoi, pyr, z, z)))
+        for z in range(0, 9)
+    ]
+    return spark.createDataFrame(rows, "zoom int, n_tiles long").orderBy("zoom")
+
+
+def o_count_tiles() -> str:
+    _, aoi = _raster_ctx()
+    l, b, r, t = aoi.left, aoi.bottom, aoi.right, aoi.top
+    return f"""
+    WITH z AS (SELECT UNNEST(generate_series(0, 8)) AS zoom),
+    ts AS (SELECT zoom, 180.0 / POWER(2.0, zoom) AS s FROM z),
+    rng AS (
+        -- tiles with POSITIVE overlap (touch-only excluded, matching
+        -- count_tiles' area-based test)
+        SELECT zoom,
+               CAST(CEIL(({r!r} + 180.0) / s) - FLOOR(({l!r} + 180.0) / s) AS BIGINT) AS n_cols,
+               CAST(CEIL((90.0 - {b!r}) / s) - FLOOR((90.0 - {t!r}) / s) AS BIGINT) AS n_rows
+        FROM ts
+    )
+    SELECT zoom, CAST(n_cols * n_rows AS BIGINT) AS n_tiles
+    FROM rng
+    ORDER BY zoom
+    """
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: halo-buffered Horn hillshade over the DEM tile table,
     digested to exact per-tile uint8 sums. The DEM is materialized one
@@ -1642,6 +1723,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
+        "dem_tiles_meta": q_dem_tiles_meta,
+        "count_tiles": q_count_tiles,
         "singlefile_mosaic": q_singlefile_mosaic,
         "hillshade": q_hillshade,
         "contours": q_contours,
@@ -1694,6 +1777,8 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(_o_training_ops())
     out["dem_tiles"] = o_dem_tiles()
+    out["dem_tiles_meta"] = o_dem_tiles_meta()
+    out["count_tiles"] = o_count_tiles()
     out["singlefile_mosaic"] = o_singlefile_mosaic()
     out["hillshade"] = o_hillshade()
     out["contours"] = o_contours()
