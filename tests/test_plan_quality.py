@@ -129,3 +129,24 @@ class TestRound2Plans:
         plan = plan_of(e.queries()["utm_reproject"](spark, SF))
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert m and m.group(1) == "doc_id:bigint"
+
+    def test_minhash_clusters_no_cartesian(self, spark):
+        """The CC label-propagation rounds must stay hash-join based."""
+        from mapchete_spark.operators.dedup import minhash_lsh_clusters
+        from mapchete_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF, "documents").limit(100)
+        df = minhash_lsh_clusters(docs, max_iterations=2)
+        assert "CartesianProduct" not in plan_of(df)
+
+    def test_sessionize_single_window_shuffle(self, spark):
+        """Sessionization = one window partition-by user (lag + cumsum
+        share it) + the final aggregate; no extra exchanges."""
+        from mapchete_spark.streaming.pipeline import sessionize_events
+
+        ev = spark.read.parquet(SF + "/events.parquet")
+        plan = plan_of(sessionize_events(ev))
+        # both window functions evaluate within the same user_id
+        # partitioning; exchanges: scan->window (1) + final agg reuses it
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 2, plan[:1500]
