@@ -527,6 +527,94 @@ def o_count_tiles() -> str:
     """
 
 
+def q_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 convert: scale/offset the DEM through the real process runner
+    and digest the float64 output; the oracle applies the same affine
+    to the closed-form lattice."""
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.process import process_convert, run_raster_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    out = run_raster_process(
+        dem, pyr, process_convert,
+        params={"scale_ratio": 2.0, "scale_offset": 10.0},
+    )
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_convert() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    _, px = R._geodetic_sizes(_RASTER_ZOOM)
+    r0, r1, c0, c1 = _raster_ranges()
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    # process_convert: float64 cast, then arr * ratio + offset
+    v = f"(CAST({e} AS DOUBLE) * 2.0 + 10.0)"
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_RASTER_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           {R._qsum("v")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+def q_output_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z4 process->output split: metatiling=2 tiles cut into base tiles
+    (no-shuffle explode) must digest EXACTLY like the directly
+    materialized base tiles — the oracle is the dem_tiles twin."""
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.outputsplit import split_to_output_tiles
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import TilePyramid
+
+    _, aoi = _raster_ctx()
+    pyr2 = TilePyramid("geodetic", metatiling=2)
+    pyr1 = TilePyramid("geodetic")
+    meta = materialize_dem(spark, _RASTER_ZOOM, pyr2, bounds=aoi)
+    base = split_to_output_tiles(meta, pyr2, pyr1)
+    r0, r1, c0, c1 = _raster_ranges()
+    base = base.where(
+        F.col("tile_row").between(r0, r1) & F.col("tile_col").between(c0, c1)
+    )
+    return tile_value_digests(base, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_output_split() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    _, px = R._geodetic_sizes(_RASTER_ZOOM)
+    r0, r1, c0, c1 = _raster_ranges()
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    from mapchete_spark.raster.dem import DEM_HOLE_BELOW
+
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj,
+               CASE WHEN ({e}) >= {DEM_HOLE_BELOW!r} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_RASTER_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           COALESCE({R._qsum("e")}, 0) AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: halo-buffered Horn hillshade over the DEM tile table,
     digested to exact per-tile uint8 sums. The DEM is materialized one
@@ -1724,6 +1812,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
         "dem_tiles_meta": q_dem_tiles_meta,
+        "convert": q_convert,
+        "output_split": q_output_split,
         "count_tiles": q_count_tiles,
         "singlefile_mosaic": q_singlefile_mosaic,
         "hillshade": q_hillshade,
@@ -1778,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_o_training_ops())
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
+    out["convert"] = o_convert()
+    out["output_split"] = o_output_split()
     out["count_tiles"] = o_count_tiles()
     out["singlefile_mosaic"] = o_singlefile_mosaic()
     out["hillshade"] = o_hillshade()
