@@ -615,6 +615,63 @@ def o_output_split() -> str:
     """
 
 
+_CLIP_SQUARES = [
+    (5.0, 25.0, 15.0, 35.0),
+    (20.0, 30.0, 30.0, 40.0),
+    (40.0, 44.0, 44.0, 49.0),
+]
+
+
+def q_raster_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 clip (R5 clip_array_with_vector + V4 rasterize mask): DEM
+    masked by fixed square geometries through the real process runner;
+    digest counts covered pixel centers + their quantized values."""
+    from mapchete_spark.geometry.core import Polygon
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.process import process_clip, run_raster_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid.grid import Bounds
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    geoms = [Polygon.from_bounds(Bounds(*sq)) for sq in _CLIP_SQUARES]
+    out = run_raster_process(
+        dem, pyr, process_clip, params={"clip_geometries": geoms}
+    )
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_raster_clip() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    _, px = R._geodetic_sizes(_RASTER_ZOOM)
+    r0, r1, c0, c1 = _raster_ranges()
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    lon = f"(-180.0 + (c.gj + 0.5) * {px!r})"
+    lat = f"(90.0 - (r.gi + 0.5) * {px!r})"
+    inside = " OR ".join(
+        f"({lon} >= {l!r} AND {lon} <= {rr!r} AND {lat} >= {b!r} AND {lat} <= {t!r})"
+        for (l, b, rr, t) in _CLIP_SQUARES
+    )
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj,
+               CASE WHEN {inside} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_RASTER_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           {R._qsum("e")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    HAVING COUNT(e) > 0
+    ORDER BY tile_row, tile_col
+    """
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: halo-buffered Horn hillshade over the DEM tile table,
     digested to exact per-tile uint8 sums. The DEM is materialized one
@@ -1813,6 +1870,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tiles": q_dem_tiles,
         "dem_tiles_meta": q_dem_tiles_meta,
         "convert": q_convert,
+        "raster_clip": q_raster_clip,
         "output_split": q_output_split,
         "count_tiles": q_count_tiles,
         "singlefile_mosaic": q_singlefile_mosaic,
@@ -1869,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
     out["convert"] = o_convert()
+    out["raster_clip"] = o_raster_clip()
     out["output_split"] = o_output_split()
     out["count_tiles"] = o_count_tiles()
     out["singlefile_mosaic"] = o_singlefile_mosaic()
