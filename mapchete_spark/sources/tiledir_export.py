@@ -29,9 +29,15 @@ from mapchete_spark.tilegrid.pyramid import TilePyramid
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal PNG encoder: (h, w) uint8 grayscale or (h, w, 4) RGBA."""
+    """Minimal PNG encoder: (h, w) uint8 grayscale, (h, w, 2)
+    gray+alpha (the reference's PNG_hillshade 2-band layout,
+    mapchete/formats/default/png_hillshade.py:40-41), or (h, w, 4)
+    RGBA."""
     if arr.ndim == 2:
         color_type = 0  # grayscale
+        raw = arr
+    elif arr.ndim == 3 and arr.shape[2] == 2:
+        color_type = 4  # grayscale + alpha
         raw = arr
     elif arr.ndim == 3 and arr.shape[2] == 4:
         color_type = 6  # RGBA

@@ -135,3 +135,40 @@ class TestSingleFile:
         dem = materialize_dem(spark, 5, pyr, bounds=Bounds(0.0, 20.0, 45.0, 50.0))
         with pytest.raises(SingleFileTooLarge):
             assemble_single_array(dem, pyr, 5, threshold_bytes=1024)
+
+
+def test_png_gray_alpha_roundtrip():
+    """S8 PNG_hillshade layout: 2-band gray+alpha tiles encode to a
+    valid LA PNG (reference png_hillshade.py:40-41: gray + nodata
+    alpha)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapchete_spark.sources.tiledir_export import encode_png
+
+    rng = np.random.RandomState(4)
+    gray = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    alpha = np.where(gray > 128, 255, 0).astype(np.uint8)
+    la = np.dstack([gray, alpha])
+    png = encode_png(la)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR color type 4 = grayscale + alpha
+    w, h, depth, ctype = struct.unpack_from(">IIBB", png, 16)
+    assert (w, h, depth, ctype) == (16, 16, 8, 4)
+    # decode the scanlines back
+    pos, idat = 8, b""
+    while pos < len(png):
+        (length,) = struct.unpack_from(">I", png, pos)
+        tag = png[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 16 * 2 + 1
+    got = np.frombuffer(
+        b"".join(raw[i * stride + 1 : (i + 1) * stride] for i in range(16)),
+        dtype=np.uint8,
+    ).reshape(16, 16, 2)
+    np.testing.assert_array_equal(got, la)
