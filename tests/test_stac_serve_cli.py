@@ -165,3 +165,31 @@ class TestCliBreadth:
         stats = json.loads(res.stdout.strip().splitlines()[-1])
         assert stats["tiles_removed"] > 0
         assert stats["tiles_kept"] + stats["tiles_removed"] == n_copied
+
+
+class TestExecuteIndexCli:
+    def test_execute_then_index_cli(self, tmp_path):
+        """J9 end-to-end through the actual spark-submit entry points:
+        execute a config, then index the output — both as subprocesses."""
+        import shutil
+
+        cfg_src = os.path.join(HERE, "configs", "hillshade.mapchete")
+        cfg = str(tmp_path / "job.mapchete")
+        shutil.copy(cfg_src, cfg)
+        out = str(tmp_path / "out")
+        res = subprocess.run(
+            [sys.executable, os.path.join(HERE, "jobs", "execute.py"), cfg,
+             "--mode", "overwrite", "--zoom", "4", "--out", out],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        stages = json.loads(res.stdout.strip().splitlines()[-1])["stages"]
+        assert stages["process_z4"] > 0
+
+        res = subprocess.run(
+            [sys.executable, os.path.join(HERE, "jobs", "index.py"), out,
+             "--zoom", "4", "--dest", str(tmp_path / "idx")],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "index rows" in res.stdout
