@@ -33,6 +33,11 @@ def main():
 
     spark = get_spark("mapchete_spark:rm")
     tiles_path = os.path.join(args.output, "tiles")
+    old_path = tiles_path + "__old"
+    if not os.path.exists(tiles_path) and os.path.exists(old_path):
+        # recover from a crash between the aside-rename and the final
+        # move: the pre-rewrite table is intact under tiles__old
+        shutil.move(old_path, tiles_path)
     tiles = spark.read.parquet(tiles_path)
 
     drop = F.col("zoom").isin(args.zoom)
@@ -56,8 +61,15 @@ def main():
     tmp = tiles_path + "__rewrite"
     keep.write.mode("overwrite").partitionBy("zoom").parquet(tmp)
     keep.unpersist()
-    shutil.rmtree(tiles_path)
+    # never leave a window with NO tiles directory: rename the old
+    # table aside, move the rewrite into place, only then delete the
+    # old copy (a crash at any point leaves either the old or the new
+    # table recoverable; see the startup recovery above)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    shutil.move(tiles_path, old_path)
     shutil.move(tmp, tiles_path)
+    shutil.rmtree(old_path)
     print(json.dumps({"status": "done", "tiles_removed": n_dropped, "tiles_kept": n_keep}))
     spark.stop()
     return 0

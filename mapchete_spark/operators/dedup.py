@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int = MAX_SHINGLE_DF,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing >= 1 shingle with Jaccard >= threshold.
 
@@ -110,6 +111,16 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # materialize the (small, post-threshold) pair set so the
+    # corpus-sized shingle persist can be released before returning —
+    # otherwise repeated calls leak DISK_ONLY storage entries for the
+    # lifetime of the session. eager_release=False returns the lazy
+    # plan instead; the caller then owns triggering + unpersisting.
+    if eager_release:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            sh_all.unpersist()
     return out
 
 
@@ -183,9 +194,14 @@ def minhash_lsh_clusters(
     quadratic in cluster size (a 10^6-doc duplicate cluster would emit
     5*10^11 pairs), while labels are linear. Components are computed by
     alternating min-label propagation through the (doc, bucket)
-    bipartite graph — per iteration two shuffles (groupBy bucket, then
-    groupBy doc), converging in O(log(diameter)) rounds; each round's
-    result is localCheckpoint()ed so the plan doesn't grow.
+    bipartite graph (two shuffles: groupBy bucket, then groupBy doc)
+    PLUS a pointer-doubling shortcut per round (label <- label[label],
+    one more join) — propagation alone walks one hop per round
+    (O(diameter) rounds); with path doubling the label graph's depth
+    halves every round, giving O(log(diameter)) rounds total. Each
+    round's result is localCheckpoint()ed so the plan doesn't grow.
+    If ``max_iterations`` is exhausted without convergence a
+    RuntimeWarning is emitted (labels may split one component).
 
     Output: (doc_id, cluster) — cluster == doc_id for singletons."""
     buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col)).select(
@@ -194,6 +210,7 @@ def minhash_lsh_clusters(
     docs = df.select(F.col(id_col).alias("doc_id")).distinct()
     labels = docs.withColumn("label", F.col("doc_id"))
     edges = buckets.persist()
+    converged = False
     try:
         for _ in range(max_iterations):
             # doc label -> bucket min -> back to docs
@@ -202,7 +219,7 @@ def minhash_lsh_clusters(
                 .groupBy("bkey")
                 .agg(F.min("label").alias("bmin"))
             )
-            new_labels = (
+            propagated = (
                 edges.join(bucket_min, "bkey")
                 .groupBy("doc_id")
                 .agg(F.min("bmin").alias("via_bucket"))
@@ -211,6 +228,23 @@ def minhash_lsh_clusters(
                     "doc_id",
                     F.least(
                         F.coalesce(F.col("via_bucket"), F.col("label")), F.col("label")
+                    ).alias("label"),
+                )
+            )
+            # pointer doubling: label <- label[label]. Labels only ever
+            # decrease and label(x) <= x, so the label graph is a forest
+            # pointing at component minima; shortcutting halves its
+            # depth each round -> logarithmic total rounds even for
+            # path-shaped duplicate chains.
+            grand = propagated.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("glabel")
+            )
+            new_labels = (
+                propagated.join(grand, "label", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("glabel"), F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint()
@@ -224,9 +258,19 @@ def minhash_lsh_clusters(
             )
             labels = new_labels
             if not changed:
+                converged = True
                 break
     finally:
         edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"minhash_lsh_clusters: not converged after {max_iterations} "
+            "iterations — some duplicate chains may carry split cluster "
+            "labels; raise max_iterations",
+            RuntimeWarning,
+        )
     return labels.select("doc_id", F.col("label").alias("cluster"))
 
 

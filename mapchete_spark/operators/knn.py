@@ -37,6 +37,32 @@ def _with_tiles(df: DataFrame, zoom: int, prefix: str = "") -> DataFrame:
     ).withColumn(f"{prefix}tile_col", tile_col_expr(F.col("lon"), zoom))
 
 
+# largest Chebyshev ring expanded via the offsets-table path; above it
+# the residual queries fall back to a global broadcast against all
+# docs. (2*cap+1)^2 = 4225 offset rows max — at z12 geodetic the old
+# unbounded doubling reached a ~2.7e8-row broadcast (driver OOM).
+RING_OFFSET_CAP = 32
+
+
+def _ring_schedule(matrix_height: int, matrix_width: int, cap: int = RING_OFFSET_CAP):
+    """Geometric ring growth 1, 2, 4, ... capped at ``cap``.
+
+    Returns (rings, use_global): ``rings`` are the offsets-table
+    rounds; ``use_global`` is True when a final brute-force round over
+    the residual query set is needed because the grid is wider than
+    the largest capped ring covers."""
+    full = max(matrix_height, matrix_width)
+    rings = []
+    ring = 1
+    while ring < full and ring <= cap:
+        rings.append(ring)
+        ring *= 2
+    if full <= cap:
+        rings.append(full)
+        return rings, False
+    return rings, True
+
+
 def spatial_knn_join(
     docs_geo: DataFrame,
     queries: DataFrame,
@@ -64,19 +90,28 @@ def spatial_knn_join(
         zoom, prefix="q_",
     ).select("query_id", "q_lon", "q_lat", "q_tile_row", "q_tile_col")
 
-    # geometric ring growth: 1, 2, 4, ... up to full-grid coverage (the
-    # last ring covers every tile, so sparse regions always terminate)
-    rings = []
-    ring = 1
-    full = max(mh, mw)
-    while ring < full:
-        rings.append(ring)
-        ring *= 2
-    rings.append(full)
+    dist = (
+        (F.col("q_lon") - F.col("d_lon")) * (F.col("q_lon") - F.col("d_lon"))
+        + (F.col("q_lat") - F.col("d_lat")) * (F.col("q_lat") - F.col("d_lat"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("doc_id"))
+
+    def rank_topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    # geometric ring growth 1, 2, 4, ... capped at RING_OFFSET_CAP;
+    # residual queries past the cap go through one global brute-force
+    # round (broadcast of the by-then tiny query set against all docs)
+    # instead of a grid-sized offsets broadcast.
+    rings, use_global = _ring_schedule(mh, mw)
 
     results = []
     for i, ring in enumerate(rings):
-        last = i == len(rings) - 1
+        last = (i == len(rings) - 1) and not use_global
         if remaining.isEmpty():
             break
         offsets = spark.range((2 * ring + 1) ** 2).select(
@@ -88,7 +123,10 @@ def spatial_knn_join(
             .select(
                 "query_id", "q_lon", "q_lat", "q_tile_row", "q_tile_col",
                 (F.col("q_tile_row") + F.col("dr")).alias("tile_row"),
-                ((F.col("q_tile_col") + F.col("dc") + mw) % mw).alias("tile_col"),
+                # pmod: dc can exceed mw in magnitude on portrait grids
+                # (mh > mw), where (x + mw) % mw would go negative and
+                # silently drop candidates
+                F.pmod(F.col("q_tile_col") + F.col("dc"), F.lit(mw)).alias("tile_col"),
             )
             .where(F.col("tile_row").between(0, mh - 1))
             .join(docs, ["tile_row", "tile_col"])
@@ -98,16 +136,7 @@ def spatial_knn_join(
             # the wrapped column range laps the grid: same tile reached
             # twice -> dedup candidates (only possible on the last rings)
             cand = cand.dropDuplicates(["query_id", "doc_id"])
-        dist = (
-            (F.col("q_lon") - F.col("d_lon")) * (F.col("q_lon") - F.col("d_lon"))
-            + (F.col("q_lat") - F.col("d_lat")) * (F.col("q_lat") - F.col("d_lat"))
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("doc_id"))
-        topk = (
-            cand.withColumn("dist", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-        )
+        topk = rank_topk(cand)
         # exactness bound: the k-th distance must beat the distance to
         # the nearest boundary of the ring-covered box (squared metric);
         # topk already carries the query's coords and tile id
@@ -131,6 +160,28 @@ def spatial_knn_join(
             "query_id", "rank", "doc_id", "dist"
         ))
         remaining = remaining.join(done_q, "query_id", "left_anti").localCheckpoint()
+    if use_global and not remaining.isEmpty():
+        # residual round: every query here already searched a
+        # (2*cap+1)^2-tile box without settling — brute force the
+        # leftovers exactly (broadcast the small query side)
+        cand = docs.join(
+            F.broadcast(remaining), F.col("doc_id") != F.col("query_id")
+        )
+        results.append(rank_topk(cand).select("query_id", "rank", "doc_id", "dist"))
+    if not results:
+        # empty queries input: return an empty frame with the output
+        # schema (query_id/doc_id keep their input types)
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("query_id", remaining.schema["query_id"].dataType),
+                StructField("rank", IntegerType()),
+                StructField("doc_id", docs.schema["doc_id"].dataType),
+                StructField("dist", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -219,15 +219,20 @@ def stream_pyramid_maintenance(
     keeps every overview level fresh (Z2 refresh on Structured
     Streaming). Per micro-batch (foreachBatch):
 
-    1. append the batch to the base-level table,
+    1. patch the base-level snapshot with the batch (anti-join on
+       tile_key + union, dir swap — NOT a blind append: foreachBatch
+       can replay a batch after failure, and an append would duplicate
+       base rows on replay; the patch recomputes to the same snapshot),
     2. refresh ONLY the overview tiles whose descendants arrived
        (operators/refresh.refresh_overviews — unchanged siblings still
        contribute through the level read-back),
     3. patch each overview snapshot (anti-join + union, atomic dir swap).
 
-    The streaming checkpoint provides exactly-once input progress; the
-    per-level snapshots are idempotent under batch replay because the
-    refresh recomputes from the patched base level. trigger=availableNow
+    The streaming checkpoint provides exactly-once input progress; every
+    level's write (base included) is idempotent under batch replay
+    because each is a snapshot recomputation keyed on tile_key, so a
+    replayed batch produces the identical patched table. Re-delivered
+    tile versions replace the previous row. trigger=availableNow
     drains everything then stops (tests); continuous on a cluster."""
     import shutil
 
@@ -240,8 +245,24 @@ def stream_pyramid_maintenance(
     def level_path(z: int) -> str:
         return os.path.join(out_dir, f"zoom={z}")
 
+    def swap_in(dst: str, tmp: str) -> None:
+        """Replace ``dst`` with ``tmp`` without a window where neither
+        exists: rename the old table aside, move the new one in, then
+        delete the old copy. ``read_level`` recovers from the aside
+        copy if a crash lands between the two moves."""
+        aside = dst + "__old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        if os.path.exists(dst):
+            shutil.move(dst, aside)
+        shutil.move(tmp, dst)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+
     def read_level(z: int) -> DataFrame:
         p = level_path(z)
+        if not os.path.exists(p) and os.path.exists(p + "__old"):
+            shutil.move(p + "__old", p)
         try:
             return spark.read.schema(RASTER_SCHEMA).parquet(p)
         except Exception:
@@ -250,7 +271,18 @@ def stream_pyramid_maintenance(
     def handle_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(level_path(base_zoom))
+        # idempotent base write: patch-and-swap the base snapshot
+        # keyed on tile_key (replaying the same batch recomputes the
+        # identical table; a blind append would duplicate rows)
+        base_existing = read_level(base_zoom)
+        base_patched = base_existing.join(
+            batch_df.select(F.col("tile_key").alias("__bk")).distinct(),
+            on=base_existing["tile_key"] == F.col("__bk"),
+            how="left_anti",
+        ).unionByName(batch_df)
+        base_tmp = level_path(base_zoom) + "__patch"
+        base_patched.write.mode("overwrite").parquet(base_tmp)
+        swap_in(level_path(base_zoom), base_tmp)
         changed = batch_df.select("tile_key").distinct()
         # phase 1: materialize every patched level to a tmp dir while
         # the OLD snapshots still exist (the refresh plans read them
@@ -269,9 +301,7 @@ def stream_pyramid_maintenance(
             patched.write.mode("overwrite").parquet(tmp)
             tmps.append((z, tmp))
         for z, tmp in tmps:
-            if os.path.exists(level_path(z)):
-                shutil.rmtree(level_path(z))
-            shutil.move(tmp, level_path(z))
+            swap_in(level_path(z), tmp)
 
     stream = spark.readStream.schema(
         "zoom int, tile_row long, tile_col long, tile_key long, "

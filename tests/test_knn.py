@@ -5,7 +5,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from mapchete_spark.operators.knn import spatial_knn_join
+from mapchete_spark.operators.knn import (
+    RING_OFFSET_CAP,
+    _ring_schedule,
+    spatial_knn_join,
+)
 
 
 def _brute(docs, queries, k):
@@ -72,3 +76,43 @@ def test_knn_k_larger_than_cluster(spark):
     assert len(rows) == 5
     ids = {r["doc_id"] for r in rows}
     assert {1, 2} <= ids and len(ids & {100, 101, 102}) == 3
+
+
+def test_knn_empty_queries(spark, point_sets):
+    """Empty queries input returns an empty frame with the output
+    schema instead of crashing (round-2 ADVICE: results[0] IndexError)."""
+    _, docs_df, _, q_df = point_sets
+    out = spatial_knn_join(docs_df, q_df.limit(0), k=5, zoom=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "rank", "doc_id", "dist"]
+
+
+def test_ring_schedule_bounded_at_deep_zooms():
+    """The offsets-table broadcast is capped: at z12 geodetic
+    (8192x4096 tiles) the old unbounded doubling built a ~2.7e8-row
+    offsets table; the schedule must never exceed RING_OFFSET_CAP and
+    must route the residue through the global round."""
+    rings, use_global = _ring_schedule(4096, 8192)
+    assert max(rings) <= RING_OFFSET_CAP
+    assert (2 * max(rings) + 1) ** 2 <= (2 * RING_OFFSET_CAP + 1) ** 2
+    assert use_global
+    # small grids keep the exact full-coverage final ring, no fallback
+    rings, use_global = _ring_schedule(8, 16)
+    assert rings[-1] == 16 and not use_global
+
+
+def test_knn_exactness_through_global_fallback(spark, point_sets):
+    """zoom 5 geodetic has matrix_width 64 > RING_OFFSET_CAP, so the
+    sparse far-away query must go through the brute-force residual
+    round — results stay bit-identical to brute force."""
+    docs, docs_df, queries, q_df = point_sets
+    assert 2 ** 6 > RING_OFFSET_CAP  # the fallback is actually exercised
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist"])
+        for r in spatial_knn_join(docs_df, q_df, k=7, zoom=5).collect()
+    }
+    want = _brute(docs, queries, 7)
+    for qid, rows in want.items():
+        for rank, did, d in rows:
+            gdid, gd = got[(qid, rank)]
+            assert gdid == did and gd == pytest.approx(d, rel=1e-12)

@@ -110,10 +110,14 @@ class TestRound2Plans:
     def test_ngram_df_cap_is_broadcast_anti(self, spark):
         """The stop-shingle filter must be a broadcast LEFT ANTI join
         (the hot set is tiny); a shuffled anti-join or window over the
-        shingle key would re-create the skew the cap removes."""
-        import __spark_entry__ as e
+        shingle key would re-create the skew the cap removes.
+        eager_release=False exposes the lazy plan (the default eagerly
+        checkpoints so the shingle persist can be released)."""
+        from mapchete_spark.operators.dedup import ngram_jaccard_pairs
+        from mapchete_spark.sources.tables import load_table
 
-        plan = plan_of(e.queries()["ngram_jaccard"](spark, SF))
+        docs = load_table(spark, SF, "documents")
+        plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.3, eager_release=False))
         assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
         assert "Window" not in plan
 
