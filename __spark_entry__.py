@@ -1366,8 +1366,10 @@ def o_vector_reproject() -> str:
 
 def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 arbitrary-CRS path: each doc's point reprojected into ITS UTM
-    zone (closed-form spherical transverse Mercator) — zone selection +
-    forward transform, oracle-twinned in SQL."""
+    zone (ellipsoidal Krüger n^6 transverse Mercator on WGS84) — zone
+    selection + forward transform, oracle-twinned in SQL. Values are
+    quantized to cm with floor(x*100 + 0.5)/100 (round-half-up on BOTH
+    engines; python round is banker's, DuckDB ROUND is half-away)."""
     import pandas as pd
 
     docs = load_docs(spark, sf_dir)
@@ -1390,8 +1392,8 @@ def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x, y = fwd(np.array([lon]), np.array([lat]))
                 out["doc_id"].append(int(did))
                 out["utm_epsg"].append(int(crs.split(":")[1]))
-                out["ux"].append(round(float(x[0]), 3))
-                out["uy"].append(round(float(y[0]), 3))
+                out["ux"].append(float(np.floor(x[0] * 100.0 + 0.5) / 100.0))
+                out["uy"].append(float(np.floor(y[0] * 100.0 + 0.5) / 100.0))
             yield pd.DataFrame(out)
 
     return (
@@ -1402,14 +1404,31 @@ def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_utm_reproject() -> str:
+    """Ellipsoidal Krüger forward in SQL: the series constants (first
+    eccentricity, k0*A_rect, alpha_j) are embedded bit-identically via
+    repr(); hyperbolics are written out in exp/ln so DuckDB needs no
+    sinh/cosh builtins. The engine's numpy path and this expression
+    agree to ~1e-8 m; cm quantization absorbs that."""
     from mapchete_spark.geometry.reproject import (
-        EARTH_RADIUS,
+        A_RECT,
+        KRUGER_ALPHA,
         UTM_FALSE_EASTING,
         UTM_FALSE_NORTHING_SOUTH,
         UTM_K0,
+        WGS84_E,
     )
 
-    kR = f"({UTM_K0!r} * {EARTH_RADIUS!r})"
+    kA = f"{UTM_K0 * A_RECT!r}"
+    e = f"{WGS84_E!r}"
+    # series sums over (xi, eta): sinh/cosh expanded in exp
+    xs_terms = " + ".join(
+        f"{a!r} * cos({2 * j} * xi) * ((exp({2 * j} * eta) - exp(-({2 * j}) * eta)) / 2.0)"
+        for j, a in enumerate(KRUGER_ALPHA, start=1)
+    )
+    ys_terms = " + ".join(
+        f"{a!r} * sin({2 * j} * xi) * ((exp({2 * j} * eta) + exp(-({2 * j}) * eta)) / 2.0)"
+        for j, a in enumerate(KRUGER_ALPHA, start=1)
+    )
     return (
         _docs_geo_cte()
         + f"""
@@ -1423,17 +1442,36 @@ def o_utm_reproject() -> str:
                radians(lon - (-183.0 + 6.0 * zone)) AS lam,
                radians(lat) AS phi
         FROM zoned
+    ), conf AS (
+        -- t = sinh(asinh(tan phi) - e*atanh(e*sin phi)); asinh/atanh/sinh in exp/ln
+        SELECT doc_id, zone, south, lam,
+               (exp(w) - exp(-w)) / 2.0 AS t
+        FROM (
+            SELECT doc_id, zone, south, lam,
+                   ln(tan(phi) + sqrt(tan(phi)*tan(phi) + 1.0))
+                   - {e} * (0.5 * ln((1.0 + {e} * sin(phi)) / (1.0 - {e} * sin(phi)))) AS w
+            FROM args
+        )
+    ), gauss AS (
+        SELECT doc_id, zone, south,
+               atan2(t, cos(lam)) AS xi,
+               ln(u + sqrt(u*u + 1.0)) AS eta
+        FROM (
+            SELECT doc_id, zone, south, lam, t,
+                   sin(lam) / sqrt(t*t + cos(lam)*cos(lam)) AS u
+            FROM conf
+        )
     ), proj AS (
         SELECT doc_id,
                CASE WHEN south THEN 32700 + zone ELSE 32600 + zone END AS utm_epsg,
-               {UTM_K0!r} * {EARTH_RADIUS!r}
-                   * (0.5 * ln((1.0 + cos(phi) * sin(lam)) / (1.0 - cos(phi) * sin(lam))))
-                   + {UTM_FALSE_EASTING!r} AS x,
-               {UTM_K0!r} * {EARTH_RADIUS!r} * atan2(tan(phi), cos(lam))
+               {kA} * (eta + {xs_terms}) + {UTM_FALSE_EASTING!r} AS x,
+               {kA} * (xi + {ys_terms})
                    + CASE WHEN south THEN {UTM_FALSE_NORTHING_SOUTH!r} ELSE 0.0 END AS y
-        FROM args
+        FROM gauss
     )
-    SELECT doc_id, utm_epsg, ROUND(x, 3) AS ux, ROUND(y, 3) AS uy
+    SELECT doc_id, utm_epsg,
+           FLOOR(x * 100.0 + 0.5) / 100.0 AS ux,
+           FLOOR(y * 100.0 + 0.5) / 100.0 AS uy
     FROM proj
     ORDER BY doc_id
     """

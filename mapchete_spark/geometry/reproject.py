@@ -37,21 +37,62 @@ _TRANSFORMS = {
     ("EPSG:3857", "EPSG:4326"): mercator_to_geodetic,
 }
 
-# ---- UTM (spherical transverse Mercator) ---------------------------------------
+# ---- UTM (ellipsoidal transverse Mercator, Krüger n-series) -------------------
 #
 # The reference reprojects through pyproj to ANY CRS; without pyproj the
 # engine covers the CRS family its own operators need: the two built-in
 # grids plus the UTM zones (EPSG:326xx north / 327xx south), which the
 # reference's antimeridian-safe buffering depends on
-# (mapchete/geometry/footprints.py:20-110). Formulas are the closed-form
-# SPHERICAL transverse Mercator (Snyder 1987 eq. 8-5/8-6, 8-7/8-8) with
-# k0 = 0.9996 and the UTM false easting/northing — a documented
-# approximation of the ellipsoidal UTM (relative error <= ~1e-3), exact
-# enough for footprint buffering and fully SQL-expressible for oracles.
+# (mapchete/geometry/footprints.py:20-110). Formulas are the ELLIPSOIDAL
+# transverse Mercator on WGS84 via the Krüger series in the third
+# flattening n, truncated at n^6 (Karney 2011, 'Transverse Mercator with
+# an accuracy of a few nanometers', arXiv:1002.1417; same series as
+# published in Krüger 1912) — sub-micrometer accuracy inside a UTM zone,
+# replacing the round-2 spherical approximation (~1e-3 relative error).
+# All constants below are plain module-level floats so the DuckDB oracle
+# twin embeds the bit-identical values via repr().
 
 UTM_K0 = 0.9996
 UTM_FALSE_EASTING = 500000.0
 UTM_FALSE_NORTHING_SOUTH = 10000000.0
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_N = WGS84_F / (2.0 - WGS84_F)  # third flattening
+# first eccentricity; identity e = 2*sqrt(n)/(1+n) holds exactly
+WGS84_E = (WGS84_F * (2.0 - WGS84_F)) ** 0.5
+# rectifying radius A* = a/(1+n) * (1 + n^2/4 + n^4/64 + n^6/256)
+A_RECT = (
+    WGS84_A
+    / (1.0 + _N)
+    * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+)
+# forward series coefficients alpha_j (Karney 2011 eq. 35, to n^6)
+KRUGER_ALPHA = (
+    _N / 2.0 - 2.0 / 3.0 * _N**2 + 5.0 / 16.0 * _N**3
+    + 41.0 / 180.0 * _N**4 - 127.0 / 288.0 * _N**5 + 7891.0 / 37800.0 * _N**6,
+    13.0 / 48.0 * _N**2 - 3.0 / 5.0 * _N**3 + 557.0 / 1440.0 * _N**4
+    + 281.0 / 630.0 * _N**5 - 1983433.0 / 1935360.0 * _N**6,
+    61.0 / 240.0 * _N**3 - 103.0 / 140.0 * _N**4 + 15061.0 / 26880.0 * _N**5
+    + 167603.0 / 181440.0 * _N**6,
+    49561.0 / 161280.0 * _N**4 - 179.0 / 168.0 * _N**5
+    + 6601661.0 / 7257600.0 * _N**6,
+    34729.0 / 80640.0 * _N**5 - 3418889.0 / 1995840.0 * _N**6,
+    212378941.0 / 319334400.0 * _N**6,
+)
+# inverse series coefficients beta_j (Karney 2011 eq. 36, to n^6)
+KRUGER_BETA = (
+    _N / 2.0 - 2.0 / 3.0 * _N**2 + 37.0 / 96.0 * _N**3
+    - 1.0 / 360.0 * _N**4 - 81.0 / 512.0 * _N**5 + 96199.0 / 604800.0 * _N**6,
+    1.0 / 48.0 * _N**2 + 1.0 / 15.0 * _N**3 - 437.0 / 1440.0 * _N**4
+    + 46.0 / 105.0 * _N**5 - 1118711.0 / 3870720.0 * _N**6,
+    17.0 / 480.0 * _N**3 - 37.0 / 840.0 * _N**4 - 209.0 / 4480.0 * _N**5
+    + 5569.0 / 90720.0 * _N**6,
+    4397.0 / 161280.0 * _N**4 - 11.0 / 504.0 * _N**5
+    - 830251.0 / 7257600.0 * _N**6,
+    4583.0 / 161280.0 * _N**5 - 108847.0 / 3991680.0 * _N**6,
+    20648693.0 / 638668800.0 * _N**6,
+)
 
 
 def utm_zone(lon: float, lat: float) -> str:
@@ -73,7 +114,16 @@ def _utm_params(crs: str):
     return lon0, south
 
 
+def _conformal_t(phi: np.ndarray) -> np.ndarray:
+    """tan of the conformal latitude: t = sinh(asinh(tan phi)
+    - e*atanh(e*sin phi)) (WGS84 first eccentricity e)."""
+    return np.sinh(
+        np.arcsinh(np.tan(phi)) - WGS84_E * np.arctanh(WGS84_E * np.sin(phi))
+    )
+
+
 def geodetic_to_utm_factory(crs: str):
+    """Forward ellipsoidal UTM: Krüger n^6 series on WGS84."""
     lon0, south = _utm_params(crs)
 
     def fwd(lon, lat):
@@ -81,13 +131,15 @@ def geodetic_to_utm_factory(crs: str):
         lat = np.asarray(lat, dtype=np.float64)
         lam = np.radians(lon - lon0)
         phi = np.radians(lat)
-        b = np.cos(phi) * np.sin(lam)
-        # atanh(b) written out so the SQL twin mirrors it exactly
-        x = (
-            UTM_K0 * EARTH_RADIUS * (0.5 * np.log((1.0 + b) / (1.0 - b)))
-            + UTM_FALSE_EASTING
-        )
-        y = UTM_K0 * EARTH_RADIUS * np.arctan2(np.tan(phi), np.cos(lam))
+        t = _conformal_t(phi)
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xs, ys = eta.copy(), xi.copy()
+        for j, a in enumerate(KRUGER_ALPHA, start=1):
+            xs = xs + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            ys = ys + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        x = UTM_K0 * A_RECT * xs + UTM_FALSE_EASTING
+        y = UTM_K0 * A_RECT * ys
         if south:
             y = y + UTM_FALSE_NORTHING_SOUTH
         return x, y
@@ -95,7 +147,14 @@ def geodetic_to_utm_factory(crs: str):
     return fwd
 
 
+# fixed-point rounds inverting the conformal latitude (converges ~1.5
+# digits/round on WGS84; 12 rounds ~= double precision from any start)
+_CONFORMAL_INV_ITERS = 12
+
+
 def utm_to_geodetic_factory(crs: str):
+    """Inverse ellipsoidal UTM: Krüger n^6 inverse series + fixed-point
+    inversion of the conformal latitude."""
     lon0, south = _utm_params(crs)
 
     def inv(x, y):
@@ -103,11 +162,23 @@ def utm_to_geodetic_factory(crs: str):
         y = np.asarray(y, dtype=np.float64)
         if south:
             y = y - UTM_FALSE_NORTHING_SOUTH
-        xn = (x - UTM_FALSE_EASTING) / (UTM_K0 * EARTH_RADIUS)
-        d = y / (UTM_K0 * EARTH_RADIUS)
-        lat = np.degrees(np.arcsin(np.sin(d) / np.cosh(xn)))
-        lon = lon0 + np.degrees(np.arctan2(np.sinh(xn), np.cos(d)))
-        return lon, lat
+        eta = (x - UTM_FALSE_EASTING) / (UTM_K0 * A_RECT)
+        xi = y / (UTM_K0 * A_RECT)
+        xp, yp = eta.copy(), xi.copy()
+        for j, b in enumerate(KRUGER_BETA, start=1):
+            xp = xp - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            yp = yp - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        t = np.sin(yp) / np.sqrt(np.sinh(xp) ** 2 + np.cos(yp) ** 2)
+        lam = np.arctan2(np.sinh(xp), np.cos(yp))
+        # invert t = sinh(asinh(tan phi) - e*atanh(e*sin phi)):
+        # phi <- atan(sinh(asinh(t) + e*atanh(e*sin phi)))
+        phi = np.arctan(t)
+        s = np.arcsinh(t)
+        for _ in range(_CONFORMAL_INV_ITERS):
+            phi = np.arctan(
+                np.sinh(s + WGS84_E * np.arctanh(WGS84_E * np.sin(phi)))
+            )
+        return lon0 + np.degrees(lam), np.degrees(phi)
 
     return inv
 

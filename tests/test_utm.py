@@ -1,4 +1,4 @@
-"""Closed-form spherical UTM (V5 arbitrary-CRS path) and the
+"""Ellipsoidal Krüger-series UTM (V5 arbitrary-CRS path) and the
 antimeridian-safe metric buffer (V9)."""
 
 import numpy as np
@@ -7,11 +7,56 @@ import pytest
 from mapchete_spark.geometry.core import MultiPolygon, Polygon
 from mapchete_spark.geometry.footprints import buffer_antimeridian_safe, offset_ring
 from mapchete_spark.geometry.reproject import (
-    EARTH_RADIUS,
+    A_RECT,
     UTM_K0,
+    WGS84_A,
+    WGS84_E,
     get_transform,
     utm_zone,
 )
+
+
+def _snyder_tm(lon, lat, lon0, south):
+    """Independent ellipsoidal TM formulation (Snyder 1987 eq. 8-9..8-13,
+    meridian-arc form) used as a cross-check twin for the Krüger series;
+    truncation-limited to ~1 mm inside a UTM zone."""
+    a = WGS84_A
+    e2 = WGS84_E**2
+    ep2 = e2 / (1 - e2)
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    A = lam * np.cos(phi)
+    M = _snyder_meridian_arc(phi)
+    x = UTM_K0 * N * (
+        A + (1 - T + C) * A**3 / 6 + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+    ) + 500000.0
+    y = UTM_K0 * (
+        M
+        + N
+        * np.tan(phi)
+        * (
+            A**2 / 2
+            + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    if south:
+        y = y + 10000000.0
+    return x, y
+
+
+def _snyder_meridian_arc(phi):
+    a = WGS84_A
+    e2 = WGS84_E**2
+    return a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+        - (35 * e2**3 / 3072) * np.sin(6 * phi)
+    )
 
 
 class TestUtmTransform:
@@ -22,24 +67,50 @@ class TestUtmTransform:
         assert utm_zone(-180.0, 10.0) == "EPSG:32601"
         assert utm_zone(179.99, 10.0) == "EPSG:32660"
 
-    def test_central_meridian_scale_and_easting(self):
+    def test_rectifying_radius_and_quarter_meridian(self):
+        """Two public WGS84 control constants anchor the series: the
+        rectifying radius A* = 6367449.1458 m and the quarter meridian
+        (equator to pole) = 10001965.7293 m = A* * pi/2."""
+        assert A_RECT == pytest.approx(6367449.1458, abs=1e-3)
+        assert A_RECT * np.pi / 2 == pytest.approx(10001965.7293, abs=1e-3)
+
+    def test_central_meridian_easting_and_meridian_arc(self):
         fwd = get_transform("EPSG:4326", "EPSG:32632")
         # on the central meridian (9E): x = false easting exactly,
-        # y = k0 * R * phi (spherical TM)
+        # y = k0 * (ellipsoidal meridian arc length at phi)
         x, y = fwd(np.array([9.0]), np.array([45.0]))
         assert abs(float(x[0]) - 500000.0) < 1e-6
-        want_y = UTM_K0 * EARTH_RADIUS * np.radians(45.0)
-        assert abs(float(y[0]) - want_y) < 1e-6
+        want_y = UTM_K0 * _snyder_meridian_arc(np.radians(45.0))
+        assert abs(float(y[0]) - want_y) < 1e-3
 
-    def test_roundtrip(self):
+    def test_agrees_with_independent_snyder_formulation(self):
+        """Krüger n^6 series vs Snyder's meridian-arc-form ellipsoidal TM
+        (two independent public formulations) agree to < 2 mm across
+        zones and hemispheres — evidence both compute EPSG-correct UTM,
+        not the round-2 spherical approximation (~100 m off)."""
+        rng = np.random.RandomState(7)
+        lons = rng.uniform(-180, 180, 500)
+        lats = rng.uniform(-84, 84, 500)
+        for lon, lat in zip(lons, lats):
+            crs = utm_zone(lon, lat)
+            zone = int(crs.split(":")[1]) % 100
+            lon0 = -183.0 + 6.0 * zone
+            fwd = get_transform("EPSG:4326", crs)
+            x1, y1 = fwd(np.array([lon]), np.array([lat]))
+            x2, y2 = _snyder_tm(lon, lat, lon0, lat < 0)
+            assert abs(float(x1[0]) - x2) < 2e-3, (lon, lat)
+            assert abs(float(y1[0]) - y2) < 2e-3, (lon, lat)
+
+    def test_roundtrip_sub_micrometer(self):
         rng = np.random.RandomState(3)
         lon = 6.0 + rng.rand(500) * 6.0  # zone 32
-        lat = -80.0 + rng.rand(500) * 160.0
+        lat = -84.0 + rng.rand(500) * 168.0
         fwd = get_transform("EPSG:4326", "EPSG:32632")
         inv = get_transform("EPSG:32632", "EPSG:4326")
         lon2, lat2 = inv(*fwd(lon, lat))
-        np.testing.assert_allclose(lon2, lon, atol=1e-9)
-        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+        # 1e-11 deg ~= 1 micrometer on the ground
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
 
     def test_southern_false_northing(self):
         fwd = get_transform("EPSG:4326", "EPSG:32760")
