@@ -1184,6 +1184,25 @@ def o_line_clip() -> str:
     )
 
 
+def q_vector_union_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 GENERAL exact dissolve: per-zoom-1-tile union area of two
+    overlapping ROTATED squares per footprint doc, clipped to the tile
+    box, via the slab overlay (geometry/overlay). The oracle re-derives
+    the identical decomposition in SQL windows — breakpoints, midpoint
+    parity crossings, interval islands — closing the round-2 gap where
+    the exact union held only for axis-aligned footprints."""
+    from mapchete_spark.operators.vector import tile_union_rotated
+
+    docs = load_docs(spark, sf_dir)
+    return tile_union_rotated(docs).orderBy("tile_row", "tile_col")
+
+
+def o_vector_union_rotated() -> str:
+    from mapchete_spark.functions.overlaysql import union_rotated_sql
+
+    return union_rotated_sql()
+
+
 def q_vector_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 EXACT dissolve measure: per-tile union area of the clipped
     footprints via y-slab sweep (exact for the axis-aligned fixture
@@ -1935,6 +1954,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_clip": q_line_clip,
         "vector_union": q_vector_union,
         "vector_union_exact": q_vector_union_exact,
+        "vector_union_rotated": q_vector_union_rotated,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -1978,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
     out["line_clip"] = o_line_clip()
     out["vector_union"] = o_vector_union()
     out["vector_union_exact"] = o_vector_union_exact()
+    out["vector_union_rotated"] = o_vector_union_rotated()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

@@ -141,7 +141,6 @@ def _clip_polygonal(geom, tb) -> Optional[tuple]:
     polys = list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
     pieces = []
     area = 0.0
-    rings = []
     for poly in polys:
         try:
             repaired = repair_ring(poly.exterior)
@@ -150,30 +149,39 @@ def _clip_polygonal(geom, tb) -> Optional[tuple]:
         # buffer(0) analog: split self-intersecting exteriors into
         # simple loops (a bow-tie clips as two triangles with the TRUE
         # area, not the lobe-cancelling shoelace of the tangled ring)
-        for loop in untangle_ring(repaired):
-            rings.append((loop, poly.interiors))
-    for ring, interiors in rings:
-        poly = Polygon(ring, interiors)
-        clipped = clip_ring_to_rect(ring, tb.left, tb.bottom, tb.right, tb.top)
-        if len(clipped) < 3:
-            continue
-        a = ring_area(clipped)
-        if a <= 0:
-            continue
-        holes = []
+        loops = untangle_ring(repaired)
+        rep_holes = []
         for hole in poly.interiors:
             try:
-                hring = repair_ring(hole)
+                rep_holes.append(repair_ring(hole))
             except ValueError:
                 continue
-            hc = clip_ring_to_rect(hring, tb.left, tb.bottom, tb.right, tb.top)
-            if len(hc) >= 3:
-                ha = ring_area(hc)
-                if ha > 0:
+        if rep_holes:
+            # V7 overlapping-ring repair: the exact overlay measures
+            # (union of loops) minus (union of holes) inside the tile
+            # box, so holes overlapping each other or leaking outside
+            # the exterior are not double-subtracted (the reference
+            # gets this from GEOS buffer(0)/difference semantics)
+            from mapchete_spark.geometry.overlay import union_area
+
+            area += union_area(
+                [[lp] for lp in loops], box=tb, holes=[[h] for h in rep_holes]
+            )
+        for ring in loops:
+            clipped = clip_ring_to_rect(ring, tb.left, tb.bottom, tb.right, tb.top)
+            if len(clipped) < 3:
+                continue
+            a = ring_area(clipped)
+            if a <= 0:
+                continue
+            holes = []
+            for hring in rep_holes:
+                hc = clip_ring_to_rect(hring, tb.left, tb.bottom, tb.right, tb.top)
+                if len(hc) >= 3 and ring_area(hc) > 0:
                     holes.append(hc)
-                    a -= ha
-        pieces.append(Polygon(clipped, tuple(holes)))
-        area += a
+            pieces.append(Polygon(clipped, tuple(holes)))
+            if not rep_holes:
+                area += a
     if not pieces:
         return None
     merged = pieces[0] if len(pieces) == 1 else MultiPolygon(tuple(pieces))
@@ -364,6 +372,105 @@ def tile_union_area_exact(
             "zoom int, tile_row long, tile_col long, "
             "n_features long, union_area double"
         ),
+    )
+
+
+def tile_union_area_overlay(
+    clipped: DataFrame, pyramid: Optional[TilePyramid] = None
+) -> DataFrame:
+    """V3 general exact dissolve MEASURE: per-tile union area of the
+    clipped polygon GEOMETRIES (any rotation, interior rings honored)
+    via the slab overlay (geometry/overlay) — this closes the round-2
+    gap where the exact path only held for axis-aligned footprints.
+    Reference: shapely unary_union in
+    mapchete/io/vector/indexed_features.py:190-217."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.geometry.overlay import union_area
+
+        tile_key = int(key[0])
+        z = tile_key >> 54
+        row = (tile_key >> 27) & ((1 << 27) - 1)
+        col = tile_key & ((1 << 27) - 1)
+        feats = []
+        for g in pdf["geometry"]:
+            geom = from_wkb(g)
+            polys = (
+                list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
+            )
+            for p in polys:
+                feats.append([p.exterior, *p.interiors])
+        area = union_area(feats)
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_row": [int(row)],
+                "tile_col": [int(col)],
+                "n_features": [len(pdf)],
+                "union_area": [round(area, 6)],
+            }
+        )
+
+    return clipped.groupBy("tile_key").applyInPandas(
+        fn,
+        schema=(
+            "zoom int, tile_row long, tile_col long, "
+            "n_features long, union_area double"
+        ),
+    )
+
+
+def tile_union_rotated(docs_geo: DataFrame) -> DataFrame:
+    """Contract-query operator: exact per-zoom-1-tile union area of TWO
+    overlapping ROTATED squares per footprint doc, clipped to the tile
+    box — the oracle re-derives the identical slab decomposition in SQL
+    (functions/overlaysql.union_rotated_sql). Exercises the arbitrary-
+    polygon dissolve end-to-end under the driver's correctness gate."""
+    from mapchete_spark.functions.geo import tile_col_expr, tile_row_expr
+    from mapchete_spark.functions.overlaysql import (
+        UNION_ZOOM,
+        square_params,
+        square_ring,
+        tile_box,
+    )
+
+    fd = docs_geo.where(F.col("radius").isNotNull()).select(
+        "doc_id",
+        "lon",
+        "lat",
+        "radius",
+        tile_row_expr(F.col("lat"), UNION_ZOOM).alias("tile_row"),
+        tile_col_expr(F.col("lon"), UNION_ZOOM).alias("tile_col"),
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.geometry.overlay import union_area
+
+        tr, tc = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("doc_id")  # edge order must match SQL eid order
+        feats = []
+        for did, lon, lat, radius in zip(
+            pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+        ):
+            for cx, cy, hw, ang in square_params(
+                int(did), float(lon), float(lat), float(radius)
+            ):
+                feats.append([square_ring(cx, cy, hw, ang)])
+        left, bottom, right, top = tile_box(tr, tc)
+        area = union_area(feats, box=Bounds(left, bottom, right, top))
+        return pd.DataFrame(
+            {
+                "zoom": [UNION_ZOOM],
+                "tile_row": [tr],
+                "tile_col": [tc],
+                "n_docs": [int(pdf["doc_id"].nunique())],
+                "area_q": [int(np.floor(area * 10000.0 + 0.5))],
+            }
+        )
+
+    return fd.groupBy("tile_row", "tile_col").applyInPandas(
+        fn,
+        schema="zoom int, tile_row long, tile_col long, n_docs long, area_q long",
     )
 
 
