@@ -527,6 +527,382 @@ def o_count_tiles() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# grid-math contract queries (G3/G4/G7/G8/G9/G10/G11): the engine runs
+# the REAL TilePyramid/Tile/cover code per doc inside mapInPandas; the
+# oracle re-derives the dyadic tile arithmetic in SQL. Geodetic zoom
+# constants are exact doubles, so every output matches bit-for-bit.
+
+_GRID_SNAP_ZOOM = 5
+_GRID_PB = 2
+
+
+def q_grid_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 snap_geometry_to_tiles + G8 snap_bounds/clip_bounds: each
+    footprint doc's bbox is clipped to the pyramid (G8 clip), snapped
+    outward to the zoom-5 grid with pixelbuffer 2 (G8 snap), and
+    snapped as a geometry to row-run rectangles grown by the buffer
+    distance (G7) — bounds and total part area re-derived in SQL."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        from mapchete_spark.geometry.core import Polygon
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+        from mapchete_spark.tilegrid.cover import snap_geometry_to_tiles
+
+        pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sl": [], "sb": [], "sr": [], "st": [],
+                "n_parts": [], "parts_area": [],
+            }
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                r = float(radius) * 3.0 + 0.5
+                raw = Bounds(
+                    float(lon) - r, float(lat) - r, float(lon) + r, float(lat) + r
+                )
+                b = pyr.clip_bounds(raw)
+                snapped = pyr.snap_bounds(b, _GRID_SNAP_ZOOM)
+                parts = snap_geometry_to_tiles(
+                    Polygon.from_bounds(b), pyr, _GRID_SNAP_ZOOM
+                ).polygons
+                out["doc_id"].append(int(did))
+                out["sl"].append(snapped.left)
+                out["sb"].append(snapped.bottom)
+                out["sr"].append(snapped.right)
+                out["st"].append(snapped.top)
+                out["n_parts"].append(len(parts))
+                out["parts_area"].append(
+                    float(sum(p.bounds.width * p.bounds.height for p in parts))
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, sl double, sb double, sr double, st double, "
+            "n_parts int, parts_area double"
+        ),
+    ).orderBy("doc_id")
+
+
+def o_grid_snap() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
+    z = _GRID_SNAP_ZOOM
+    ts = pyr.tile_x_size(z)
+    px = pyr.pixel_x_size(z)
+    pbd = _GRID_PB * px
+    mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
+    return (
+        _docs_geo_cte()
+        + f"""
+    , fb AS (
+        SELECT doc_id,
+               GREATEST(lon - (radius * 3.0 + 0.5), -180.0) AS l,
+               GREATEST(lat - (radius * 3.0 + 0.5), -90.0) AS b,
+               LEAST(lon + (radius * 3.0 + 0.5), 180.0) AS r,
+               LEAST(lat + (radius * 3.0 + 0.5), 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), rng AS (
+        SELECT doc_id, l, b, r, t,
+               GREATEST(CAST(FLOOR((90.0 - t) / {ts!r}) AS BIGINT), 0) AS r0,
+               LEAST(CAST(CEIL((90.0 - b) / {ts!r}) AS BIGINT) - 1, {mh - 1}) AS r1,
+               GREATEST(CAST(FLOOR((l + 180.0) / {ts!r}) AS BIGINT), 0) AS c0,
+               LEAST(CAST(CEIL((r + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1}) AS c1
+        FROM fb
+    ), snapped AS (
+        SELECT doc_id, r0, r1, c0, c1,
+               (-180.0 + c0 * {ts!r}) - {pbd!r} AS sl,
+               GREATEST(GREATEST(90.0 - (r1 + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS sb,
+               LEAST(-180.0 + (c1 + 1) * {ts!r}, 180.0) + {pbd!r} AS sr,
+               LEAST(LEAST(90.0 - r0 * {ts!r}, 90.0) + {pbd!r}, 90.0) AS st
+        FROM rng
+    ), rowparts AS (
+        SELECT s.doc_id,
+               (LEAST(-180.0 + (s.c1 + 1) * {ts!r}, 180.0) + {pbd!r})
+                 - ((-180.0 + s.c0 * {ts!r}) - {pbd!r}) AS w,
+               LEAST((90.0 - rr.row * {ts!r}) + {pbd!r}, 90.0)
+                 - GREATEST(GREATEST(90.0 - (rr.row + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS h
+        FROM snapped s, UNNEST(generate_series(s.r0, s.r1)) AS rr(row)
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_parts, SUM(w * h) AS parts_area
+        FROM rowparts GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.sl, s.sb, s.sr, s.st,
+           CAST(a.n_parts AS INT) AS n_parts, a.parts_area
+    FROM snapped s JOIN agg a ON a.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """
+    )
+
+
+_AFFINE_ZOOM = 7
+
+
+def q_grid_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 tile_from_xy (edge rules, clamped floor) + G9 matrix_affine
+    (pixelbuffered origin/pixel-size/shape) for every doc point."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir)
+
+    def fn(batches):
+        from mapchete_spark.tilegrid import TilePyramid
+
+        pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "trow": [], "tcol": [],
+                "af_a": [], "af_c": [], "af_f": [], "shape_h": [], "shape_w": [],
+            }
+            for did, lon, lat in zip(pdf["doc_id"], pdf["lon"], pdf["lat"]):
+                t = pyr.tile_from_xy(float(lon), float(lat), _AFFINE_ZOOM)
+                a, _, c, _, _, f_ = t.affine()
+                h, w = t.shape()
+                out["doc_id"].append(int(did))
+                out["trow"].append(t.row)
+                out["tcol"].append(t.col)
+                out["af_a"].append(a)
+                out["af_c"].append(c)
+                out["af_f"].append(f_)
+                out["shape_h"].append(h)
+                out["shape_w"].append(w)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat").mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, trow long, tcol long, af_a double, af_c double, "
+            "af_f double, shape_h int, shape_w int"
+        ),
+    ).orderBy("doc_id")
+
+
+def o_grid_affine() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
+    z = _AFFINE_ZOOM
+    ts = pyr.tile_x_size(z)
+    px = pyr.pixel_x_size(z)
+    pbd = _GRID_PB * px
+    mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
+    return (
+        _docs_geo_cte()
+        + f"""
+    , t AS (
+        SELECT doc_id,
+               LEAST(CAST(FLOOR((90.0 - lat) / {ts!r}) AS BIGINT), {mh - 1}) AS trow,
+               LEAST(CAST(FLOOR((lon + 180.0) / {ts!r}) AS BIGINT), {mw - 1}) AS tcol
+        FROM docs_geo
+    ), b AS (
+        SELECT doc_id, trow, tcol,
+               (-180.0 + tcol * {ts!r}) - {pbd!r} AS bl,
+               LEAST(-180.0 + (tcol + 1) * {ts!r}, 180.0) + {pbd!r} AS br,
+               LEAST(LEAST(90.0 - trow * {ts!r}, 90.0) + {pbd!r}, 90.0) AS bt,
+               GREATEST(GREATEST(90.0 - (trow + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS bb
+        FROM t
+    )
+    SELECT doc_id, trow, tcol,
+           {px!r} AS af_a, bl AS af_c, bt AS af_f,
+           CAST(round_even((bt - bb) / {px!r}, 0) AS INT) AS shape_h,
+           CAST(round_even((br - bl) / {px!r}, 0) AS INT) AS shape_w
+    FROM b
+    ORDER BY doc_id
+    """
+    )
+
+
+def q_meta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 Tile.intersecting across foreign metatilings: each doc's
+    metatiling-8 zoom-5 tile intersected with the metatiling-2 pyramid
+    (4x4 block, bounds-exclusive edges), plus the low-zoom cropped
+    world-metatile case at zoom 2."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir)
+
+    def fn(batches):
+        from mapchete_spark.tilegrid import TilePyramid
+
+        p8 = TilePyramid("geodetic", metatiling=8)
+        p2 = TilePyramid("geodetic", metatiling=2)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "crow": [], "ccol": [],
+                "n_fine": [], "sum_frow": [], "sum_fcol": [], "n_crop": [],
+            }
+            for did, lon, lat in zip(pdf["doc_id"], pdf["lon"], pdf["lat"]):
+                coarse = p8.tile_from_xy(float(lon), float(lat), 5)
+                fines = coarse.intersecting(p2)
+                crop = p8.tile_from_xy(float(lon), float(lat), 2)
+                out["doc_id"].append(int(did))
+                out["crow"].append(coarse.row)
+                out["ccol"].append(coarse.col)
+                out["n_fine"].append(len(fines))
+                out["sum_frow"].append(sum(t.row for t in fines))
+                out["sum_fcol"].append(sum(t.col for t in fines))
+                out["n_crop"].append(len(crop.intersecting(p2)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat").mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, crow long, ccol long, n_fine int, "
+            "sum_frow long, sum_fcol long, n_crop int"
+        ),
+    ).orderBy("doc_id")
+
+
+def o_meta_intersect() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    p8 = TilePyramid("geodetic", metatiling=8)
+    p2 = TilePyramid("geodetic", metatiling=2)
+    ts8 = p8.tile_x_size(5)
+    mh8, mw8 = p8.matrix_height(5), p8.matrix_width(5)
+    # a z5 mt8 tile covers exactly a 4x4 block of mt2 tiles (32/8 vs
+    # 32/2 — no ragged edge on geodetic pow-2 metatiling at z>=3)
+    n2 = p2.matrix_height(2) * p2.matrix_width(2)
+    return (
+        _docs_geo_cte()
+        + f"""
+    , t AS (
+        SELECT doc_id,
+               LEAST(CAST(FLOOR((90.0 - lat) / {ts8!r}) AS BIGINT), {mh8 - 1}) AS crow,
+               LEAST(CAST(FLOOR((lon + 180.0) / {ts8!r}) AS BIGINT), {mw8 - 1}) AS ccol
+        FROM docs_geo
+    )
+    SELECT doc_id, crow, ccol,
+           16 AS n_fine,
+           -- sum of rows 4*crow..4*crow+3, each appearing 4 times (cols)
+           4 * (4 * (4 * crow) + 6) AS sum_frow,
+           4 * (4 * (4 * ccol) + 6) AS sum_fcol,
+           {n2} AS n_crop
+    FROM t
+    ORDER BY doc_id
+    """
+    )
+
+
+_BATCH_ZOOM = 6
+
+
+def q_batch_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 tiles_from_geom_batches + G11 enumeration-order property:
+    row- and column-batched enumeration over each footprint doc's bbox
+    at zoom 6, digested ORDER-SENSITIVELY (sum of 1-based enumeration
+    index times the tile's flat id) so any order deviation flips the
+    value; the oracle derives both digests from row-/col-major rank
+    arithmetic."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        from mapchete_spark.geometry.core import Polygon
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+        from mapchete_spark.tilegrid.cover import tiles_from_geom_batches
+
+        pyr = TilePyramid("geodetic")
+        mw = pyr.matrix_width(_BATCH_ZOOM)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_batches": [], "n_tiles": [],
+                "row_digest": [], "col_digest": [],
+            }
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                r = float(radius) * 3.0 + 0.5
+                b = pyr.clip_bounds(
+                    Bounds(
+                        float(lon) - r, float(lat) - r,
+                        float(lon) + r, float(lat) + r,
+                    )
+                )
+                geom = Polygon.from_bounds(b)
+                digests = {}
+                counts = {}
+                for by in ("row", "col"):
+                    i = 0
+                    dig = 0
+                    nb = 0
+                    for batch in tiles_from_geom_batches(
+                        pyr, geom, _BATCH_ZOOM, batch_by=by
+                    ):
+                        nb += 1
+                        for t in batch:
+                            i += 1
+                            dig += i * (t.row * mw + t.col)
+                    digests[by] = dig
+                    counts[by] = (nb, i)
+                out["doc_id"].append(int(did))
+                out["n_batches"].append(counts["row"][0])
+                out["n_tiles"].append(counts["row"][1])
+                out["row_digest"].append(digests["row"])
+                out["col_digest"].append(digests["col"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, n_batches int, n_tiles int, "
+            "row_digest long, col_digest long"
+        ),
+    ).orderBy("doc_id")
+
+
+def o_batch_enum() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    z = _BATCH_ZOOM
+    ts = pyr.tile_x_size(z)
+    mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
+    return (
+        _docs_geo_cte()
+        + f"""
+    , fb AS (
+        SELECT doc_id,
+               GREATEST(lon - (radius * 3.0 + 0.5), -180.0) AS l,
+               GREATEST(lat - (radius * 3.0 + 0.5), -90.0) AS b,
+               LEAST(lon + (radius * 3.0 + 0.5), 180.0) AS r,
+               LEAST(lat + (radius * 3.0 + 0.5), 90.0) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), rng AS (
+        SELECT doc_id,
+               GREATEST(CAST(FLOOR((90.0 - t) / {ts!r}) AS BIGINT), 0) AS r0,
+               LEAST(CAST(CEIL((90.0 - b) / {ts!r}) AS BIGINT) - 1, {mh - 1}) AS r1,
+               GREATEST(CAST(FLOOR((l + 180.0) / {ts!r}) AS BIGINT), 0) AS c0,
+               LEAST(CAST(CEIL((r + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1}) AS c1
+        FROM fb
+    ), cells AS (
+        SELECT g.doc_id, g.r0, g.r1, g.c0, g.c1, rr.row AS row, cc.col AS col
+        FROM rng g,
+             UNNEST(generate_series(g.r0, g.r1)) AS rr(row),
+             UNNEST(generate_series(g.c0, g.c1)) AS cc(col)
+    )
+    SELECT doc_id,
+           CAST(MAX(r1 - r0 + 1) AS INT) AS n_batches,
+           CAST(COUNT(*) AS INT) AS n_tiles,
+           CAST(SUM(((row - r0) * (c1 - c0 + 1) + (col - c0) + 1)
+               * (row * {mw} + col)) AS BIGINT) AS row_digest,
+           CAST(SUM(((col - c0) * (r1 - r0 + 1) + (row - r0) + 1)
+               * (row * {mw} + col)) AS BIGINT) AS col_digest
+    FROM cells
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
 def q_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 convert: scale/offset the DEM through the real process runner
     and digest the float64 output; the oracle applies the same affine
@@ -1955,6 +2331,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_union": q_vector_union,
         "vector_union_exact": q_vector_union_exact,
         "vector_union_rotated": q_vector_union_rotated,
+        "grid_snap": q_grid_snap,
+        "grid_affine": q_grid_affine,
+        "meta_intersect": q_meta_intersect,
+        "batch_enum": q_batch_enum,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -1999,6 +2379,10 @@ def oracle_sql() -> dict[str, str]:
     out["vector_union"] = o_vector_union()
     out["vector_union_exact"] = o_vector_union_exact()
     out["vector_union_rotated"] = o_vector_union_rotated()
+    out["grid_snap"] = o_grid_snap()
+    out["grid_affine"] = o_grid_affine()
+    out["meta_intersect"] = o_meta_intersect()
+    out["batch_enum"] = o_batch_enum()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 
