@@ -903,6 +903,194 @@ def o_batch_enum() -> str:
     )
 
 
+_EXTRACT_ZOOM = 3
+
+
+def q_extract_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 decode (row_to_array) -> R3 extract_from_array (child window
+    at source resolution) -> R4 prepare_array (unmasked fill, new
+    nodata/dtype) -> R8 referenced read (nearest resample onto the
+    child tile grid), digested per child tile; the oracle re-derives
+    every number from the dyadic lattice."""
+    import pandas as pd
+
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import TilePyramid
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _EXTRACT_ZOOM, pyr, bounds=aoi)
+    pyr_dict = pyr.to_dict()
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.raster.array import (
+            extract_from_array,
+            prepare_array,
+            resample_from_array,
+        )
+        from mapchete_spark.raster.dem import DEM_NODATA
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {
+                "zoom": [], "tile_row": [], "tile_col": [],
+                "n_valid": [], "q_prep": [], "n_up": [], "q_up": [],
+            }
+            for _, row in pdf.iterrows():
+                arr = row_to_array(row)  # R9
+                t = Tile(p, int(row["zoom"]), int(row["tile_row"]), int(row["tile_col"]))
+                tb = t.bounds(pixelbuffer=0)
+                for ch in t.get_children():
+                    cb = ch.bounds(pixelbuffer=0)
+                    win = extract_from_array(arr, tb, cb)  # R3
+                    prep = prepare_array(
+                        win, masked=False, nodata=-1.0, dtype="float64"
+                    )  # R4
+                    n_valid = int(win.count())
+                    q_prep = int(np.floor(prep.data * 16.0).sum())
+                    rr = resample_from_array(  # R8: referenced read
+                        arr, tb, cb, (256, 256), "nearest", nodata=DEM_NODATA
+                    )
+                    n_up = int(rr.count())
+                    q_up = int(
+                        np.floor(np.asarray(rr.compressed(), dtype=np.float64) * 16.0).sum()
+                    )
+                    out["zoom"].append(ch.zoom)
+                    out["tile_row"].append(ch.row)
+                    out["tile_col"].append(ch.col)
+                    out["n_valid"].append(n_valid)
+                    out["q_prep"].append(q_prep)
+                    out["n_up"].append(n_up)
+                    out["q_up"].append(q_up)
+            yield pd.DataFrame(out)
+
+    return dem.mapInPandas(
+        fn,
+        schema=(
+            "zoom int, tile_row long, tile_col long, n_valid long, "
+            "q_prep long, n_up long, q_up long"
+        ),
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_extract_prepare() -> str:
+    from mapchete_spark.functions.rastersql import extract_prepare_sql
+
+    pyr, aoi = _raster_ctx()
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(aoi, _EXTRACT_ZOOM)
+    return extract_prepare_sql(_EXTRACT_ZOOM, r0, r1, c0, c1)
+
+
+_MOSAIC_ZOOM = 4
+_MOSAIC_ROWS = (4, 5)
+_MOSAIC_COLS = (16, 19)
+_MOSAIC_AM_ROWS = (6, 7)
+_MOSAIC_AM_WEST = 31  # col left of the antimeridian
+_MOSAIC_AM_EAST = 0   # wrapped col east of it
+
+
+def q_mosaic_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 create_mosaic: (a) every aligned 2x2 tile block of the AOI
+    stitched into one canvas (disjoint lattice tiles -> the contiguous
+    window); (b) one mosaic straddling the antimeridian, where the
+    shift heuristic places the wrapped east column past the right edge
+    and bounds.right overflows 180. Digests: valid count, quantized
+    value sum, and the exact canvas bounds."""
+    import pandas as pd
+
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    ts = pyr.tile_x_size(_MOSAIC_ZOOM)
+    blocks_bounds = Bounds(
+        pyr.left + _MOSAIC_COLS[0] * ts,
+        pyr.top - (_MOSAIC_ROWS[1] + 1) * ts,
+        pyr.left + (_MOSAIC_COLS[1] + 1) * ts,
+        pyr.top - _MOSAIC_ROWS[0] * ts,
+    )
+    am_bounds = Bounds(
+        pyr.left + _MOSAIC_AM_WEST * ts,
+        pyr.top - (_MOSAIC_AM_ROWS[1] + 1) * ts,
+        pyr.right + ts,  # overflows: wraps into col 0
+        pyr.top - _MOSAIC_AM_ROWS[0] * ts,
+    )
+    dem_blocks = materialize_dem(spark, _MOSAIC_ZOOM, pyr, bounds=blocks_bounds)
+    dem_am = materialize_dem(spark, _MOSAIC_ZOOM, pyr, bounds=am_bounds)
+    pyr_dict = pyr.to_dict()
+
+    def mosaic_rows(pdf, kind, brow, bcol):
+        import numpy as np
+
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.raster.dem import DEM_NODATA
+        from mapchete_spark.raster.mosaic import create_mosaic
+        from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+        p = TilePyramid(**pyr_dict)
+        tiles_arrays = [
+            (
+                Tile(p, int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"])),
+                row_to_array(r),
+            )
+            for _, r in pdf.sort_values(["tile_row", "tile_col"]).iterrows()
+        ]
+        mosaic, mb = create_mosaic(tiles_arrays, nodata=DEM_NODATA)
+        vals = np.asarray(mosaic.compressed(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "kind": [kind],
+                "brow": [brow],
+                "bcol": [bcol],
+                "n_valid": [int(mosaic.count())],
+                "value_q_sum": [int(np.floor(vals * 16.0).sum())],
+                "ml": [mb.left],
+                "mb": [mb.bottom],
+                "mr": [mb.right],
+                "mt": [mb.top],
+            }
+        )
+
+    schema = (
+        "kind string, brow long, bcol long, n_valid long, value_q_sum long, "
+        "ml double, mb double, mr double, mt double"
+    )
+    blocks = (
+        dem_blocks.withColumn("brow", (F.col("tile_row") / 2).cast("long"))
+        .withColumn("bcol", (F.col("tile_col") / 2).cast("long"))
+        .groupBy("brow", "bcol")
+        .applyInPandas(
+            lambda key, pdf: mosaic_rows(pdf, "block", int(key[0]), int(key[1])),
+            schema=schema,
+        )
+    )
+    am = (
+        dem_am.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda key, pdf: mosaic_rows(
+                pdf, "antimeridian", _MOSAIC_AM_ROWS[0], _MOSAIC_AM_WEST
+            ),
+            schema=schema,
+        )
+    )
+    return blocks.unionByName(am).orderBy("kind", "brow", "bcol")
+
+
+def o_mosaic_digest() -> str:
+    from mapchete_spark.functions.rastersql import mosaic_blocks_sql
+
+    return mosaic_blocks_sql(
+        _MOSAIC_ZOOM,
+        _MOSAIC_ROWS[0], _MOSAIC_ROWS[1],
+        _MOSAIC_COLS[0], _MOSAIC_COLS[1],
+        _MOSAIC_AM_ROWS, _MOSAIC_AM_WEST, _MOSAIC_AM_EAST,
+    )
+
+
 def q_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 convert: scale/offset the DEM through the real process runner
     and digest the float64 output; the oracle applies the same affine
@@ -2335,6 +2523,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_affine": q_grid_affine,
         "meta_intersect": q_meta_intersect,
         "batch_enum": q_batch_enum,
+        "extract_prepare": q_extract_prepare,
+        "mosaic_digest": q_mosaic_digest,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -2383,6 +2573,8 @@ def oracle_sql() -> dict[str, str]:
     out["grid_affine"] = o_grid_affine()
     out["meta_intersect"] = o_meta_intersect()
     out["batch_enum"] = o_batch_enum()
+    out["extract_prepare"] = o_extract_prepare()
+    out["mosaic_digest"] = o_mosaic_digest()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

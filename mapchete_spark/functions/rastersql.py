@@ -542,3 +542,119 @@ def single_mosaic_sql(zoom: int, row0: int, row1: int, col0: int, col1: int,
            COALESCE({_qsum("e")}, 0) AS value_q_sum
     FROM px
     """
+
+
+# ---- R3/R4/R8/R9: extract / prepare / referenced read --------------------------
+
+
+def extract_prepare_sql(src_zoom: int, row0: int, row1: int, col0: int, col1: int,
+                        hole: bool = True) -> str:
+    """Per-CHILD-tile digests of the decode -> extract -> prepare ->
+    resample composition: each source tile's four zoom+1 children as
+    (a) the extracted 128x128 window at SOURCE resolution, prepared
+    unmasked with nodata -1.0 (q_prep sums floor(16*v) over ALL pixels,
+    holes contributing floor(-16)), and (b) the nearest-resampled
+    256x256 child read where every source pixel appears exactly 2x2
+    times (dyadic index arithmetic), so n_up = 4*n_valid and
+    q_up = 4 * sum(floor(16*v)) over valid pixels."""
+    _, px = _geodetic_sizes(src_zoom)
+    gi0, gi1 = row0 * TILE_SIZE, (row1 + 1) * TILE_SIZE - 1
+    gj0, gj1 = col0 * TILE_SIZE, (col1 + 1) * TILE_SIZE - 1
+    half = TILE_SIZE // 2
+    e = _elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    valid = f"({e}) >= {_r(DEM_HOLE_BELOW)}" if hole else "TRUE"
+    return f"""
+    WITH {_rows_cte("rows_g", gi0, gi1, px)},
+    {_cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj,
+               CASE WHEN {valid} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {src_zoom + 1} AS zoom,
+           gi // {half} AS tile_row,
+           gj // {half} AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           CAST(SUM(CAST(FLOOR(COALESCE(CAST(e AS DOUBLE), -1.0) * {_r(QUANT)}) AS BIGINT)) AS BIGINT) AS q_prep,
+           CAST(4 * COUNT(e) AS BIGINT) AS n_up,
+           COALESCE(CAST(4 * SUM(CAST(FLOOR(CAST(e AS DOUBLE) * {_r(QUANT)}) AS BIGINT)) AS BIGINT), 0) AS q_up
+    FROM px
+    GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+# ---- R6: create_mosaic (incl. antimeridian shift) ------------------------------
+
+
+def mosaic_blocks_sql(zoom: int, row0: int, row1: int, col0: int, col1: int,
+                      am_rows, am_cols_west: int, am_cols_east: int,
+                      hole: bool = True) -> str:
+    """Digests of create_mosaic canvases: (a) each 2x2 tile block of the
+    AOI rectangle (disjoint lattice tiles stitch to the contiguous
+    window; canvas bounds are pure tile arithmetic), (b) ONE mosaic of
+    tiles straddling the antimeridian (cols {am_cols_west, am_cols_east}
+    x am_rows) whose canvas is assembled in the SHIFTED frame: east
+    columns land at col + matrix_width, so bounds.right overflows past
+    180 (reference mapchete/io/raster/mosaic.py:167-207)."""
+    pyr = TilePyramid("geodetic")
+    ts = pyr.tile_x_size(zoom)
+    mw = pyr.matrix_width(zoom)
+    _, px = _geodetic_sizes(zoom)
+    gi0, gi1 = row0 * TILE_SIZE, (row1 + 1) * TILE_SIZE - 1
+    gj0, gj1 = col0 * TILE_SIZE, (col1 + 1) * TILE_SIZE - 1
+    e = _elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    valid = f"({e}) >= {_r(DEM_HOLE_BELOW)}" if hole else "TRUE"
+    r0a, r1a = am_rows[0], am_rows[-1]
+    am_gi0, am_gi1 = r0a * TILE_SIZE, (r1a + 1) * TILE_SIZE - 1
+    # antimeridian canvas bounds in the shifted frame
+    am_left = repr(pyr.left + am_cols_west * ts)
+    am_right = repr(pyr.left + (am_cols_east + mw + 1) * ts)
+    am_top = repr(pyr.top - r0a * ts)
+    am_bottom = repr(pyr.top - (r1a + 1) * ts)
+    return f"""
+    WITH {_rows_cte("rows_g", gi0, gi1, px)},
+    {_cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj,
+               CASE WHEN {valid} THEN {e} ELSE NULL END AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    ),
+    blocks AS (
+        SELECT 'block' AS kind,
+               gi // {2 * TILE_SIZE} AS brow, gj // {2 * TILE_SIZE} AS bcol,
+               CAST(COUNT(e) AS BIGINT) AS n_valid,
+               COALESCE({_qsum("e")}, 0) AS value_q_sum
+        FROM px GROUP BY 2, 3
+    ),
+    block_rows AS (
+        SELECT kind, brow, bcol, n_valid, value_q_sum,
+               -180.0 + (2 * bcol) * {_r(ts)} AS ml,
+               90.0 - (2 * brow + 2) * {_r(ts)} AS mb,
+               -180.0 + (2 * bcol + 2) * {_r(ts)} AS mr,
+               90.0 - (2 * brow) * {_r(ts)} AS mt
+        FROM blocks
+    ),
+    {_rows_cte("am_rows_g", am_gi0, am_gi1, px)},
+    {_cols_cte("am_cols_w", am_cols_west * TILE_SIZE, (am_cols_west + 1) * TILE_SIZE - 1, px)},
+    {_cols_cte("am_cols_e", am_cols_east * TILE_SIZE, (am_cols_east + 1) * TILE_SIZE - 1, px)},
+    am_px AS (
+        SELECT CASE WHEN {valid} THEN {e} ELSE NULL END AS e
+        FROM am_rows_g r CROSS JOIN am_cols_w c
+        UNION ALL
+        SELECT CASE WHEN {valid} THEN {e} ELSE NULL END AS e
+        FROM am_rows_g r CROSS JOIN am_cols_e c
+    ),
+    am_row AS (
+        SELECT 'antimeridian' AS kind,
+               CAST({r0a} AS BIGINT) AS brow, CAST({am_cols_west} AS BIGINT) AS bcol,
+               CAST(COUNT(e) AS BIGINT) AS n_valid,
+               COALESCE({_qsum("e")}, 0) AS value_q_sum,
+               {am_left} AS ml, {am_bottom} AS mb, {am_right} AS mr, {am_top} AS mt
+        FROM am_px
+    )
+    SELECT * FROM block_rows
+    UNION ALL
+    SELECT * FROM am_row
+    ORDER BY kind, brow, bcol
+    """
