@@ -1767,6 +1767,339 @@ def o_vector_union_rotated() -> str:
     return union_rotated_sql()
 
 
+# ---------------------------------------------------------------------------
+# vector/geometry contract queries V6/V8/V10/V11
+
+
+def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 segmentize: densify each footprint doc's DIAMOND ring (4
+    diagonal edges) at max_interval = 0.43*R; the oracle re-derives the
+    per-edge ceil(length/interval) counts and every interpolated vertex
+    a + (b-a)*(k/n), summing coordinates into quantized digests."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import segmentize_ring
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_vertices": [], "qx": [], "qy": []}
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                r = float(radius) + 0.25
+                lon, lat = float(lon), float(lat)
+                ring = np.array(
+                    [
+                        [lon, lat - r],
+                        [lon + r, lat],
+                        [lon, lat + r],
+                        [lon - r, lat],
+                        [lon, lat - r],
+                    ]
+                )
+                seg = segmentize_ring(ring, r * 0.43)
+                out["doc_id"].append(int(did))
+                out["n_vertices"].append(len(seg))
+                out["qx"].append(int(np.floor(seg[:, 0].sum() * 1048576.0 + 0.5)))
+                out["qy"].append(int(np.floor(seg[:, 1].sum() * 1048576.0 + 0.5)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn, schema="doc_id long, n_vertices int, qx long, qy long"
+    ).orderBy("doc_id")
+
+
+def o_segmentize() -> str:
+    # diamond corners in ring order; edge i runs corner i -> corner i+1
+    corners = [
+        ("lon", "lat - r"),
+        ("lon + r", "lat"),
+        ("lon", "lat + r"),
+        ("lon - r", "lat"),
+        ("lon", "lat - r"),
+    ]
+    edge_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS ei, {ax} AS ax, {ay} AS ay, {bx} AS bx, {by} AS by_, lon, lat, r FROM fd"
+        for i, ((ax, ay), (bx, by)) in enumerate(zip(corners[:-1], corners[1:]))
+    )
+    return (
+        _docs_geo_cte()
+        + f"""
+    , fd AS (
+        SELECT doc_id, lon, lat, radius + 0.25 AS r
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), edges AS ({edge_rows}),
+    en AS (
+        SELECT doc_id, ei, ax, ay, bx, by_,
+               GREATEST(CAST(CEIL(sqrt((bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay))
+                                  / (r * 0.43)) AS BIGINT), 1) AS n
+        FROM edges
+    ), verts AS (
+        -- segmentize emits the ring start once, then k=1..n per edge
+        SELECT doc_id, ax + (bx - ax) * (CAST(kk.k AS DOUBLE) / n) AS vx,
+               ay + (by_ - ay) * (CAST(kk.k AS DOUBLE) / n) AS vy
+        FROM en, UNNEST(generate_series(1, en.n)) AS kk(k)
+        UNION ALL
+        SELECT doc_id, lon AS vx, lat - r AS vy FROM fd
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_vertices,
+           CAST(FLOOR(SUM(vx) * 1048576.0 + 0.5) AS BIGINT) AS qx,
+           CAST(FLOOR(SUM(vy) * 1048576.0 + 0.5) AS BIGINT) AS qy
+    FROM verts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
+def q_am_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 antimeridian split: a square derived per footprint doc whose
+    right edge overflows past 180 is split into in-grid parts with the
+    overflow shifted by -360; parts count, shoelace areas, and the
+    outermost part edges are re-derived as rectangle algebra."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.antimeridian import repair_antimeridian_polygon
+        from mapchete_spark.geometry.core import MultiPolygon, Polygon, ring_area
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_parts": [], "area_q": [],
+                "min_left": [], "max_right": [],
+            }
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                w = float(radius) * 2.0 + 0.5
+                cx = 178.0 + float(radius)
+                cy = float(lat)
+                ring = np.array(
+                    [
+                        [cx - w, cy - w],
+                        [cx + w, cy - w],
+                        [cx + w, cy + w],
+                        [cx - w, cy + w],
+                        [cx - w, cy - w],
+                    ]
+                )
+                fixed = repair_antimeridian_polygon(Polygon(ring))
+                parts = (
+                    list(fixed.polygons)
+                    if isinstance(fixed, MultiPolygon)
+                    else [fixed]
+                )
+                area = sum(ring_area(p.exterior) for p in parts)
+                out["doc_id"].append(int(did))
+                out["n_parts"].append(len(parts))
+                out["area_q"].append(int(np.floor(area * 1048576.0 + 0.5)))
+                out["min_left"].append(min(p.bounds.left for p in parts))
+                out["max_right"].append(max(p.bounds.right for p in parts))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, n_parts int, area_q long, "
+            "min_left double, max_right double"
+        ),
+    ).orderBy("doc_id")
+
+
+def o_am_split() -> str:
+    return (
+        _docs_geo_cte()
+        + """
+    , fd AS (
+        SELECT doc_id, lat,
+               (178.0 + radius) - (radius * 2.0 + 0.5) AS l,
+               (178.0 + radius) + (radius * 2.0 + 0.5) AS rr,
+               lat - (radius * 2.0 + 0.5) AS b,
+               lat + (radius * 2.0 + 0.5) AS t
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), parts AS (
+        SELECT doc_id,
+               CASE WHEN rr > 180.0 THEN 2 ELSE 1 END AS n_parts,
+               -- inside part [l, 180] plus shifted overflow [-180, rr-360]
+               CASE WHEN rr > 180.0
+                    THEN (180.0 - l) * (t - b) + ((rr - 360.0) - (-180.0)) * (t - b)
+                    ELSE (rr - l) * (t - b) END AS area,
+               l AS min_left,
+               CASE WHEN rr > 180.0 THEN 180.0 ELSE rr END AS max_right
+        FROM fd
+    )
+    SELECT doc_id, CAST(n_parts AS INT) AS n_parts,
+           CAST(FLOOR(area * 1048576.0 + 0.5) AS BIGINT) AS area_q,
+           min_left, max_right
+    FROM parts
+    ORDER BY doc_id
+    """
+    )
+
+
+def q_geom_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10 geometry-type filter over a mixed feature table (square
+    footprints + V-polylines for radius docs, points for the rest):
+    per requested type, count and doc-id sum of surviving features —
+    the oracle re-derives the fixture classification rule."""
+    from mapchete_spark.operators.vector import (
+        FEATURE_SCHEMA,
+        doc_footprint_features,
+        doc_vline_features,
+        filter_by_geometry_type,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    polys = doc_footprint_features(docs)
+    lines = doc_vline_features(docs)
+    points = (
+        docs.where(F.col("radius").isNull())
+        .select(
+            F.col("doc_id").cast("string").alias("feature_id"),
+            F.lit(bytearray(b"\x00")).alias("geometry"),
+            F.lit("Point").alias("geom_type"),
+            F.lit("{}").alias("properties"),
+        )
+    )
+    mixed = polys.unionByName(lines).unionByName(points)
+    rows = []
+    for gt in ("Polygon", "LineString", "Point", "MultiPolygon"):
+        kept = filter_by_geometry_type(mixed, gt)
+        agg = kept.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("feature_id").cast("long")), F.lit(0)).alias(
+                "id_sum"
+            ),
+        ).collect()[0]
+        rows.append((gt, int(agg["n"]), int(agg["id_sum"])))
+    return spark.createDataFrame(
+        rows, "requested string, n long, id_sum long"
+    ).orderBy("requested")
+
+
+def o_geom_type_filter() -> str:
+    return (
+        _docs_geo_cte()
+        + """
+    , cls AS (
+        SELECT doc_id, radius IS NOT NULL AS has_fp FROM docs_geo
+    ), agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN has_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+            CAST(SUM(CASE WHEN has_fp THEN doc_id ELSE 0 END) AS BIGINT) AS s_fp,
+            CAST(SUM(CASE WHEN has_fp THEN 0 ELSE 1 END) AS BIGINT) AS n_pt,
+            CAST(SUM(CASE WHEN has_fp THEN 0 ELSE doc_id END) AS BIGINT) AS s_pt
+        FROM cls
+    )
+    SELECT 'Polygon' AS requested, n_fp AS n, s_fp AS id_sum FROM agg
+    UNION ALL SELECT 'MultiPolygon', n_fp, s_fp FROM agg
+    UNION ALL SELECT 'LineString', n_fp, s_fp FROM agg
+    UNION ALL SELECT 'Point', n_pt, s_pt FROM agg
+    ORDER BY requested
+    """
+    )
+
+
+def q_custom_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11 custom_transform: an arbitrary coords-array function pushed
+    through reproject_ring's custom-transform path (reference
+    reproject_geometry's transformer arg), with segmentize-before-warp:
+    the oracle re-applies the same affine to every interpolated
+    vertex."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.reproject import reproject_ring
+
+        def warp(x, y):
+            return x * 0.5 + 10.0, y * 2.0 - 5.0
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_vertices": [], "qx": [], "qy": []}
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                r = float(radius) + 0.25
+                lon, lat = float(lon), float(lat)
+                ring = np.array(
+                    [
+                        [lon, lat - r],
+                        [lon + r, lat],
+                        [lon, lat + r],
+                        [lon - r, lat],
+                        [lon, lat - r],
+                    ]
+                )
+                warped = reproject_ring(
+                    ring, "EPSG:4326", "EPSG:4326",
+                    segmentize_at=r * 0.43, custom_transform=warp,
+                )
+                out["doc_id"].append(int(did))
+                out["n_vertices"].append(len(warped))
+                out["qx"].append(int(np.floor(warped[:, 0].sum() * 1048576.0 + 0.5)))
+                out["qy"].append(int(np.floor(warped[:, 1].sum() * 1048576.0 + 0.5)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn, schema="doc_id long, n_vertices int, qx long, qy long"
+    ).orderBy("doc_id")
+
+
+def o_custom_transform() -> str:
+    corners = [
+        ("lon", "lat - r"),
+        ("lon + r", "lat"),
+        ("lon", "lat + r"),
+        ("lon - r", "lat"),
+        ("lon", "lat - r"),
+    ]
+    edge_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS ei, {ax} AS ax, {ay} AS ay, {bx} AS bx, {by} AS by_, lon, lat, r FROM fd"
+        for i, ((ax, ay), (bx, by)) in enumerate(zip(corners[:-1], corners[1:]))
+    )
+    return (
+        _docs_geo_cte()
+        + f"""
+    , fd AS (
+        SELECT doc_id, lon, lat, radius + 0.25 AS r
+        FROM docs_geo WHERE radius IS NOT NULL
+    ), edges AS ({edge_rows}),
+    en AS (
+        SELECT doc_id, ei, ax, ay, bx, by_,
+               GREATEST(CAST(CEIL(sqrt((bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay))
+                                  / (r * 0.43)) AS BIGINT), 1) AS n
+        FROM edges
+    ), verts AS (
+        SELECT doc_id, ax + (bx - ax) * (CAST(kk.k AS DOUBLE) / n) AS vx,
+               ay + (by_ - ay) * (CAST(kk.k AS DOUBLE) / n) AS vy
+        FROM en, UNNEST(generate_series(1, en.n)) AS kk(k)
+        UNION ALL
+        SELECT doc_id, lon AS vx, lat - r AS vy FROM fd
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_vertices,
+           CAST(FLOOR(SUM(vx * 0.5 + 10.0) * 1048576.0 + 0.5) AS BIGINT) AS qx,
+           CAST(FLOOR(SUM(vy * 2.0 - 5.0) * 1048576.0 + 0.5) AS BIGINT) AS qy
+    FROM verts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
 def q_vector_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 EXACT dissolve measure: per-tile union area of the clipped
     footprints via y-slab sweep (exact for the axis-aligned fixture
@@ -2525,6 +2858,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_enum": q_batch_enum,
         "extract_prepare": q_extract_prepare,
         "mosaic_digest": q_mosaic_digest,
+        "segmentize": q_segmentize,
+        "am_split": q_am_split,
+        "geom_type_filter": q_geom_type_filter,
+        "custom_transform": q_custom_transform,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -2575,6 +2912,10 @@ def oracle_sql() -> dict[str, str]:
     out["batch_enum"] = o_batch_enum()
     out["extract_prepare"] = o_extract_prepare()
     out["mosaic_digest"] = o_mosaic_digest()
+    out["segmentize"] = o_segmentize()
+    out["am_split"] = o_am_split()
+    out["geom_type_filter"] = o_geom_type_filter()
+    out["custom_transform"] = o_custom_transform()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

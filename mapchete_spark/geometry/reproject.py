@@ -206,14 +206,22 @@ def get_transform(src: str, dst: str):
     raise ValueError(f"unsupported CRS pair {src} -> {dst}")
 
 
-def reproject_ring(ring: np.ndarray, src: str, dst: str, segmentize_at=None):
+def reproject_ring(
+    ring: np.ndarray, src: str, dst: str, segmentize_at=None, custom_transform=None
+):
     """Reproject a coordinate ring, optionally densifying first
-    (mapchete/geometry/reproject.py segmentize-before-warp behavior)."""
+    (mapchete/geometry/reproject.py segmentize-before-warp behavior).
+
+    ``custom_transform`` (V11, reference reproject_geometry's
+    fiona_crs/custom transformer arg): a callable (x_array, y_array) ->
+    (x_array, y_array) applied INSTEAD of the CRS pair — the reference
+    passes pyproj transformers this way; any coords-array function
+    works here."""
     from mapchete_spark.geometry.core import segmentize_ring
 
     r = np.asarray(ring, dtype=np.float64)
     if segmentize_at:
         r = segmentize_ring(r, segmentize_at)
-    f = get_transform(src, dst)
+    f = custom_transform if custom_transform is not None else get_transform(src, dst)
     x, y = f(r[:, 0], r[:, 1])
     return np.column_stack([x, y])
