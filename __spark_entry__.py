@@ -9,6 +9,7 @@ side uses (mapchete_spark.functions.*_sql twins) so they cannot drift.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1125,6 +1126,271 @@ def o_convert() -> str:
         SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
     )
     SELECT {_RASTER_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           {R._qsum("v")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+# ---------------------------------------------------------------------------
+# job-level contract queries: S4 composition, S11/J1/J2 resume modes,
+# J3+P5 user process with preprocessing, J6+Z3/Z5 stage metrics. Each
+# runs REAL jobs (plans/job.execute) into a fresh temp dir; the oracle
+# re-derives the expected counts/values from tile arithmetic and the
+# analytic lattice.
+
+_JOB_BOUNDS_SUB = (0.0, 20.0, 22.5, 50.0)
+_JOB_BOUNDS_FULL = (0.0, 20.0, 45.0, 50.0)
+_JOB_ZOOM = 4
+
+
+def _job_base_conf(out_path: str, bounds) -> dict:
+    return dict(
+        process="convert",
+        zoom_levels=[_JOB_ZOOM],
+        pyramid={"grid": "geodetic"},
+        input={"source": "dem", "hole": False},
+        process_parameters={"scale_ratio": 2.0, "scale_offset": 10.0},
+        bounds=list(bounds),
+        output={"path": out_path, "format": "parquet_tiles"},
+    )
+
+
+def q_job_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 tiles_exist / J1 modes / J2 skip: a convert job over a
+    sub-AOI, then the full AOI in continue mode (processes exactly the
+    missing tiles), again (processes zero), readonly (zero), overwrite
+    (everything) — per-run processed counts vs closed-form tile
+    counting."""
+    import tempfile
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    out = os.path.join(tempfile.mkdtemp(prefix="msq_resume_"), "o")
+    sub = JobConfig.from_dict(_job_base_conf(out, _JOB_BOUNDS_SUB))
+    full = JobConfig.from_dict(_job_base_conf(out, _JOB_BOUNDS_FULL))
+    rows = [
+        ("1_sub_continue", execute(spark, sub, mode="continue")[f"process_z{_JOB_ZOOM}"]),
+        ("2_full_continue", execute(spark, full, mode="continue")[f"process_z{_JOB_ZOOM}"]),
+        ("3_full_continue_again", execute(spark, full, mode="continue")[f"process_z{_JOB_ZOOM}"]),
+        ("4_full_readonly", execute(spark, full, mode="readonly")[f"process_z{_JOB_ZOOM}"]),
+        ("5_full_overwrite", execute(spark, full, mode="overwrite")[f"process_z{_JOB_ZOOM}"]),
+    ]
+    return spark.createDataFrame(rows, "run string, n_processed long").orderBy("run")
+
+
+def o_job_resume() -> str:
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    ts = pyr.tile_x_size(_JOB_ZOOM)
+    mh, mw = pyr.matrix_height(_JOB_ZOOM), pyr.matrix_width(_JOB_ZOOM)
+
+    def n_tiles(b):
+        l, bo, r, t = b
+        return (
+            f"(LEAST(CAST(CEIL((90.0 - {bo!r}) / {ts!r}) AS BIGINT) - 1, {mh - 1})"
+            f" - GREATEST(CAST(FLOOR((90.0 - {t!r}) / {ts!r}) AS BIGINT), 0) + 1)"
+            f" * (LEAST(CAST(CEIL(({r!r} + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1})"
+            f" - GREATEST(CAST(FLOOR(({l!r} + 180.0) / {ts!r}) AS BIGINT), 0) + 1)"
+        )
+
+    n_sub = n_tiles(_JOB_BOUNDS_SUB)
+    n_full = n_tiles(_JOB_BOUNDS_FULL)
+    return f"""
+    SELECT '1_sub_continue' AS run, CAST({n_sub} AS BIGINT) AS n_processed
+    UNION ALL SELECT '2_full_continue', CAST({n_full} - {n_sub} AS BIGINT)
+    UNION ALL SELECT '3_full_continue_again', 0
+    UNION ALL SELECT '4_full_readonly', 0
+    UNION ALL SELECT '5_full_overwrite', CAST({n_full} AS BIGINT)
+    ORDER BY run
+    """
+
+
+def q_job_user_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 user-process loading (a .py file written at query time, loaded
+    by path, signature-validated) + J3 preprocessing (a driver-side
+    task whose result rides into the executor-side tile math): output
+    values digested against the lattice with the same affine."""
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    d = tempfile.mkdtemp(prefix="msq_userproc_")
+    proc = os.path.join(d, "userproc.py")
+    with open(proc, "w") as f:
+        f.write(
+            "def execute(mp, multiplier=1.0, preprocessing=None):\n"
+            "    return mp.array.astype('float64') * multiplier"
+            " + preprocessing['off']\n"
+        )
+    task = os.path.join(d, "preptask.py")
+    with open(task, "w") as f:
+        f.write(
+            "def execute(spark, cfg, base=0.0):\n"
+            "    return base + 2.5\n"
+        )
+    cfg = JobConfig.from_dict(
+        dict(
+            process=proc,
+            zoom_levels=[_JOB_ZOOM],
+            pyramid={"grid": "geodetic"},
+            input={"source": "dem", "hole": False},
+            bounds=list(_JOB_BOUNDS_FULL),
+            process_parameters={"multiplier": 2.0},
+            preprocessing={"off": {"process": task, "args": {"base": 10.0}}},
+            output={"path": os.path.join(d, "o"), "format": "parquet_tiles"},
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    out = spark.read.parquet(os.path.join(d, "o", "tiles"))
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_job_user_preprocess() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(
+        Bounds(*_JOB_BOUNDS_FULL), _JOB_ZOOM
+    )
+    _, px = R._geodetic_sizes(_JOB_ZOOM)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    # user process: float64 cast * multiplier + (preprocessing base+2.5)
+    v = f"(CAST({e} AS DOUBLE) * 2.0 + 12.5)"
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_JOB_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           {R._qsum("v")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+def q_job_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 metrics table + Z3/Z5 stage ordering: a baselevels job
+    (process z5, then overview z4, then z3) records one metrics row per
+    stage; sequence (by timestamp) and per-stage tile counts re-derived
+    from parent-range arithmetic."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from mapchete_spark.operators.checkpoint import JobStore
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    d = tempfile.mkdtemp(prefix="msq_stages_")
+    out = os.path.join(d, "o")
+    cfg = JobConfig.from_dict(
+        dict(
+            process="convert",
+            zoom_levels={"min": 3, "max": 5},
+            baselevels={"min": 5, "max": 5, "lower": "average"},
+            pyramid={"grid": "geodetic"},
+            input={"source": "dem", "hole": False},
+            bounds=list(_JOB_BOUNDS_FULL),
+            process_parameters={"scale_ratio": 2.0, "scale_offset": 10.0},
+            output={"path": out, "format": "parquet_tiles"},
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    store = JobStore(spark, os.path.join(out, "_state"))
+    w = Window.orderBy("at")
+    return (
+        store.metrics()
+        .withColumn("seq", F.row_number().over(w))
+        .select("seq", "stage", F.col("n_rows").alias("n_tiles"))
+        .orderBy("seq")
+    )
+
+
+def o_job_stage_metrics() -> str:
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(Bounds(*_JOB_BOUNDS_FULL), 5)
+    n5 = (r1 - r0 + 1) * (c1 - c0 + 1)
+    # overview parents: integer-halved inclusive ranges per level
+    pr0, pr1, pc0, pc1 = r0 // 2, r1 // 2, c0 // 2, c1 // 2
+    n4 = (pr1 - pr0 + 1) * (pc1 - pc0 + 1)
+    gr0, gr1, gc0, gc1 = pr0 // 2, pr1 // 2, pc0 // 2, pc1 // 2
+    n3 = (gr1 - gr0 + 1) * (gc1 - gc0 + 1)
+    return f"""
+    SELECT 1 AS seq, 'process_z5' AS stage, CAST({n5} AS BIGINT) AS n_tiles
+    UNION ALL SELECT 2, 'overview_z4', {n4}
+    UNION ALL SELECT 3, 'overview_z3', {n3}
+    ORDER BY seq
+    """
+
+
+def q_job_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 mapchete-input composition: job B consumes job A's output
+    table as its input driver (input: path), so the digests of B are
+    the lattice pushed through BOTH affine processes."""
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    d = tempfile.mkdtemp(prefix="msq_compose_")
+    out_a = os.path.join(d, "a")
+    out_b = os.path.join(d, "b")
+    cfg_a = JobConfig.from_dict(_job_base_conf(out_a, _JOB_BOUNDS_FULL))
+    execute(spark, cfg_a, mode="overwrite")
+    cfg_b = JobConfig.from_dict(
+        dict(
+            process="convert",
+            zoom_levels=[_JOB_ZOOM],
+            pyramid={"grid": "geodetic"},
+            input={"path": os.path.join(out_a, "tiles")},
+            bounds=list(_JOB_BOUNDS_FULL),
+            process_parameters={"scale_ratio": 3.0, "scale_offset": -5.0},
+            output={"path": out_b, "format": "parquet_tiles"},
+        )
+    )
+    execute(spark, cfg_b, mode="overwrite")
+    out = spark.read.parquet(os.path.join(out_b, "tiles"))
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_job_composition() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(
+        Bounds(*_JOB_BOUNDS_FULL), _JOB_ZOOM
+    )
+    _, px = R._geodetic_sizes(_JOB_ZOOM)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    # A: f64(e)*2+10; B reads A's float64 payload: (*3 - 5)
+    v = f"((CAST({e} AS DOUBLE) * 2.0 + 10.0) * 3.0 + -5.0)"
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_JOB_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
            CAST(COUNT(v) AS BIGINT) AS n_valid,
            {R._qsum("v")} AS value_q_sum
     FROM px GROUP BY 2, 3
@@ -2862,6 +3128,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "am_split": q_am_split,
         "geom_type_filter": q_geom_type_filter,
         "custom_transform": q_custom_transform,
+        "job_resume": q_job_resume,
+        "job_user_preprocess": q_job_user_preprocess,
+        "job_stage_metrics": q_job_stage_metrics,
+        "job_composition": q_job_composition,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -2916,6 +3186,10 @@ def oracle_sql() -> dict[str, str]:
     out["am_split"] = o_am_split()
     out["geom_type_filter"] = o_geom_type_filter()
     out["custom_transform"] = o_custom_transform()
+    out["job_resume"] = o_job_resume()
+    out["job_user_preprocess"] = o_job_user_preprocess()
+    out["job_stage_metrics"] = o_job_stage_metrics()
+    out["job_composition"] = o_job_composition()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 
