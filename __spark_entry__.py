@@ -1398,6 +1398,202 @@ def o_job_composition() -> str:
     """
 
 
+_REFRESH_ZOOM = 5
+_REFRESH_MOD = 5  # tiles with (row + col) % MOD == 0 get bumped
+
+
+def q_refresh_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2 overview refresh: bump a deterministic subset of base tiles
+    (+100), seed refresh_overviews with exactly those keys, and digest
+    the recomputed parents — the oracle re-derives the affected-parent
+    set from key arithmetic and each refreshed value from the modified
+    lattice (unchanged siblings still contribute)."""
+    import pandas as pd
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.rastertable import RASTER_SCHEMA, materialize_dem
+    from mapchete_spark.operators.refresh import refresh_overviews
+
+    pyr, aoi = _raster_ctx()
+    dem5 = materialize_dem(spark, _REFRESH_ZOOM, pyr, bounds=aoi, hole=False)
+    cond = (F.col("tile_row") + F.col("tile_col")) % _REFRESH_MOD == 0
+
+    def bump(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = np.frombuffer(r["data"], dtype=r["dtype"]).copy()
+                raw = raw + 100.0  # f32 + double literal -> f32 result
+                d = dict(r)
+                d["data"] = raw.astype(r["dtype"]).tobytes()
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    modified = (
+        dem5.where(cond).mapInPandas(bump, RASTER_SCHEMA)
+        .unionByName(dem5.where(~cond))
+    )
+    changed = dem5.where(cond).select("tile_key")
+    empty = spark.createDataFrame([], RASTER_SCHEMA)
+
+    def read_level(z):
+        return modified if z == _REFRESH_ZOOM else empty
+
+    [(z4, refreshed)] = refresh_overviews(
+        read_level, changed, pyr, _REFRESH_ZOOM, _REFRESH_ZOOM - 1,
+        resampling="average",
+    )
+    return tile_value_digests(refreshed, with_dims=False).orderBy(
+        "tile_row", "tile_col"
+    )
+
+
+def o_refresh_digest() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.grid import Bounds
+
+    pyr, aoi = _raster_ctx()
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(aoi, _REFRESH_ZOOM)
+    _, px = R._geodetic_sizes(_REFRESH_ZOOM)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    # +100 applied to tiles with (row + col) % MOD == 0, in f32
+    bumped = (
+        f"CASE WHEN ((gi // 256) + (gj // 256)) % {_REFRESH_MOD} = 0 "
+        f"THEN CAST(CAST({e} AS DOUBLE) + 100.0 AS FLOAT) ELSE {e} END"
+    )
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px5 AS (
+        SELECT r.gi, c.gj, {bumped} AS e
+        FROM rows_g r CROSS JOIN cols_g c
+    ),
+    px4 AS (
+        SELECT gi // 2 AS gi, gj // 2 AS gj,
+               CAST(SUM(CAST(e AS DOUBLE)) / COUNT(e) AS FLOAT) AS e
+        FROM px5 GROUP BY 1, 2
+    ),
+    dirty AS (
+        SELECT DISTINCT (rr.row // 2) AS prow, (cc.col // 2) AS pcol
+        FROM UNNEST(generate_series({r0}, {r1})) AS rr(row),
+             UNNEST(generate_series({c0}, {c1})) AS cc(col)
+        WHERE (rr.row + cc.col) % {_REFRESH_MOD} = 0
+    )
+    SELECT {_REFRESH_ZOOM - 1} AS zoom,
+           gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(e) AS BIGINT) AS n_valid,
+           {R._qsum("e")} AS value_q_sum
+    FROM px4
+    JOIN dirty ON dirty.prow = gi // 256 AND dirty.pcol = gj // 256
+    GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+_STAC_ZOOMS = (3, 4, 5)
+
+
+def q_stac_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 STAC writer: write the tiled-assets item to disk, read it
+    back, and emit each zoom's tile-matrix fields — matrix sizes,
+    origin, tile width, scale denominator — for the oracle's 2^z
+    arithmetic to re-derive."""
+    import json
+    import tempfile
+
+    from mapchete_spark.sources.stac import tile_table_stac_item
+    from mapchete_spark.tilegrid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    item = tile_table_stac_item(
+        "msq-stac", pyr, list(_STAC_ZOOMS), "/tmp/msq_stac_out",
+        timestamp="2026-01-01T00:00:00Z",
+    )
+    d = tempfile.mkdtemp(prefix="msq_stac_")
+    p = os.path.join(d, "item.json")
+    with open(p, "w") as f:
+        json.dump(item, f)
+    with open(p) as f:
+        loaded = json.load(f)
+    tms = loaded["properties"]["tiles:tile_matrix_sets"]["WorldCRS84Quad"]
+    rows = []
+    for m in tms["tileMatrix"]:
+        rows.append(
+            (
+                int(m["identifier"]),
+                int(m["matrixWidth"]),
+                int(m["matrixHeight"]),
+                int(m["tileWidth"]),
+                float(m["topLeftCorner"][0]),
+                float(m["topLeftCorner"][1]),
+                float(m["scaleDenominator"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "zoom int, matrix_width int, matrix_height int, tile_width int, "
+        "origin_x double, origin_y double, scale double",
+    ).orderBy("zoom")
+
+
+def o_stac_item() -> str:
+    from mapchete_spark.sources.stac import _UNIT_TO_METER
+
+    u = _UNIT_TO_METER["geodetic"]
+    zmin, zmax = min(_STAC_ZOOMS), max(_STAC_ZOOMS)
+    return f"""
+    WITH z AS (SELECT UNNEST(generate_series({zmin}, {zmax})) AS zoom)
+    SELECT CAST(zoom AS INT) AS zoom,
+           CAST(2 * CAST(POWER(2, zoom) AS BIGINT) AS INT) AS matrix_width,
+           CAST(CAST(POWER(2, zoom) AS BIGINT) AS INT) AS matrix_height,
+           256 AS tile_width,
+           -180.0 AS origin_x, 90.0 AS origin_y,
+           (180.0 / POWER(2.0, zoom) / 256.0) * {u!r} / 0.00028 AS scale
+    FROM z
+    ORDER BY zoom
+    """
+
+
+def q_job_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 output metadata sidecar: run a job, read metadata.json back,
+    and emit its driver/pyramid fields for the oracle's constant row."""
+    import json
+    import tempfile
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    out = os.path.join(tempfile.mkdtemp(prefix="msq_meta_"), "o")
+    cfg = JobConfig.from_dict(_job_base_conf(out, _JOB_BOUNDS_SUB))
+    execute(spark, cfg, mode="overwrite")
+    with open(os.path.join(out, "metadata.json")) as f:
+        meta = json.load(f)
+    row = (
+        str(meta["pyramid"]["grid"]),
+        int(meta["pyramid"]["metatiling"]),
+        int(meta["pyramid"]["tile_size"]),
+        int(meta["pyramid"]["pixelbuffer"]),
+        str(meta["driver"]["format"]),
+        str(meta["process"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "grid string, metatiling int, tile_size int, pixelbuffer int, "
+        "format string, process string",
+    )
+
+
+def o_job_metadata() -> str:
+    return """
+    SELECT 'geodetic' AS grid, 1 AS metatiling, 256 AS tile_size,
+           0 AS pixelbuffer, 'parquet_tiles' AS format, 'convert' AS process
+    """
+
+
 def q_output_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z4 process->output split: metatiling=2 tiles cut into base tiles
     (no-shuffle explode) must digest EXACTLY like the directly
@@ -3132,6 +3328,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_user_preprocess": q_job_user_preprocess,
         "job_stage_metrics": q_job_stage_metrics,
         "job_composition": q_job_composition,
+        "refresh_digest": q_refresh_digest,
+        "stac_item": q_stac_item,
+        "job_metadata": q_job_metadata,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3190,6 +3389,9 @@ def oracle_sql() -> dict[str, str]:
     out["job_user_preprocess"] = o_job_user_preprocess()
     out["job_stage_metrics"] = o_job_stage_metrics()
     out["job_composition"] = o_job_composition()
+    out["refresh_digest"] = o_refresh_digest()
+    out["stac_item"] = o_stac_item()
+    out["job_metadata"] = o_job_metadata()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 
