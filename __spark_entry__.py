@@ -66,6 +66,14 @@ _LON = G.lon_sql("doc_id")
 _LAT = G.lat_sql("doc_id")
 
 
+
+def _dlit(x: float) -> str:
+    """Full-precision DOUBLE literal for DuckDB (a bare decimal literal
+    parses as DECIMAL, whose exact arithmetic can diverge from the
+    engine's binary doubles and whose fetch type breaks the driver's
+    value compare)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
 def _docs_geo_cte() -> str:
     return f"""
     WITH docs_geo AS (
@@ -596,9 +604,8 @@ def o_grid_snap() -> str:
 
     pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
     z = _GRID_SNAP_ZOOM
-    ts = pyr.tile_x_size(z)
-    px = pyr.pixel_x_size(z)
-    pbd = _GRID_PB * px
+    ts = _dlit(pyr.tile_x_size(z))
+    pbd = _dlit(_GRID_PB * pyr.pixel_x_size(z))
     mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
     return (
         _docs_geo_cte()
@@ -612,24 +619,24 @@ def o_grid_snap() -> str:
         FROM docs_geo WHERE radius IS NOT NULL
     ), rng AS (
         SELECT doc_id, l, b, r, t,
-               GREATEST(CAST(FLOOR((90.0 - t) / {ts!r}) AS BIGINT), 0) AS r0,
-               LEAST(CAST(CEIL((90.0 - b) / {ts!r}) AS BIGINT) - 1, {mh - 1}) AS r1,
-               GREATEST(CAST(FLOOR((l + 180.0) / {ts!r}) AS BIGINT), 0) AS c0,
-               LEAST(CAST(CEIL((r + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1}) AS c1
+               GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0) AS r0,
+               LEAST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, {mh - 1}) AS r1,
+               GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0) AS c0,
+               LEAST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, {mw - 1}) AS c1
         FROM fb
     ), snapped AS (
         SELECT doc_id, r0, r1, c0, c1,
-               (-180.0 + c0 * {ts!r}) - {pbd!r} AS sl,
-               GREATEST(GREATEST(90.0 - (r1 + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS sb,
-               LEAST(-180.0 + (c1 + 1) * {ts!r}, 180.0) + {pbd!r} AS sr,
-               LEAST(LEAST(90.0 - r0 * {ts!r}, 90.0) + {pbd!r}, 90.0) AS st
+               (-180.0 + c0 * {ts}) - {pbd} AS sl,
+               GREATEST(GREATEST(90.0 - (r1 + 1) * {ts}, -90.0) - {pbd}, -90.0) AS sb,
+               LEAST(-180.0 + (c1 + 1) * {ts}, 180.0) + {pbd} AS sr,
+               LEAST(LEAST(90.0 - r0 * {ts}, 90.0) + {pbd}, 90.0) AS st
         FROM rng
     ), rowparts AS (
         SELECT s.doc_id,
-               (LEAST(-180.0 + (s.c1 + 1) * {ts!r}, 180.0) + {pbd!r})
-                 - ((-180.0 + s.c0 * {ts!r}) - {pbd!r}) AS w,
-               LEAST((90.0 - rr.row * {ts!r}) + {pbd!r}, 90.0)
-                 - GREATEST(GREATEST(90.0 - (rr.row + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS h
+               (LEAST(-180.0 + (s.c1 + 1) * {ts}, 180.0) + {pbd})
+                 - ((-180.0 + s.c0 * {ts}) - {pbd}) AS w,
+               LEAST((90.0 - rr.row * {ts}) + {pbd}, 90.0)
+                 - GREATEST(GREATEST(90.0 - (rr.row + 1) * {ts}, -90.0) - {pbd}, -90.0) AS h
         FROM snapped s, UNNEST(generate_series(s.r0, s.r1)) AS rr(row)
     ), agg AS (
         SELECT doc_id, COUNT(*) AS n_parts, SUM(w * h) AS parts_area
@@ -690,30 +697,30 @@ def o_grid_affine() -> str:
 
     pyr = TilePyramid("geodetic", pixelbuffer=_GRID_PB)
     z = _AFFINE_ZOOM
-    ts = pyr.tile_x_size(z)
-    px = pyr.pixel_x_size(z)
-    pbd = _GRID_PB * px
+    ts = _dlit(pyr.tile_x_size(z))
+    px = _dlit(pyr.pixel_x_size(z))
+    pbd = _dlit(_GRID_PB * pyr.pixel_x_size(z))
     mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
     return (
         _docs_geo_cte()
         + f"""
     , t AS (
         SELECT doc_id,
-               LEAST(CAST(FLOOR((90.0 - lat) / {ts!r}) AS BIGINT), {mh - 1}) AS trow,
-               LEAST(CAST(FLOOR((lon + 180.0) / {ts!r}) AS BIGINT), {mw - 1}) AS tcol
+               LEAST(CAST(FLOOR((90.0 - lat) / {ts}) AS BIGINT), {mh - 1}) AS trow,
+               LEAST(CAST(FLOOR((lon + 180.0) / {ts}) AS BIGINT), {mw - 1}) AS tcol
         FROM docs_geo
     ), b AS (
         SELECT doc_id, trow, tcol,
-               (-180.0 + tcol * {ts!r}) - {pbd!r} AS bl,
-               LEAST(-180.0 + (tcol + 1) * {ts!r}, 180.0) + {pbd!r} AS br,
-               LEAST(LEAST(90.0 - trow * {ts!r}, 90.0) + {pbd!r}, 90.0) AS bt,
-               GREATEST(GREATEST(90.0 - (trow + 1) * {ts!r}, -90.0) - {pbd!r}, -90.0) AS bb
+               (-180.0 + tcol * {ts}) - {pbd} AS bl,
+               LEAST(-180.0 + (tcol + 1) * {ts}, 180.0) + {pbd} AS br,
+               LEAST(LEAST(90.0 - trow * {ts}, 90.0) + {pbd}, 90.0) AS bt,
+               GREATEST(GREATEST(90.0 - (trow + 1) * {ts}, -90.0) - {pbd}, -90.0) AS bb
         FROM t
     )
     SELECT doc_id, trow, tcol,
-           {px!r} AS af_a, bl AS af_c, bt AS af_f,
-           CAST(round_even((bt - bb) / {px!r}, 0) AS INT) AS shape_h,
-           CAST(round_even((br - bl) / {px!r}, 0) AS INT) AS shape_w
+           {px} AS af_a, bl AS af_c, bt AS af_f,
+           CAST(round_even((bt - bb) / {px}, 0) AS INT) AS shape_h,
+           CAST(round_even((br - bl) / {px}, 0) AS INT) AS shape_w
     FROM b
     ORDER BY doc_id
     """
@@ -766,7 +773,7 @@ def o_meta_intersect() -> str:
 
     p8 = TilePyramid("geodetic", metatiling=8)
     p2 = TilePyramid("geodetic", metatiling=2)
-    ts8 = p8.tile_x_size(5)
+    ts8 = _dlit(p8.tile_x_size(5))
     mh8, mw8 = p8.matrix_height(5), p8.matrix_width(5)
     # a z5 mt8 tile covers exactly a 4x4 block of mt2 tiles (32/8 vs
     # 32/2 — no ragged edge on geodetic pow-2 metatiling at z>=3)
@@ -776,8 +783,8 @@ def o_meta_intersect() -> str:
         + f"""
     , t AS (
         SELECT doc_id,
-               LEAST(CAST(FLOOR((90.0 - lat) / {ts8!r}) AS BIGINT), {mh8 - 1}) AS crow,
-               LEAST(CAST(FLOOR((lon + 180.0) / {ts8!r}) AS BIGINT), {mw8 - 1}) AS ccol
+               LEAST(CAST(FLOOR((90.0 - lat) / {ts8}) AS BIGINT), {mh8 - 1}) AS crow,
+               LEAST(CAST(FLOOR((lon + 180.0) / {ts8}) AS BIGINT), {mw8 - 1}) AS ccol
         FROM docs_geo
     )
     SELECT doc_id, crow, ccol,
@@ -865,7 +872,7 @@ def o_batch_enum() -> str:
 
     pyr = TilePyramid("geodetic")
     z = _BATCH_ZOOM
-    ts = pyr.tile_x_size(z)
+    ts = _dlit(pyr.tile_x_size(z))
     mh, mw = pyr.matrix_height(z), pyr.matrix_width(z)
     return (
         _docs_geo_cte()
@@ -879,10 +886,10 @@ def o_batch_enum() -> str:
         FROM docs_geo WHERE radius IS NOT NULL
     ), rng AS (
         SELECT doc_id,
-               GREATEST(CAST(FLOOR((90.0 - t) / {ts!r}) AS BIGINT), 0) AS r0,
-               LEAST(CAST(CEIL((90.0 - b) / {ts!r}) AS BIGINT) - 1, {mh - 1}) AS r1,
-               GREATEST(CAST(FLOOR((l + 180.0) / {ts!r}) AS BIGINT), 0) AS c0,
-               LEAST(CAST(CEIL((r + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1}) AS c1
+               GREATEST(CAST(FLOOR((90.0 - t) / {ts}) AS BIGINT), 0) AS r0,
+               LEAST(CAST(CEIL((90.0 - b) / {ts}) AS BIGINT) - 1, {mh - 1}) AS r1,
+               GREATEST(CAST(FLOOR((l + 180.0) / {ts}) AS BIGINT), 0) AS c0,
+               LEAST(CAST(CEIL((r + 180.0) / {ts}) AS BIGINT) - 1, {mw - 1}) AS c1
         FROM fb
     ), cells AS (
         SELECT g.doc_id, g.r0, g.r1, g.c0, g.c1, rr.row AS row, cc.col AS col
@@ -1185,16 +1192,16 @@ def o_job_resume() -> str:
     from mapchete_spark.tilegrid.pyramid import TilePyramid
 
     pyr = TilePyramid("geodetic")
-    ts = pyr.tile_x_size(_JOB_ZOOM)
+    ts = _dlit(pyr.tile_x_size(_JOB_ZOOM))
     mh, mw = pyr.matrix_height(_JOB_ZOOM), pyr.matrix_width(_JOB_ZOOM)
 
     def n_tiles(b):
         l, bo, r, t = b
         return (
-            f"(LEAST(CAST(CEIL((90.0 - {bo!r}) / {ts!r}) AS BIGINT) - 1, {mh - 1})"
-            f" - GREATEST(CAST(FLOOR((90.0 - {t!r}) / {ts!r}) AS BIGINT), 0) + 1)"
-            f" * (LEAST(CAST(CEIL(({r!r} + 180.0) / {ts!r}) AS BIGINT) - 1, {mw - 1})"
-            f" - GREATEST(CAST(FLOOR(({l!r} + 180.0) / {ts!r}) AS BIGINT), 0) + 1)"
+            f"(LEAST(CAST(CEIL((90.0 - {bo!r}) / {ts}) AS BIGINT) - 1, {mh - 1})"
+            f" - GREATEST(CAST(FLOOR((90.0 - {t!r}) / {ts}) AS BIGINT), 0) + 1)"
+            f" * (LEAST(CAST(CEIL(({r!r} + 180.0) / {ts}) AS BIGINT) - 1, {mw - 1})"
+            f" - GREATEST(CAST(FLOOR(({l!r} + 180.0) / {ts}) AS BIGINT), 0) + 1)"
         )
 
     n_sub = n_tiles(_JOB_BOUNDS_SUB)
@@ -1551,7 +1558,7 @@ def o_stac_item() -> str:
            CAST(2 * CAST(POWER(2, zoom) AS BIGINT) AS INT) AS matrix_width,
            CAST(CAST(POWER(2, zoom) AS BIGINT) AS INT) AS matrix_height,
            256 AS tile_width,
-           -180.0 AS origin_x, 90.0 AS origin_y,
+           CAST(-180.0 AS DOUBLE) AS origin_x, CAST(90.0 AS DOUBLE) AS origin_y,
            (180.0 / POWER(2.0, zoom) / 256.0) * {u!r} / 0.00028 AS scale
     FROM z
     ORDER BY zoom

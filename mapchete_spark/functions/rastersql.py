@@ -608,10 +608,10 @@ def mosaic_blocks_sql(zoom: int, row0: int, row1: int, col0: int, col1: int,
     r0a, r1a = am_rows[0], am_rows[-1]
     am_gi0, am_gi1 = r0a * TILE_SIZE, (r1a + 1) * TILE_SIZE - 1
     # antimeridian canvas bounds in the shifted frame
-    am_left = repr(pyr.left + am_cols_west * ts)
-    am_right = repr(pyr.left + (am_cols_east + mw + 1) * ts)
-    am_top = repr(pyr.top - r0a * ts)
-    am_bottom = repr(pyr.top - (r1a + 1) * ts)
+    am_left = f"CAST({pyr.left + am_cols_west * ts!r} AS DOUBLE)"
+    am_right = f"CAST({pyr.left + (am_cols_east + mw + 1) * ts!r} AS DOUBLE)"
+    am_top = f"CAST({pyr.top - r0a * ts!r} AS DOUBLE)"
+    am_bottom = f"CAST({pyr.top - (r1a + 1) * ts!r} AS DOUBLE)"
     return f"""
     WITH {_rows_cte("rows_g", gi0, gi1, px)},
     {_cols_cte("cols_g", gj0, gj1, px)},
@@ -629,10 +629,10 @@ def mosaic_blocks_sql(zoom: int, row0: int, row1: int, col0: int, col1: int,
     ),
     block_rows AS (
         SELECT kind, brow, bcol, n_valid, value_q_sum,
-               -180.0 + (2 * bcol) * {_r(ts)} AS ml,
-               90.0 - (2 * brow + 2) * {_r(ts)} AS mb,
-               -180.0 + (2 * bcol + 2) * {_r(ts)} AS mr,
-               90.0 - (2 * brow) * {_r(ts)} AS mt
+               -180.0 + (2 * bcol) * CAST({_r(ts)} AS DOUBLE) AS ml,
+               90.0 - (2 * brow + 2) * CAST({_r(ts)} AS DOUBLE) AS mb,
+               -180.0 + (2 * bcol + 2) * CAST({_r(ts)} AS DOUBLE) AS mr,
+               90.0 - (2 * brow) * CAST({_r(ts)} AS DOUBLE) AS mt
         FROM blocks
     ),
     {_rows_cte("am_rows_g", am_gi0, am_gi1, px)},
