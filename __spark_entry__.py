@@ -2569,6 +2569,77 @@ def o_custom_transform() -> str:
     )
 
 
+def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12 WKT coercion: each footprint doc's diamond polygon is
+    serialized to WKT (full-precision repr), re-parsed via
+    guess_geometry, and measured — a bit-exact string round trip, so
+    the oracle re-derives area and bounds numerically."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import Polygon, ring_area
+        from mapchete_spark.geometry.wkt import guess_geometry, to_wkt
+
+        for pdf in batches:
+            out = {"doc_id": [], "area_q": [], "min_x": [], "max_y": []}
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                r = float(radius) + 0.25
+                lon, lat = float(lon), float(lat)
+                ring = np.array(
+                    [
+                        [lon, lat - r],
+                        [lon + r, lat],
+                        [lon, lat + r],
+                        [lon - r, lat],
+                        [lon, lat - r],
+                    ]
+                )
+                wkt = to_wkt(Polygon(ring))
+                geom, _ = guess_geometry(wkt)
+                b = geom.bounds
+                out["doc_id"].append(int(did))
+                out["area_q"].append(
+                    int(np.floor(ring_area(geom.exterior) * 1048576.0 + 0.5))
+                )
+                out["min_x"].append(b.left)
+                out["max_y"].append(b.top)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn, schema="doc_id long, area_q long, min_x double, max_y double"
+    ).orderBy("doc_id")
+
+
+def o_wkt_roundtrip() -> str:
+    return (
+        _docs_geo_cte()
+        + """
+    , fd AS (
+        SELECT doc_id, lon, lat, radius + 0.25 AS r
+        FROM docs_geo WHERE radius IS NOT NULL
+    )
+    -- diamond shoelace: |sum of cross terms| / 2, mirrored corner order
+    SELECT doc_id,
+           CAST(FLOOR((abs(
+               (lon * lat - (lon + r) * (lat - r))
+             + ((lon + r) * (lat + r) - lon * lat)
+             + (lon * lat - (lon - r) * (lat + r))
+             + ((lon - r) * (lat - r) - lon * lat)
+           ) / 2.0) * 1048576.0 + 0.5) AS BIGINT) AS area_q,
+           lon - r AS min_x,
+           lat + r AS max_y
+    FROM fd
+    ORDER BY doc_id
+    """
+    )
+
+
 def q_vector_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 EXACT dissolve measure: per-tile union area of the clipped
     footprints via y-slab sweep (exact for the axis-aligned fixture
@@ -3338,6 +3409,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_digest": q_refresh_digest,
         "stac_item": q_stac_item,
         "job_metadata": q_job_metadata,
+        "wkt_roundtrip": q_wkt_roundtrip,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3399,6 +3471,7 @@ def oracle_sql() -> dict[str, str]:
     out["refresh_digest"] = o_refresh_digest()
     out["stac_item"] = o_stac_item()
     out["job_metadata"] = o_job_metadata()
+    out["wkt_roundtrip"] = o_wkt_roundtrip()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

@@ -123,6 +123,10 @@ class JobConfig:
     raw_preprocessing: Dict[str, Any] = field(default_factory=dict)
     baselevels: Optional[Baselevels] = None
     bounds: Optional[Bounds] = None
+    # V12: process AOI geometry — accepts WKT strings, GeoJSON dicts,
+    # __geo_interface__ objects, WKB bytes, or bounds (reference
+    # config/parse.py:198-251); tiles outside it are excluded exactly
+    area: Optional[object] = None
     # directory of the .mapchete file: relative `process: my_process.py`
     # paths resolve against it (reference config semantics)
     config_dir: Optional[str] = None
@@ -158,6 +162,13 @@ class JobConfig:
             if bl.min < min(zooms) or bl.max > max(zooms):
                 raise ConfigError("baselevels must be within zoom_levels")
         bounds = Bounds(*conf["bounds"]) if conf.get("bounds") else None
+        area = None
+        if conf.get("area") is not None:
+            from mapchete_spark.geometry.wkt import guess_geometry
+
+            area, _ = guess_geometry(conf["area"])
+            ab = area.bounds
+            bounds = ab if bounds is None else bounds.intersection(ab)
         return JobConfig(
             process=str(conf["process"]),
             zoom_levels=zooms,
@@ -168,6 +179,7 @@ class JobConfig:
             raw_preprocessing=conf.get("preprocessing") or {},
             baselevels=bl,
             bounds=bounds,
+            area=area,
             config_dir=conf.get("config_dir"),
         )
 

@@ -77,22 +77,56 @@ def resolve_process(cfg: JobConfig):
     return kind, pf, 0
 
 
+def _filter_tiles_to_area(df: DataFrame, pyramid, area) -> DataFrame:
+    """V12 area geometry: keep only tiles whose bounds intersect the
+    configured AOI geometry (exact test per tile, distributed — the
+    bbox prefilter already happened through cfg.bounds)."""
+    from mapchete_spark.geometry.wkb import to_wkb
+
+    wkb = bytes(to_wkb(area))
+    pyr_dict = pyramid.to_dict()
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.wkb import from_wkb
+        from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+
+        geom = from_wkb(wkb)
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            keep = [
+                bool(
+                    geom.intersects_rect(
+                        Tile(p, int(z), int(r), int(c)).bounds(pixelbuffer=0)
+                    )
+                )
+                for z, r, c in zip(pdf["zoom"], pdf["tile_row"], pdf["tile_col"])
+            ]
+            yield pdf[np.array(keep, dtype=bool)]
+
+    return df.mapInPandas(fn, df.schema)
+
+
 def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
     """Materialize the input tile table for one zoom. The built-in
     source is the synthetic DEM ('dem'); a parquet path reads an
     existing tile table (S3/S4 analog: another job's output)."""
     inp = cfg.input_at_zoom(zoom)
     if inp in (None, "dem") or (isinstance(inp, dict) and inp.get("source") == "dem"):
-        return materialize_dem(
+        df = materialize_dem(
             spark, zoom, cfg.pyramid, bounds=cfg.bounds,
             hole=bool((inp or {}).get("hole", True)) if isinstance(inp, dict) else True,
         )
-    if isinstance(inp, dict) and "path" in inp:
+    elif isinstance(inp, dict) and "path" in inp:
         df = spark.read.parquet(inp["path"]).where(F.col("zoom") == zoom)
-        return df
-    if isinstance(inp, str) and inp not in ("dem",):
-        return spark.read.parquet(inp).where(F.col("zoom") == zoom)
-    raise ValueError(f"unsupported input spec: {inp!r}")
+    elif isinstance(inp, str) and inp not in ("dem",):
+        df = spark.read.parquet(inp).where(F.col("zoom") == zoom)
+    else:
+        raise ValueError(f"unsupported input spec: {inp!r}")
+    if cfg.area is not None:
+        df = _filter_tiles_to_area(df, cfg.pyramid, cfg.area)
+    return df
 
 
 def run_preprocessing_tasks(spark: SparkSession, cfg: JobConfig) -> Dict[str, object]:
