@@ -1601,6 +1601,66 @@ def o_job_metadata() -> str:
     """
 
 
+def q_job_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 status lifecycle: a successful job and a failing job each
+    persist their state sequence; the oracle states the expected
+    transitions (pending -> parsing -> initializing -> running ->
+    done, and ... -> failed for the failing run)."""
+    import tempfile
+
+    from mapchete_spark.operators.checkpoint import JobStore
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute, register_process
+
+    rows = []
+    for case in ("ok", "fail"):
+        d = tempfile.mkdtemp(prefix=f"msq_status_{case}_")
+        out = os.path.join(d, "o")
+        if case == "fail":
+
+            def _boom(ctx):
+                raise RuntimeError("deliberate")
+
+            register_process("status_boom", "raster", _boom, 0)
+            proc, params = "status_boom", {}
+        else:
+            proc, params = "convert", {"scale_ratio": 2.0, "scale_offset": 0.0}
+        cfg = JobConfig.from_dict(
+            dict(
+                process=proc,
+                zoom_levels=[_JOB_ZOOM],
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=list(_JOB_BOUNDS_SUB),
+                process_parameters=params,
+                output={"path": out, "format": "parquet_tiles"},
+            )
+        )
+        try:
+            execute(spark, cfg, mode="overwrite")
+        except Exception:
+            pass
+        store = JobStore(spark, os.path.join(out, "_state"))
+        for r in store.status().orderBy("seq").collect():
+            rows.append((case, int(r["seq"]), r["state"]))
+    return spark.createDataFrame(rows, "c string, seq int, state string").orderBy(
+        "c", "seq"
+    )
+
+
+def o_job_status() -> str:
+    return """
+    SELECT * FROM (VALUES
+        ('fail', 0, 'pending'), ('fail', 1, 'parsing'),
+        ('fail', 2, 'initializing'), ('fail', 3, 'running'),
+        ('fail', 4, 'failed'),
+        ('ok', 0, 'pending'), ('ok', 1, 'parsing'),
+        ('ok', 2, 'initializing'), ('ok', 3, 'running'), ('ok', 4, 'done')
+    ) AS t(c, seq, state)
+    ORDER BY c, seq
+    """
+
+
 def q_output_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z4 process->output split: metatiling=2 tiles cut into base tiles
     (no-shuffle explode) must digest EXACTLY like the directly
@@ -3410,6 +3470,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_item": q_stac_item,
         "job_metadata": q_job_metadata,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "job_status": q_job_status,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3472,6 +3533,7 @@ def oracle_sql() -> dict[str, str]:
     out["stac_item"] = o_stac_item()
     out["job_metadata"] = o_job_metadata()
     out["wkt_roundtrip"] = o_wkt_roundtrip()
+    out["job_status"] = o_job_status()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

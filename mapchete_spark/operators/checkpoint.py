@@ -38,6 +38,11 @@ LINEAGE_SCHEMA = (
 )
 METRICS_SCHEMA = "run_id string, stage string, n_rows long, wall_ms double, at double"
 
+# J7 status lifecycle (reference mapchete/enums.py:34-73 Status):
+# pending -> parsing -> initializing -> running -> done | failed
+STATUS_SCHEMA = "run_id string, seq int, state string, detail string, at double"
+STATUS_ORDER = ("pending", "parsing", "initializing", "running", "done", "failed")
+
 
 @dataclass
 class JobStore:
@@ -120,6 +125,20 @@ class JobStore:
 
     def metrics(self) -> DataFrame:
         return self._read_or_empty("metrics", METRICS_SCHEMA)
+
+    # ---- J7 status lifecycle --------------------------------------------------
+
+    def record_status(self, seq: int, state: str, detail: str = ""):
+        """Persist one lifecycle transition (reference observer
+        ObserverProtocol.update(status=...) + Status enum semantics)."""
+        if state not in STATUS_ORDER:
+            raise ValueError(f"unknown status {state!r}; have {STATUS_ORDER}")
+        self.spark.createDataFrame(
+            [(self.run_id, int(seq), state, detail, time.time())], STATUS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self._table("status"))
+
+    def status(self) -> DataFrame:
+        return self._read_or_empty("status", STATUS_SCHEMA)
 
     # ---- changed-tile propagation (Z2 overview refresh) ----------------------
 

@@ -161,15 +161,40 @@ def execute(
     cfg: JobConfig,
     mode: str = "continue",
     store_path: Optional[str] = None,
+    observers=None,
 ) -> Dict[str, int]:
     """Run a job config. Returns per-stage processed-tile counts.
 
-    mode: continue | overwrite | readonly (J1 semantics)."""
-    kind, fn, min_pb = resolve_process(cfg)
-    prep = run_preprocessing_tasks(spark, cfg)
+    mode: continue | overwrite | readonly (J1 semantics).
+    observers: callables receiving (state=..., detail=..., run_id=...)
+    on every lifecycle transition (J7, reference ObserverProtocol —
+    mapchete/commands/observer.py); transitions are also persisted in
+    the job store's status table:
+    pending -> parsing -> initializing -> running -> done | failed."""
     out_path = cfg.output["path"]
     tiles_path = os.path.join(out_path, "tiles")
     store = JobStore(spark, store_path or os.path.join(out_path, "_state"))
+    seq = [0]
+
+    def notify(state: str, detail: str = ""):
+        store.record_status(seq[0], state, detail)
+        for obs in observers or ():
+            obs(state=state, detail=detail, run_id=store.run_id)
+        seq[0] += 1
+
+    notify("pending")
+    notify("parsing")
+    try:
+        kind, fn, min_pb = resolve_process(cfg)
+    except Exception as exc:
+        notify("failed", f"{type(exc).__name__}: {exc}")
+        raise
+    notify("initializing")
+    try:
+        prep = run_preprocessing_tasks(spark, cfg)
+    except Exception as exc:
+        notify("failed", f"{type(exc).__name__}: {exc}")
+        raise
     counts: Dict[str, int] = {}
 
     def stage(name: str, df_fn, payload="data"):
@@ -177,33 +202,42 @@ def execute(
         if mode == "readonly":
             counts[name] = 0
             return
-        df = df_fn()
-        if mode == "continue":
-            # write guard only: the compute skip happens on the INPUT
-            # side (anti-join below mapInPandas is not pushable by
-            # Catalyst, so filtering here alone would recompute
-            # every tile and merely skip the write)
-            df = store.filter_todo(df)
-        df = df.cache()
         try:
-            n = df.count()
-            if n:
-                # physical layout: sort each partition in z-order so
-                # parquet row groups carry spatial locality (row/col
-                # min/max stats then prune spatial range scans)
-                from mapchete_spark.functions.geo import zorder_key_col
+            df = df_fn()
+            if mode == "continue":
+                # write guard only: the compute skip happens on the INPUT
+                # side (anti-join below mapInPandas is not pushable by
+                # Catalyst, so filtering here alone would recompute
+                # every tile and merely skip the write)
+                df = store.filter_todo(df)
+            df = df.cache()
+            try:
+                n = df.count()
+                if n:
+                    # physical layout: sort each partition in z-order so
+                    # parquet row groups carry spatial locality (row/col
+                    # min/max stats then prune spatial range scans)
+                    from mapchete_spark.functions.geo import zorder_key_col
 
-                ordered = df.sortWithinPartitions(
-                    zorder_key_col(F.col("zoom"), F.col("tile_row"), F.col("tile_col"))
-                )
-                ordered.write.mode("append").partitionBy("zoom").parquet(tiles_path)
-                store.commit_tiles(df, payload_col=payload)
-        finally:
-            df.unpersist()
+                    ordered = df.sortWithinPartitions(
+                        zorder_key_col(
+                            F.col("zoom"), F.col("tile_row"), F.col("tile_col")
+                        )
+                    )
+                    ordered.write.mode("append").partitionBy("zoom").parquet(
+                        tiles_path
+                    )
+                    store.commit_tiles(df, payload_col=payload)
+            finally:
+                df.unpersist()
+        except Exception as exc:  # J7: surface the failing stage
+            notify("failed", f"{name}: {type(exc).__name__}")
+            raise
         store.record_metric(name, n, (time.time() - t0) * 1000)
         counts[name] = n
 
     pb = max(cfg.pyramid.pixelbuffer, min_pb)
+    notify("running")
 
     # ---- process zooms (descending; one Spark action per zoom = Z5) ----
     for zoom in cfg.process_zooms():
@@ -313,6 +347,7 @@ def execute(
         os.makedirs(out_path, exist_ok=True)
         with open(os.path.join(out_path, "metadata.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
+    notify("done")
     return counts
 
 
