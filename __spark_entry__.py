@@ -1793,6 +1793,66 @@ def o_hillshade() -> str:
     return R.hillshade_sql(_RASTER_ZOOM, *_raster_ranges())
 
 
+def q_png_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S7 tile-directory PNG output: the hillshade tiles are written
+    as a z/r/c PNG file tree (stdlib encoder, executor-side), read BACK
+    from disk through the PNG decoder, and digested — so the bytes on
+    disk, not the in-memory arrays, must reproduce the closed-form Horn
+    oracle (same twin as the hillshade query)."""
+    import tempfile
+
+    import pandas as pd
+
+    from mapchete_spark.operators.process import process_hillshade, run_raster_process
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.tiledir_export import decode_png_gray, write_tile_directory
+    from mapchete_spark.tilegrid import Bounds
+
+    pyr, aoi = _raster_ctx()
+    ts = pyr.tile_x_size(_RASTER_ZOOM)
+    grown = Bounds(aoi.left - ts, aoi.bottom - ts, aoi.right + ts, aoi.top + ts)
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=grown, hole=False)
+    hs = run_raster_process(dem, pyr, process_hillshade, pixelbuffer=1)
+    r0, r1, c0, c1 = _raster_ranges()
+    hs = hs.where(
+        F.col("tile_row").between(r0, r1) & F.col("tile_col").between(c0, c1)
+    )
+    import numpy as np
+
+    d = tempfile.mkdtemp(prefix="msq_png_")
+    write_tile_directory(hs, d, pyr, fmt="png")
+    rows = []
+    zdir = os.path.join(d, str(_RASTER_ZOOM))
+    for rdir in sorted(os.listdir(zdir)):
+        for fname in sorted(os.listdir(os.path.join(zdir, rdir))):
+            with open(os.path.join(zdir, rdir, fname), "rb") as f:
+                img = decode_png_gray(f.read())
+            v = img.astype("int64")
+            h, w = img.shape
+            idx = (np.arange(h * w, dtype="int64").reshape(h, w)) % 9973
+            rows.append(
+                (
+                    _RASTER_ZOOM,
+                    int(rdir),
+                    int(fname.split(".")[0]),
+                    int(v.size),
+                    int(v.sum()),
+                    int((v * idx).sum()),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "zoom int, tile_row long, tile_col long, n_px long, "
+        "shade_sum long, shade_wsum long",
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_png_export() -> str:
+    from mapchete_spark.functions import rastersql as R
+
+    return R.hillshade_sql(_RASTER_ZOOM, *_raster_ranges())
+
+
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: marching-squares contours from the DEM, digested per
     (tile, level): segment count + quantized total length."""
@@ -3471,6 +3531,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_metadata": q_job_metadata,
         "wkt_roundtrip": q_wkt_roundtrip,
         "job_status": q_job_status,
+        "png_export": q_png_export,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3534,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
     out["job_metadata"] = o_job_metadata()
     out["wkt_roundtrip"] = o_wkt_roundtrip()
     out["job_status"] = o_job_status()
+    out["png_export"] = o_png_export()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 

@@ -136,13 +136,24 @@ def zorder_key_col(zoom: Column, row: Column, col: Column) -> Column:
 
 
 def tile_key_col(zoom: Column, row: Column, col: Column) -> Column:
-    """Canonical packed int64 tile key: zoom*2^54 + row*2^27 + col.
+    """Canonical packed int64 tile key: zoom*2^54 + row*2^27 + col —
+    the Column twin of tilegrid.keys.linear_tile_key (same constants).
     Cheap shifts, exact in both Spark and DuckDB (< 2^63)."""
+    from mapchete_spark.tilegrid.keys import (
+        LINEAR_ROW_SHIFT,
+        LINEAR_ZOOM_SHIFT,
+    )
+
     return (
-        zoom.cast("long") * F.lit(1 << 54).cast("long")
-        + row.cast("long") * F.lit(1 << 27).cast("long")
+        zoom.cast("long") * F.lit(1 << LINEAR_ZOOM_SHIFT).cast("long")
+        + row.cast("long") * F.lit(1 << LINEAR_ROW_SHIFT).cast("long")
         + col.cast("long")
     )
+
+
+def parent_tile_key_col(zoom: Column, row: Column, col: Column) -> Column:
+    """Linear key of the PARENT tile of (zoom, row, col) columns."""
+    return tile_key_col(zoom.cast("long") - 1, F.floor(row / 2), F.floor(col / 2))
 
 
 def with_geo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -199,7 +210,9 @@ def tile_row_sql(lat_expr: str, zoom_expr: str) -> str:
 
 
 def tile_key_sql(zoom_expr: str, row_expr: str, col_expr: str) -> str:
+    from mapchete_spark.tilegrid.keys import LINEAR_ROW_SHIFT, LINEAR_ZOOM_SHIFT
+
     return (
-        f"CAST({zoom_expr} AS BIGINT) * {1 << 54} + "
-        f"CAST({row_expr} AS BIGINT) * {1 << 27} + CAST({col_expr} AS BIGINT)"
+        f"CAST({zoom_expr} AS BIGINT) * {1 << LINEAR_ZOOM_SHIFT} + "
+        f"CAST({row_expr} AS BIGINT) * {1 << LINEAR_ROW_SHIFT} + CAST({col_expr} AS BIGINT)"
     )

@@ -36,6 +36,7 @@ from mapchete_spark.functions.geo import (
     tile_key_col,
     tile_row_expr,
 )
+from mapchete_spark.tilegrid.keys import linear_tile_key
 
 
 def assign_point_tiles(
@@ -166,10 +167,10 @@ def assign_geom_tiles_exact(
             out["zoom"] = pd.Series(zs, dtype="int32")
             out["tile_row"] = pd.Series(rs, dtype="int64")
             out["tile_col"] = pd.Series(cs, dtype="int64")
-            out["tile_key"] = (
-                np.asarray(zs, dtype=np.int64) * (1 << 54)
-                + np.asarray(rs, dtype=np.int64) * (1 << 27)
-                + np.asarray(cs, dtype=np.int64)
+            out["tile_key"] = linear_tile_key(
+                np.asarray(zs, dtype=np.int64),
+                np.asarray(rs, dtype=np.int64),
+                np.asarray(cs, dtype=np.int64),
             )
             yield out
 

@@ -39,6 +39,7 @@ from mapchete_spark.operators.rastertable import (
     encode_array,
 )
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+from mapchete_spark.tilegrid.keys import linear_tile_key, split_linear_tile_key
 
 _PART_SCHEMA = (
     "target_key long, zoom int, tile_row long, tile_col long, "
@@ -93,7 +94,7 @@ def _parts_stage(tiles: DataFrame, pyramid: TilePyramid, pb: int) -> DataFrame:
                         data, dtype, bands, h, w = encode_array(
                             piece, float(rnodata)
                         )
-                        rows["target_key"].append((z << 54) | (tr << 27) | tc)
+                        rows["target_key"].append(linear_tile_key(z, tr, tc))
                         rows["zoom"].append(z)
                         rows["tile_row"].append(row)
                         rows["tile_col"].append(col)
@@ -119,9 +120,7 @@ def _assemble_canvas(p: TilePyramid, pb: int, target_key: int, pdf: pd.DataFrame
     processes tiles of the input set)."""
     if not ((pdf["src_dr"].values == 0) & (pdf["src_dc"].values == 0)).any():
         return None
-    z = target_key >> 54
-    trow = (target_key >> 27) & ((1 << 27) - 1)
-    tcol = target_key & ((1 << 27) - 1)
+    z, trow, tcol = split_linear_tile_key(target_key)
     me = Tile(p, int(z), int(trow), int(tcol))
     bh, bw = me.shape(pixelbuffer=pb)
     th, tw = me.shape(pixelbuffer=0)

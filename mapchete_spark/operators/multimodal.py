@@ -81,7 +81,8 @@ def synthetic_media(spark: SparkSession, n: int = 200) -> DataFrame:
 def _fake_decode(kind: str, payload: bytes, meta: dict) -> np.ndarray:
     """STUB decode: interpret the payload per the meta header.
     Replace with PIL.Image.open / soundfile / pyav in a real deployment
-    (NotImplementedError path below documents the contract)."""
+    by registering a real codec via ``register_media_decoder`` —
+    the NotImplementedError path below documents the contract."""
     if kind == "image":
         return np.frombuffer(payload, dtype=np.uint8).reshape(
             meta["height"], meta["width"], meta["channels"]
@@ -97,11 +98,31 @@ def _fake_decode(kind: str, payload: bytes, meta: dict) -> np.ndarray:
     raise NotImplementedError(f"no decoder for kind={kind}")
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+# pluggable decode registry: kind -> callable(kind, payload, meta) ->
+# ndarray with the contract shapes (image HxWxC uint8-ish, audio 1-D
+# float, video FxHxW). The deterministic stub is the default; a real
+# deployment registers PIL/soundfile/pyav decoders without touching the
+# operator. The registry is captured by value into each UDF closure at
+# DataFrame-construction time, so registrations made on the driver
+# reach executors through cloudpickle (a module-level lookup would see
+# a fresh module there).
+MEDIA_DECODERS = {"image": _fake_decode, "audio": _fake_decode, "video": _fake_decode}
+
+
+def register_media_decoder(kind: str, fn) -> None:
+    """Install a real codec for one media kind (driver-side, before the
+    features DataFrame is built)."""
+    MEDIA_DECODERS[kind] = fn
+
+
+def extract_media_features(media: DataFrame, decoders=None) -> DataFrame:
     """Decode + feature-extract per media row (Arrow batches):
     image -> mean/std per channel + 8x8 thumbnail signature,
     audio -> rms / zero-crossing rate, video -> per-frame means of a
-    deterministic frame sample."""
+    deterministic frame sample. ``decoders`` overrides the registry
+    per call (kind -> callable)."""
+    decode_map = dict(MEDIA_DECODERS)
+    decode_map.update(decoders or {})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,7 +135,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 pdf["payload"].values, pdf["meta"].values,
             ):
                 meta = json.loads(meta_s)
-                arr = _fake_decode(kind, payload, meta)
+                decoder = decode_map.get(kind, _fake_decode)
+                arr = decoder(kind, payload, meta)
                 if kind == "image":
                     # resize to 8x8 via block mean (the 'resize' op)
                     h, w, c = arr.shape

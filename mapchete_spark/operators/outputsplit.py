@@ -26,6 +26,7 @@ from mapchete_spark.operators.rastertable import (
 )
 from mapchete_spark.raster.array import extract_from_array
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+from mapchete_spark.tilegrid.keys import linear_tile_key
 
 
 def split_to_output_tiles(
@@ -73,7 +74,7 @@ def split_to_output_tiles(
                     out["tile_row"].append(otile.row)
                     out["tile_col"].append(otile.col)
                     out["tile_key"].append(
-                        (otile.zoom << 54) | (otile.row << 27) | otile.col
+                        linear_tile_key(otile.zoom, otile.row, otile.col)
                     )
                     out["bands"].append(bands)
                     out["height"].append(h)

@@ -31,6 +31,8 @@ from mapchete_spark.operators.rastertable import (
 from mapchete_spark.raster.array import resample_from_array
 from mapchete_spark.raster.mosaic import create_mosaic
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+from mapchete_spark.tilegrid.keys import linear_tile_key, split_linear_tile_key
+from mapchete_spark.functions.geo import parent_tile_key_col
 
 
 def overview_reduce_once(
@@ -41,19 +43,15 @@ def overview_reduce_once(
 
     with_parent = tiles.withColumn(
         "parent_key",
-        (
-            (F.col("zoom").cast("long") - 1) * F.lit(1 << 54).cast("long")
-            + F.floor(F.col("tile_row") / 2).cast("long") * F.lit(1 << 27).cast("long")
-            + F.floor(F.col("tile_col") / 2).cast("long")
+        parent_tile_key_col(
+            F.col("zoom"), F.col("tile_row"), F.col("tile_col")
         ),
     )
 
     def reduce_group(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p = TilePyramid(**pyr_dict)
         parent_key = int(key[0])
-        z = parent_key >> 54
-        prow = (parent_key >> 27) & ((1 << 27) - 1)
-        pcol = parent_key & ((1 << 27) - 1)
+        z, prow, pcol = split_linear_tile_key(parent_key)
         parent = Tile(p, int(z), int(prow), int(pcol))
         children_arrays = []
         for cz, crow, ccol, rdata, rdtype, rbands, rh, rw, rnodata in zip(
@@ -154,7 +152,7 @@ def overview_upsample(
                     out["tile_row"].append(child.row)
                     out["tile_col"].append(child.col)
                     out["tile_key"].append(
-                        (child.zoom << 54) | (child.row << 27) | child.col
+                        linear_tile_key(child.zoom, child.row, child.col)
                     )
                     out["bands"].append(bands)
                     out["height"].append(h)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from mapchete_spark.raster.dem import DEM_NODATA, dem_tile
 from mapchete_spark.tilegrid.grid import Bounds
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+from mapchete_spark.tilegrid.keys import linear_tile_key
 
 RASTER_SCHEMA = (
     "zoom int, tile_row long, tile_col long, tile_key long, "
@@ -127,7 +128,7 @@ def materialize_dem(
                 out["zoom"].append(int(z))
                 out["tile_row"].append(int(r))
                 out["tile_col"].append(int(c))
-                out["tile_key"].append((int(z) << 54) | (int(r) << 27) | int(c))
+                out["tile_key"].append(linear_tile_key(int(z), int(r), int(c)))
                 out["bands"].append(bands)
                 out["height"].append(h)
                 out["width"].append(w)

@@ -22,20 +22,23 @@ from pyspark.sql import functions as F
 from mapchete_spark.operators.overviews import overview_reduce_once
 from mapchete_spark.tilegrid.pyramid import TilePyramid
 
-_Z = 1 << 54
-_R = 1 << 27
+from mapchete_spark.tilegrid.keys import (
+    LINEAR_MASK as _MASK,
+    LINEAR_ROW_SHIFT as _RS,
+    LINEAR_ZOOM_SHIFT as _ZS,
+)
 
 
 def parent_key_col(key: F.Column) -> F.Column:
     """tile_key -> parent tile_key, exact bit arithmetic on the packed
     key (shift/mask — a double division would round wrong for row/col
     near 2^27)."""
-    z = F.shiftright(key, 54)
-    row = F.shiftright(key, 27).bitwiseAND(F.lit(_R - 1))
-    col = key.bitwiseAND(F.lit(_R - 1))
+    z = F.shiftright(key, _ZS)
+    row = F.shiftright(key, _RS).bitwiseAND(F.lit(_MASK))
+    col = key.bitwiseAND(F.lit(_MASK))
     return (
-        F.shiftleft(z - 1, 54)
-        .bitwiseOR(F.shiftleft(F.shiftright(row, 1), 27))
+        F.shiftleft(z - 1, _ZS)
+        .bitwiseOR(F.shiftleft(F.shiftright(row, 1), _RS))
         .bitwiseOR(F.shiftright(col, 1))
     )
 

@@ -31,6 +31,8 @@ from mapchete_spark.operators.rastertable import (
 from mapchete_spark.raster.mosaic import create_mosaic
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
 from mapchete_spark.tilegrid.zoom_match import tile_to_zoom_level
+from mapchete_spark.tilegrid.keys import linear_tile_key, split_linear_tile_key
+from mapchete_spark.functions.geo import tile_key_col
 
 _PAIR_SCHEMA = (
     "target_key long, src_key long, src_zoom int, src_row long, src_col long"
@@ -77,10 +79,10 @@ def target_source_pairs(
                 sb = Bounds(
                     float(min(xs)), float(min(ys)), float(max(xs)), float(max(ys))
                 )
-                tkey = (t.zoom << 54) | (t.row << 27) | t.col
+                tkey = linear_tile_key(t.zoom, t.row, t.col)
                 for s in src.tiles_from_bounds(sb, sz):
                     out["target_key"].append(tkey)
-                    out["src_key"].append((s.zoom << 54) | (s.row << 27) | s.col)
+                    out["src_key"].append(linear_tile_key(s.zoom, s.row, s.col))
                     out["src_zoom"].append(s.zoom)
                     out["src_row"].append(s.row)
                     out["src_col"].append(s.col)
@@ -121,9 +123,7 @@ def read_tiledir(
         dst = TilePyramid(**dst_dict)
         src = TilePyramid(**src_dict)
         target_key = int(key[0])
-        z = target_key >> 54
-        row = (target_key >> 27) & ((1 << 27) - 1)
-        col = target_key & ((1 << 27) - 1)
+        z, row, col = split_linear_tile_key(target_key)
         t = Tile(dst, int(z), int(row), int(col))
         tiles_arrays = []
         for sz_, srow, scol, rdata, rdtype, rbands, rh, rw, rnodata in zip(
@@ -201,9 +201,9 @@ def read_tiledir(
         remaining = remaining.join(
             done_keys,
             on=(
-                (F.col("zoom").cast("long") * (1 << 54)
-                 + F.col("tile_row").cast("long") * (1 << 27)
-                 + F.col("tile_col").cast("long"))
+                tile_key_col(
+                    F.col("zoom"), F.col("tile_row"), F.col("tile_col")
+                )
                 == F.col("__done_key")
             ),
             how="left_anti",

@@ -28,6 +28,7 @@ from mapchete_spark.geometry.reproject import reproject_ring
 from mapchete_spark.geometry.wkb import from_wkb, to_wkb
 from mapchete_spark.tilegrid.grid import Bounds
 from mapchete_spark.tilegrid.pyramid import Tile, TilePyramid
+from mapchete_spark.tilegrid.keys import linear_tile_key, split_linear_tile_key
 
 FEATURE_SCHEMA = "feature_id string, geometry binary, geom_type string, properties string"
 
@@ -119,7 +120,7 @@ def explode_features_to_tiles(
                     out["zoom"].append(t.zoom)
                     out["tile_row"].append(t.row)
                     out["tile_col"].append(t.col)
-                    out["tile_key"].append((t.zoom << 54) | (t.row << 27) | t.col)
+                    out["tile_key"].append(linear_tile_key(t.zoom, t.row, t.col))
             yield pd.DataFrame(out)
 
     return features.mapInPandas(
@@ -288,9 +289,7 @@ def tile_union_mask_area(
 
         p = TilePyramid(**pyr_dict)
         tile_key = int(key[0])
-        z = tile_key >> 54
-        row = (tile_key >> 27) & ((1 << 27) - 1)
-        col = tile_key & ((1 << 27) - 1)
+        z, row, col = split_linear_tile_key(tile_key)
         t = Tile(p, int(z), int(row), int(col))
         geoms = [from_wkb(g) for g in pdf["geometry"]]
         mask = rasterize_mask(
@@ -329,9 +328,7 @@ def tile_union_area_exact(
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         p = TilePyramid(**pyr_dict)
         tile_key = int(key[0])
-        z = tile_key >> 54
-        row = (tile_key >> 27) & ((1 << 27) - 1)
-        col = tile_key & ((1 << 27) - 1)
+        z, row, col = split_linear_tile_key(tile_key)
         boxes = []
         for g in pdf["geometry"]:
             b = from_wkb(g).bounds
@@ -389,9 +386,7 @@ def tile_union_area_overlay(
         from mapchete_spark.geometry.overlay import union_area
 
         tile_key = int(key[0])
-        z = tile_key >> 54
-        row = (tile_key >> 27) & ((1 << 27) - 1)
-        col = tile_key & ((1 << 27) - 1)
+        z, row, col = split_linear_tile_key(tile_key)
         feats = []
         for g in pdf["geometry"]:
             geom = from_wkb(g)

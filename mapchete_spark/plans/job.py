@@ -305,11 +305,10 @@ def execute(
             if mode == "continue":
                 # compute skip: drop children whose PARENT is already
                 # checkpointed before the reduce shuffle
-                parent_key = (
-                    (F.col("zoom").cast("long") - 1) * F.lit(1 << 54).cast("long")
-                    + F.floor(F.col("tile_row") / 2).cast("long")
-                    * F.lit(1 << 27).cast("long")
-                    + F.floor(F.col("tile_col") / 2).cast("long")
+                from mapchete_spark.functions.geo import parent_tile_key_col
+
+                parent_key = parent_tile_key_col(
+                    F.col("zoom"), F.col("tile_row"), F.col("tile_col")
                 )
                 done = store.checkpoint().select(
                     F.col("tile_key").alias("__parent_key")

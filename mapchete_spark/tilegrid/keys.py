@@ -73,3 +73,45 @@ def unpack_tile_key(key) -> tuple:
     col = _compact1by1(morton)
     row = _compact1by1(morton >> 1)
     return zoom, row, col
+
+
+# ---- linear (semantic) tile key -------------------------------------------------
+#
+# zoom<<54 | row<<27 | col — the SEMANTIC join/grouping key used by every
+# operator (joins, checkpoint, halo targets). The morton key above is the
+# WRITE-LAYOUT key only (within-partition sort order for parquet row-group
+# locality, plans/job.py). Column twin: functions.geo.tile_key_col; SQL
+# twin: functions.geo.tile_key_sql — all three share these constants.
+
+LINEAR_ZOOM_SHIFT = 54
+LINEAR_ROW_SHIFT = 27
+LINEAR_MASK = (1 << 27) - 1
+
+
+def linear_tile_key(zoom, row, col):
+    """Pack (zoom, row, col) — python ints or numpy arrays — into the
+    canonical linear int64 key."""
+    if isinstance(zoom, (int, np.integer)) and isinstance(row, (int, np.integer)):
+        return (int(zoom) << LINEAR_ZOOM_SHIFT) | (int(row) << LINEAR_ROW_SHIFT) | int(col)
+    zoom = np.asarray(zoom, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    return (zoom << np.int64(LINEAR_ZOOM_SHIFT)) | (row << np.int64(LINEAR_ROW_SHIFT)) | col
+
+
+def split_linear_tile_key(key):
+    """Inverse of linear_tile_key -> (zoom, row, col); python ints or
+    numpy arrays, pure shift/mask (no float division — exact)."""
+    if isinstance(key, (int, np.integer)):
+        k = int(key)
+        return (
+            k >> LINEAR_ZOOM_SHIFT,
+            (k >> LINEAR_ROW_SHIFT) & LINEAR_MASK,
+            k & LINEAR_MASK,
+        )
+    k = np.asarray(key, dtype=np.int64)
+    return (
+        k >> np.int64(LINEAR_ZOOM_SHIFT),
+        (k >> np.int64(LINEAR_ROW_SHIFT)) & np.int64(LINEAR_MASK),
+        k & np.int64(LINEAR_MASK),
+    )

@@ -112,6 +112,41 @@ class TestMultimodal:
         aud = by_kind["audio"][0]
         assert 0 <= aud["feat_mean"] <= 1.0
 
+    def test_pluggable_decoder_reaches_executors(self, spark):
+        """A registered toy decoder replaces the stub without touching
+        the operator: every image decodes to a constant array, so the
+        features show mean 7 / std 0 through the real Spark plumbing."""
+        import numpy as np
+
+        from mapchete_spark.operators.multimodal import (
+            extract_media_features,
+            register_media_decoder,
+            MEDIA_DECODERS,
+            _fake_decode,
+        )
+
+        def toy(kind, payload, meta):
+            return np.full((16, 16, 3), 7, dtype=np.uint8)
+
+        register_media_decoder("image", toy)
+        try:
+            media = synthetic_media(spark, 40)
+            feats = extract_media_features(media).collect()
+            imgs = [r for r in feats if r["kind"] == "image"]
+            assert imgs and all(r["feat_mean"] == 7.0 for r in imgs)
+            assert all(r["feat_std"] == 0.0 for r in imgs)
+            # other kinds still use the stub
+            auds = [r for r in feats if r["kind"] == "audio"]
+            assert auds and any(r["feat_std"] > 0 for r in auds)
+            # per-call override beats the registry
+            feats2 = extract_media_features(
+                media, decoders={"image": _fake_decode}
+            ).collect()
+            imgs2 = [r for r in feats2 if r["kind"] == "image"]
+            assert any(r["feat_std"] > 0 for r in imgs2)
+        finally:
+            MEDIA_DECODERS["image"] = _fake_decode
+
     def test_spans_media_join(self, spark):
         from mapchete_spark.functions.spans import with_spans
         from mapchete_spark.operators.multimodal import join_spans_to_media
