@@ -1661,6 +1661,130 @@ def o_job_status() -> str:
     """
 
 
+def _o_convert_lattice(bounds, zoom, scale, offset) -> str:
+    """Shared oracle: per-tile digests of the DEM (hole=False) pushed
+    through the convert affine over a bounds rectangle."""
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(Bounds(*bounds), zoom)
+    _, px = R._geodetic_sizes(zoom)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    v = f"(CAST({e} AS DOUBLE) * {scale!r} + {offset!r})"
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {zoom} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           {R._qsum("v")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
+def q_serve_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 serve: after a real job run, every output tile is fetched
+    through TileReader's DuckDB point lookup (predicate pushdown over
+    the z-order parquet layout, LRU-cached) and digested from the
+    DECODED array — the read path a tile server exercises per request.
+    A miss (outside the AOI) must return no tile."""
+    import tempfile
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.serve import TileReader
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    import numpy as np
+
+    out = os.path.join(tempfile.mkdtemp(prefix="msq_serve_"), "o")
+    execute(
+        spark,
+        JobConfig.from_dict(_job_base_conf(out, _JOB_BOUNDS_SUB)),
+        mode="overwrite",
+    )
+    reader = TileReader(out)
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(
+        Bounds(*_JOB_BOUNDS_SUB), _JOB_ZOOM
+    )
+    rows = []
+    for r in range(r0, r1 + 1):
+        for c in range(c0, c1 + 1):
+            arr = reader.read_tile(_JOB_ZOOM, r, c)
+            vals = np.asarray(arr.compressed() if np.ma.is_masked(arr) else arr.data,
+                              dtype=np.float64)
+            rows.append(
+                (
+                    _JOB_ZOOM, r, c,
+                    int(vals.size),
+                    int(np.floor(vals * 16.0).sum()),
+                )
+            )
+    assert reader.read_tile(_JOB_ZOOM, 0, 0) is None  # miss path
+    return spark.createDataFrame(
+        rows,
+        "zoom int, tile_row long, tile_col long, n_valid long, value_q_sum long",
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_serve_lookup() -> str:
+    return _o_convert_lattice(_JOB_BOUNDS_SUB, _JOB_ZOOM, 2.0, 10.0)
+
+
+def q_cli_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 CLI: a .mapchete YAML written at query time runs through the
+    REAL jobs/execute.py entry point in a subprocess (its own Spark
+    session), and the tiles it leaves on disk digest against the
+    lattice — the full spark-submit-shaped path under the correctness
+    gate."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+
+    d = tempfile.mkdtemp(prefix="msq_cli_")
+    out = os.path.join(d, "o")
+    cfg_path = os.path.join(d, "job.mapchete")
+    l, b, r, t = _JOB_BOUNDS_SUB
+    with open(cfg_path, "w") as f:
+        f.write(
+            "process: convert\n"
+            f"zoom_levels: [{_JOB_ZOOM}]\n"
+            "pyramid:\n  grid: geodetic\n"
+            "input:\n  source: dem\n  hole: false\n"
+            f"bounds: [{l}, {b}, {r}, {t}]\n"
+            "process_parameters:\n  scale_ratio: 2.0\n  scale_offset: 10.0\n"
+            f"output:\n  path: {out}\n  format: parquet_tiles\n"
+        )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "jobs", "execute.py"), cfg_path,
+         "--mode", "overwrite"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"CLI failed: {proc.stderr[-2000:]}")
+    tiles = spark.read.parquet(os.path.join(out, "tiles"))
+    return tile_value_digests(tiles, with_dims=False).orderBy(
+        "tile_row", "tile_col"
+    )
+
+
+def o_cli_execute() -> str:
+    return _o_convert_lattice(_JOB_BOUNDS_SUB, _JOB_ZOOM, 2.0, 10.0)
+
+
 def q_output_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z4 process->output split: metatiling=2 tiles cut into base tiles
     (no-shuffle explode) must digest EXACTLY like the directly
@@ -3532,6 +3656,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip": q_wkt_roundtrip,
         "job_status": q_job_status,
         "png_export": q_png_export,
+        "serve_lookup": q_serve_lookup,
+        "cli_execute": q_cli_execute,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3596,6 +3722,8 @@ def oracle_sql() -> dict[str, str]:
     out["wkt_roundtrip"] = o_wkt_roundtrip()
     out["job_status"] = o_job_status()
     out["png_export"] = o_png_export()
+    out["serve_lookup"] = o_serve_lookup()
+    out["cli_execute"] = o_cli_execute()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 
