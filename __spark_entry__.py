@@ -2884,6 +2884,61 @@ def o_wkt_roundtrip() -> str:
     )
 
 
+def q_metric_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 metric buffer: each footprint doc's square is buffered by
+    doc-derived METERS through the full buffer_antimeridian_safe
+    pipeline (centroid UTM-zone pick, ellipsoidal Krüger forward, miter
+    vertex offset, Krüger inverse with the fixed-point conformal
+    inversion) — the oracle re-derives every coordinate in SQL,
+    including 12 unrolled inverse iterations."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir).where(F.col("radius").isNotNull())
+
+    def fn(batches):
+        import numpy as np
+
+        from mapchete_spark.geometry.core import Polygon
+        from mapchete_spark.geometry.footprints import buffer_antimeridian_safe
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_vertices": [], "qlon": [], "qlat": []}
+            for did, lon, lat, radius in zip(
+                pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+            ):
+                w = float(radius) * 1.5 + 0.2
+                dist = 5000.0 + float(radius) * 20000.0
+                lon, lat = float(lon), float(lat)
+                ring = np.array(
+                    [
+                        [lon - w, lat - w],
+                        [lon + w, lat - w],
+                        [lon + w, lat + w],
+                        [lon - w, lat + w],
+                        [lon - w, lat - w],
+                    ]
+                )
+                buffered = buffer_antimeridian_safe(Polygon(ring), dist)
+                ext = np.asarray(buffered.exterior, dtype=np.float64)
+                if len(ext) > 1 and ext[0][0] == ext[-1][0] and ext[0][1] == ext[-1][1]:
+                    ext = ext[:-1]
+                out["doc_id"].append(int(did))
+                out["n_vertices"].append(len(ext))
+                out["qlon"].append(int(np.floor(ext[:, 0].sum() * 1048576.0 + 0.5)))
+                out["qlat"].append(int(np.floor(ext[:, 1].sum() * 1048576.0 + 0.5)))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
+        fn, schema="doc_id long, n_vertices int, qlon long, qlat long"
+    ).orderBy("doc_id")
+
+
+def o_metric_buffer() -> str:
+    from mapchete_spark.functions.buffersql import metric_buffer_sql
+
+    return metric_buffer_sql()
+
+
 def q_vector_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 EXACT dissolve measure: per-tile union area of the clipped
     footprints via y-slab sweep (exact for the axis-aligned fixture
@@ -3658,6 +3713,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_export": q_png_export,
         "serve_lookup": q_serve_lookup,
         "cli_execute": q_cli_execute,
+        "metric_buffer": q_metric_buffer,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
@@ -3724,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
     out["png_export"] = o_png_export()
     out["serve_lookup"] = o_serve_lookup()
     out["cli_execute"] = o_cli_execute()
+    out["metric_buffer"] = o_metric_buffer()
     out["tiledir_read"] = o_tiledir_read()
     from mapchete_spark.operators.multimodal import media_features_sql
 
