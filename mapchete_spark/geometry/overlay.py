@@ -28,7 +28,10 @@ non-overlapping MultiPolygon cover usable by the mask/clip path.
 Complexity is O(E^2) in the number of edges per call; the engine only
 ever calls this per tile group inside applyInPandas, where E is small
 — at 100 TB the quadratic term stays bounded by tile granularity, not
-corpus size.
+corpus size. As a guard against pathological tiles, calls exceeding
+``MAX_OVERLAY_EDGES`` raise instead of silently burning quadratic work
+(callers should subdivide the tile or use the linear-cost rasterized
+measure, operators/vector.tile_union_mask_area).
 """
 
 from __future__ import annotations
@@ -40,6 +43,11 @@ import numpy as np
 from mapchete_spark.tilegrid.grid import Bounds
 
 Feature = Sequence[np.ndarray]  # one polygon = list of rings (Nx2)
+
+# edge-count guard: beyond this the O(E^2) intersection pass would burn
+# quadratic work silently — fail loudly so callers subdivide or switch
+# to the linear rasterized union measure
+MAX_OVERLAY_EDGES = 20_000
 
 
 def _edges_of(features: Sequence[Feature]):
@@ -79,13 +87,20 @@ def _edges_of(features: Sequence[Feature]):
 def _pairwise_intersection_xs(x0, y0, x1, y1) -> np.ndarray:
     """x coordinates of all PROPER pairwise segment intersections
     (0 < t < 1 and 0 < u < 1 strictly; endpoint touches are already
-    breakpoints). Mirrored in SQL:
+    breakpoints). Raises beyond MAX_OVERLAY_EDGES. Mirrored in SQL:
         den = dx1*dy2 - dy1*dx2
         t = ((cx-ax)*dy2 - (cy-ay)*dx2) / den
         u = ((cx-ax)*dy1 - (cy-ay)*dx1) / den
         xint = ax + t*dx1
     """
     n = len(x0)
+    if n > MAX_OVERLAY_EDGES:
+        raise ValueError(
+            f"overlay input has {n} edges (> {MAX_OVERLAY_EDGES}): the "
+            "O(E^2) exact union would be quadratic here — subdivide the "
+            "tile or use the rasterized union measure "
+            "(operators/vector.tile_union_mask_area)"
+        )
     if n < 2:
         return np.zeros(0)
     i, j = np.triu_indices(n, k=1)

@@ -186,6 +186,7 @@ def minhash_lsh_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_iterations: int = 20,
+    buckets: DataFrame = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS via connected components over the LSH-bucket
     graph: every doc gets the MIN doc_id of its component as cluster id.
@@ -203,10 +204,15 @@ def minhash_lsh_clusters(
     If ``max_iterations`` is exhausted without convergence a
     RuntimeWarning is emitted (labels may split one component).
 
+    ``buckets`` (optional): a precomputed (doc_id, bkey) bipartite edge
+    table — callers with their own signatures/blocking keys reuse the
+    CC machinery directly; default derives LSH band buckets from text.
+
     Output: (doc_id, cluster) — cluster == doc_id for singletons."""
-    buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col)).select(
-        "doc_id", F.concat_ws("|", "band", "bucket").alias("bkey")
-    )
+    if buckets is None:
+        buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col)).select(
+            "doc_id", F.concat_ws("|", "band", "bucket").alias("bkey")
+        )
     docs = df.select(F.col(id_col).alias("doc_id")).distinct()
     labels = docs.withColumn("label", F.col("doc_id"))
     edges = buckets.persist()

@@ -145,3 +145,43 @@ def test_minhash_clusters_transitive(spark):
     assert ("a", "c") not in pairs
     assert labels["a"] == labels["b"] == labels["c"] == "a"
     assert labels["d"] == "d"
+
+
+class TestPointerDoublingConvergence:
+    def test_long_chain_converges_logarithmically(self, spark):
+        """A 64-doc path graph (doc i and i+1 share bucket i) has
+        diameter 63: plain min-label propagation needs ~63 rounds, the
+        pointer-doubling variant must settle well within 10 — and with
+        a single cluster labeled by the minimum doc id, no
+        RuntimeWarning."""
+        import warnings
+
+        from mapchete_spark.operators.dedup import minhash_lsh_clusters
+
+        n = 64
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(n)], "doc_id long, text string"
+        )
+        edges = []
+        for i in range(n - 1):
+            edges.append((i, f"b{i}"))
+            edges.append((i + 1, f"b{i}"))
+        buckets = spark.createDataFrame(edges, "doc_id long, bkey string")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = minhash_lsh_clusters(
+                docs, max_iterations=10, buckets=buckets
+            ).collect()
+        assert len(out) == n
+        assert {r["cluster"] for r in out} == {0}
+
+    def test_overlay_edge_cap_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from mapchete_spark.geometry.overlay import MAX_OVERLAY_EDGES, union_area
+
+        th = np.linspace(0, 2 * np.pi, MAX_OVERLAY_EDGES + 10)
+        ring = np.column_stack([np.cos(th), np.sin(th)])
+        with _pytest.raises(ValueError, match="subdivide"):
+            union_area([[ring]])
