@@ -126,3 +126,46 @@ def test_neighbors_symmetric(lon, lat, zoom):
     for n in t.get_neighbors():
         back = {x.id for x in n.get_neighbors()}
         assert t.id in back
+
+
+# ---- exact polygon overlay properties (geometry/overlay) --------------------
+
+from mapchete_spark.geometry.core import ring_area
+from mapchete_spark.geometry.overlay import union_area
+
+
+def _rot_sq(cx, cy, r, th):
+    c, s = np.cos(th), np.sin(th)
+    pts = [(-r, -r), (r, -r), (r, r), (-r, r)]
+    ring = np.array(
+        [[cx + c * ox - s * oy, cy + s * ox + c * oy] for ox, oy in pts + pts[:1]]
+    )
+    return [ring]
+
+
+sq_st = st.tuples(
+    st.floats(min_value=-5.0, max_value=5.0, allow_nan=False),
+    st.floats(min_value=-5.0, max_value=5.0, allow_nan=False),
+    st.floats(min_value=0.1, max_value=2.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=3.1, allow_nan=False),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(squares=st.lists(sq_st, min_size=1, max_size=6))
+def test_union_area_bounds_and_axis_swap(squares):
+    feats = [_rot_sq(*p) for p in squares]
+    ua = union_area(feats)
+    areas = [ring_area(f[0]) for f in feats]
+    # inclusion-exclusion bounds
+    assert max(areas) - 1e-9 <= ua <= sum(areas) + 1e-9
+    # independent decomposition: swap x/y of every ring
+    swapped = [[r[:, ::-1].copy() for r in f] for f in feats]
+    assert abs(union_area(swapped) - ua) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(squares=st.lists(sq_st, min_size=1, max_size=5), extra=sq_st)
+def test_union_area_monotone(squares, extra):
+    feats = [_rot_sq(*p) for p in squares]
+    assert union_area(feats + [_rot_sq(*extra)]) >= union_area(feats) - 1e-9
