@@ -83,10 +83,15 @@ def materialize_dem(
     bounds: Optional[Bounds] = None,
     pixelbuffer: int = 0,
     hole: bool = True,
+    area=None,
 ) -> DataFrame:
     """Distributed DEM tile table at one zoom: enumerate tile ids with
     spark.range cross arithmetic (no driver-side tile list), then sample
-    the analytic field per tile inside mapInPandas."""
+    the analytic field per tile inside mapInPandas.
+
+    ``area`` (optional geometry): tiles whose bounds miss it are
+    dropped on the ID table, BEFORE any payload is computed — at scale
+    the exactness filter must never pay for excluded tiles."""
     pyr = pyramid or TilePyramid("geodetic")
     mw, mh = pyr.matrix_width(zoom), pyr.matrix_height(zoom)
     ids = (
@@ -111,6 +116,10 @@ def materialize_dem(
             )
             cond = c if cond is None else (cond | c)
         ids = ids.where(cond)
+    if area is not None:
+        from mapchete_spark.plans.job import _filter_tiles_to_area
+
+        ids = _filter_tiles_to_area(ids, pyr, area)
 
     pyr_dict = pyr.to_dict()
 

@@ -114,9 +114,12 @@ def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
     existing tile table (S3/S4 analog: another job's output)."""
     inp = cfg.input_at_zoom(zoom)
     if inp in (None, "dem") or (isinstance(inp, dict) and inp.get("source") == "dem"):
-        df = materialize_dem(
+        # area filter applied on the ID table inside materialize_dem —
+        # excluded tiles never compute a payload
+        return materialize_dem(
             spark, zoom, cfg.pyramid, bounds=cfg.bounds,
             hole=bool((inp or {}).get("hole", True)) if isinstance(inp, dict) else True,
+            area=cfg.area,
         )
     elif isinstance(inp, dict) and "path" in inp:
         df = spark.read.parquet(inp["path"]).where(F.col("zoom") == zoom)
