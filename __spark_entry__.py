@@ -3488,6 +3488,95 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_ref")
 
 
+def q_span_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal JOIN (north rule: 'matching join output rows'): the
+    interleaved docs' media spans join a media dimension keyed by
+    media_ref whose md5-chain payload bytes both engines re-derive —
+    per kind: joined-row count, total payload bytes, and an
+    offset-weighted byte digest sensitive to every joined row."""
+    import pandas as pd
+
+    docs = load_docs(spark, sf_dir, with_spans_col=True, geo=False)
+    flat = (
+        docs.select("doc_id", F.explode("spans").alias("span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        .where(F.col("kind") != "text")
+    )
+    refs = flat.select("media_ref").distinct()
+
+    def mk_dim(batches):
+        from mapchete_spark.operators.multimodal import seeded_bytes
+
+        for pdf in batches:
+            out = {"media_ref": [], "byte_sum": []}
+            for ref in pdf["media_ref"]:
+                i = int(str(ref).rsplit("-", 1)[1])
+                nb = 16 + (i % 4) * 16
+                out["media_ref"].append(ref)
+                out["byte_sum"].append(int(sum(seeded_bytes(str(ref), nb))))
+            yield pd.DataFrame(out)
+
+    dim = refs.mapInPandas(mk_dim, schema="media_ref string, byte_sum long")
+    joined = flat.join(dim, on="media_ref")
+    return (
+        joined.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("byte_sum").alias("total_bytes"),
+            F.sum(F.col("byte_sum") * (F.col("offset") + 1)).alias("wsum"),
+        )
+        .orderBy("kind")
+    )
+
+
+def o_span_media_join() -> str:
+    from mapchete_spark.functions.spans import spans_flat_sql
+
+    byte_v = (
+        "(strpos('0123456789abcdef', substr(hx, (k % 16) * 2 + 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, (k % 16) * 2 + 2, 1)) - 1)"
+    )
+    return f"""
+    WITH flat AS ({spans_flat_sql()}),
+    mspans AS (
+        SELECT doc_id, kind, media_ref, "offset"
+        FROM flat WHERE kind <> 'text'
+    ),
+    refs AS (
+        SELECT DISTINCT media_ref,
+               16 + (CAST(split_part(media_ref, '-', 2) AS BIGINT) % 4) * 16 AS nb
+        FROM mspans
+    ),
+    dim AS (
+        SELECT media_ref, CAST(SUM(v) AS BIGINT) AS byte_sum
+        FROM (
+            SELECT media_ref, k, {byte_v} AS v
+            FROM (
+                SELECT media_ref, k,
+                       md5(media_ref || ':' || CAST(k // 16 AS VARCHAR)) AS hx
+                FROM (
+                    SELECT media_ref, UNNEST(generate_series(0, nb - 1)) AS k
+                    FROM refs
+                )
+            )
+        )
+        GROUP BY media_ref
+    )
+    SELECT s.kind,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(d.byte_sum) AS BIGINT) AS total_bytes,
+           CAST(SUM(d.byte_sum * (s."offset" + 1)) AS BIGINT) AS wsum
+    FROM mspans s JOIN dim d ON d.media_ref = s.media_ref
+    GROUP BY s.kind
+    ORDER BY s.kind
+    """
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational sanity (broadcast-join shape): revenue per nation via
     lineitem x orders x customer x nation."""
@@ -3719,6 +3808,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
+        "span_media_join": q_span_media_join,
         "revenue_by_nation": q_revenue_by_nation,
         "neighbor_halo_counts": q_neighbor_halo_counts,
         "spatial_knn": q_spatial_knn,
@@ -3785,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
     from mapchete_spark.operators.multimodal import media_features_sql
 
     out["media_features"] = media_features_sql(300)
+    out["span_media_join"] = o_span_media_join()
     out["vector_reproject"] = o_vector_reproject()
     out["utm_reproject"] = o_utm_reproject()
     out["events_windowed"] = o_events_windowed()
