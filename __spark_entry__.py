@@ -2474,6 +2474,20 @@ def q_vector_union_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_union_rotated(docs).orderBy("tile_row", "tile_col")
 
 
+def q_vector_union_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 ring DISSOLVE: same rotated-squares fixture as
+    `vector_union_rotated`, but the engine area is the shoelace sum over
+    the MERGED boundary rings from geometry/overlay.union_rings (seam
+    edges cancelled, holes CW) — the GEOS `unary_union` output shape —
+    while the oracle recomputes the slab-decomposition area in SQL. The
+    two agree only if the edge trace, snap clustering and hole
+    orientation are all correct."""
+    from mapchete_spark.operators.vector import tile_union_dissolved
+
+    docs = load_docs(spark, sf_dir)
+    return tile_union_dissolved(docs).orderBy("tile_row", "tile_col")
+
+
 def o_vector_union_rotated() -> str:
     from mapchete_spark.functions.overlaysql import union_rotated_sql
 
@@ -3780,6 +3794,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_union": q_vector_union,
         "vector_union_exact": q_vector_union_exact,
         "vector_union_rotated": q_vector_union_rotated,
+        "vector_union_dissolve": q_vector_union_dissolve,
         "grid_snap": q_grid_snap,
         "grid_affine": q_grid_affine,
         "meta_intersect": q_meta_intersect,
@@ -3848,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
     out["vector_union"] = o_vector_union()
     out["vector_union_exact"] = o_vector_union_exact()
     out["vector_union_rotated"] = o_vector_union_rotated()
+    out["vector_union_dissolve"] = o_vector_union_rotated()
     out["grid_snap"] = o_grid_snap()
     out["grid_affine"] = o_grid_affine()
     out["meta_intersect"] = o_meta_intersect()

@@ -142,10 +142,21 @@ def union_rotated_sql() -> str:
             FROM bpi_raw
         )
         WHERE den <> 0 AND t > 0.0 AND t < 1.0 AND u > 0.0 AND u < 1.0
+    ), bpy AS (
+        -- edge crossings with the clip box's horizontal boundaries:
+        -- without these cuts the GREATEST/LEAST clamp in ivc kinks
+        -- inside a slab and the midpoint measure is no longer exact
+        -- (mirrors geometry/overlay._slab_cuts)
+        SELECT tr, tc, bl, br,
+               ex0 + (yb - ey0) * ((ex1 - ex0) / (ey1 - ey0)) AS x
+        FROM edges CROSS JOIN (SELECT * FROM (VALUES (0), (1)) t(hb)) v
+        CROSS JOIN LATERAL (SELECT CASE WHEN hb = 0 THEN bb ELSE bt END AS yb) yy
+        WHERE LEAST(ey0, ey1) < yb AND yb < GREATEST(ey0, ey1)
     ), bps AS (
         SELECT DISTINCT tr, tc, x FROM (
             SELECT tr, tc, ex0 AS x, bl, br FROM edges
             UNION ALL SELECT tr, tc, x, bl, br FROM bpi
+            UNION ALL SELECT tr, tc, x, bl, br FROM bpy
         ) WHERE x > bl AND x < br
         UNION SELECT DISTINCT tr, tc, bl FROM edges
         UNION SELECT DISTINCT tr, tc, br FROM edges

@@ -620,3 +620,108 @@ def line_clip_digests(exploded: DataFrame, pyramid: Optional[TilePyramid] = None
     return per_feature.groupBy("zoom", "tile_row", "tile_col").agg(
         F.sum("len_q").alias("len_q_sum")
     )
+
+
+def tile_union_dissolved(docs_geo: DataFrame) -> DataFrame:
+    """Contract-query operator for the RING dissolve: same rotated
+    fixture as :func:`tile_union_rotated`, but the engine-side area is
+    the SHOELACE SUM over the dissolved boundary rings
+    (geometry/overlay.union_rings) instead of the slab measure, while
+    the oracle still computes the slab-decomposition area in SQL. The
+    two derivations agree only when the seam-cancelling edge trace and
+    hole orientation are correct, so this query pins the GEOS-style
+    ``unary_union`` output shape (reference
+    mapchete/io/vector/indexed_features.py:190-217), not just its
+    measure."""
+    from mapchete_spark.functions.geo import tile_col_expr, tile_row_expr
+    from mapchete_spark.functions.overlaysql import (
+        UNION_ZOOM,
+        square_params,
+        square_ring,
+        tile_box,
+    )
+
+    fd = docs_geo.where(F.col("radius").isNotNull()).select(
+        "doc_id",
+        "lon",
+        "lat",
+        "radius",
+        tile_row_expr(F.col("lat"), UNION_ZOOM).alias("tile_row"),
+        tile_col_expr(F.col("lon"), UNION_ZOOM).alias("tile_col"),
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.geometry.overlay import (
+            ring_signed_area,
+            union_rings,
+        )
+
+        tr, tc = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("doc_id")
+        feats = []
+        for did, lon, lat, radius in zip(
+            pdf["doc_id"], pdf["lon"], pdf["lat"], pdf["radius"]
+        ):
+            for cx, cy, hw, ang in square_params(
+                int(did), float(lon), float(lat), float(radius)
+            ):
+                feats.append([square_ring(cx, cy, hw, ang)])
+        left, bottom, right, top = tile_box(tr, tc)
+        rings = union_rings(feats, box=Bounds(left, bottom, right, top))
+        area = sum(ring_signed_area(r) for r in rings)
+        return pd.DataFrame(
+            {
+                "zoom": [UNION_ZOOM],
+                "tile_row": [tr],
+                "tile_col": [tc],
+                "n_docs": [int(pdf["doc_id"].nunique())],
+                "area_q": [int(np.floor(area * 10000.0 + 0.5))],
+            }
+        )
+
+    return fd.groupBy("tile_row", "tile_col").applyInPandas(
+        fn,
+        schema="zoom int, tile_row long, tile_col long, n_docs long, area_q long",
+    )
+
+
+def dissolve_union_wkb(clipped: DataFrame) -> DataFrame:
+    """Per-tile dissolved union GEOMETRY as MultiPolygon WKB — the
+    consumer-facing `read_union_geometry` twin (merged rings, holes
+    attached to shells; no seam edges). Input: clipped feature rows
+    (tile_key, geometry WKB)."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from mapchete_spark.geometry.overlay import union_multipolygon
+        from mapchete_spark.geometry.wkb import to_wkb
+
+        tile_key = int(key[0])
+        z, row, col = split_linear_tile_key(tile_key)
+        feats = []
+        for g in pdf["geometry"]:
+            geom = from_wkb(g)
+            polys = (
+                list(geom.polygons) if isinstance(geom, MultiPolygon) else [geom]
+            )
+            for p in polys:
+                feats.append([p.exterior, *p.interiors])
+        mp = union_multipolygon(feats)
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_row": [int(row)],
+                "tile_col": [int(col)],
+                "n_features": [len(pdf)],
+                "n_polygons": [len(mp.polygons)],
+                "union_area": [round(mp.area, 6)],
+                "geometry": [to_wkb(mp)],
+            }
+        )
+
+    return clipped.groupBy("tile_key").applyInPandas(
+        fn,
+        schema=(
+            "zoom int, tile_row long, tile_col long, n_features long, "
+            "n_polygons long, union_area double, geometry binary"
+        ),
+    )

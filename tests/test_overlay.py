@@ -174,3 +174,114 @@ class TestClipPolygonalOverlay:
         [r] = [c for c in rows if c["tile_row"] == 7 and c["tile_col"] == 16]
         # holes overlap on [5,6]x[4,6]: union of holes = 6+6-2 = 10
         assert r["clipped_area"] == pytest.approx(81.0 - 10.0, abs=1e-9)
+
+
+class TestUnionRings:
+    """Dissolve: trapezoid cover -> merged minimal rings."""
+
+    def test_touching_squares_dissolve_to_one_rect(self):
+        from mapchete_spark.geometry.overlay import ring_signed_area, union_rings
+
+        rings = union_rings([sq(0.5, 0.5, 0.5), sq(1.5, 0.5, 0.5)])
+        assert len(rings) == 1
+        assert len(rings[0]) - 1 == 4  # collinear seam vertices merged
+        assert ring_signed_area(rings[0]) == pytest.approx(2.0)
+
+    def test_ring_area_equals_slab_area_random_rotated(self):
+        from mapchete_spark.geometry.overlay import (
+            ring_signed_area,
+            union_area,
+            union_rings,
+        )
+
+        rng = np.random.RandomState(11)
+        for _ in range(10):
+            feats = [
+                sq(rng.uniform(0, 5), rng.uniform(0, 5),
+                   rng.uniform(0.2, 1.5), rng.uniform(0, 3))
+                for _ in range(8)
+            ]
+            a = union_area(feats)
+            assert a > 0
+            ar = sum(ring_signed_area(r) for r in union_rings(feats))
+            assert ar == pytest.approx(a, rel=1e-9, abs=1e-9)
+
+    def test_frame_union_yields_shell_and_hole(self):
+        from mapchete_spark.geometry.overlay import (
+            ring_signed_area,
+            union_polygons,
+        )
+
+        bars = [
+            [np.array([[0, 0], [3, 0], [3, 0.5], [0, 0.5], [0, 0]], float)],
+            [np.array([[0, 2.5], [3, 2.5], [3, 3], [0, 3], [0, 2.5]], float)],
+            [np.array([[0, 0], [0.5, 0], [0.5, 3], [0, 3], [0, 0]], float)],
+            [np.array([[2.5, 0], [3, 0], [3, 3], [2.5, 3], [2.5, 0]], float)],
+        ]
+        polys = union_polygons(bars)
+        assert len(polys) == 1
+        shell, holes = polys[0]
+        assert len(holes) == 1
+        assert ring_signed_area(shell) == pytest.approx(9.0)
+        assert ring_signed_area(holes[0]) == pytest.approx(-4.0)
+
+    def test_disjoint_islands_stay_separate(self):
+        from mapchete_spark.geometry.overlay import union_rings
+
+        rings = union_rings([sq(0, 0, 0.4), sq(5, 5, 0.4), sq(10, 0, 1)])
+        assert len(rings) == 3
+
+    def test_overlapping_holes_via_multipolygon(self):
+        from mapchete_spark.geometry.overlay import (
+            union_area,
+            union_multipolygon,
+        )
+
+        outer = [sq(2, 2, 2)]
+        holes = [sq(1.7, 1.7, 0.7), sq(2.6, 2.2, 0.7)]
+        mp = union_multipolygon(outer, holes=holes)
+        assert mp.area == pytest.approx(union_area(outer, holes=holes))
+        assert len(mp.polygons) == 1
+        assert len(mp.polygons[0].interiors) >= 1
+
+    def test_box_clip_rings_match_area(self):
+        from mapchete_spark.geometry.overlay import (
+            ring_signed_area,
+            union_area,
+            union_rings,
+        )
+
+        rng = np.random.RandomState(23)
+        box = Bounds(0.5, 0.5, 4.5, 4.5)
+        for _ in range(8):
+            feats = [
+                sq(rng.uniform(0, 5), rng.uniform(0, 5),
+                   rng.uniform(0.3, 2.0), rng.uniform(0, 3))
+                for _ in range(5)
+            ]
+            a = union_area(feats, box=box)
+            ar = sum(
+                ring_signed_area(r) for r in union_rings(feats, box=box)
+            )
+            assert ar == pytest.approx(a, rel=1e-9, abs=1e-9)
+
+
+class TestBoxClipExactness:
+    """Round-3 fix: box-boundary crossings are slab cuts, so the
+    clamped midpoint measure is exact (previously the clamp kinked
+    inside a slab and union_area(box=...) drifted from ground truth)."""
+
+    def test_rotated_square_clipped_matches_polygon_clip_area(self):
+        from mapchete_spark.geometry.core import clip_ring_to_rect
+        from mapchete_spark.geometry.overlay import union_area
+
+        rng = np.random.RandomState(5)
+        box = Bounds(1.0, 1.0, 4.0, 4.0)
+        for _ in range(10):
+            ring = sq(rng.uniform(1, 4), rng.uniform(1, 4),
+                      rng.uniform(0.5, 2.5), rng.uniform(0, 3))[0]
+            # ground truth: Sutherland-Hodgman clip then shoelace
+            clipped = clip_ring_to_rect(ring, *box)
+            truth = ring_area(clipped) if len(clipped) >= 3 else 0.0
+            got = union_area([[ring]], box=box)
+            assert got == pytest.approx(truth, rel=1e-12, abs=1e-12)
