@@ -3172,6 +3172,28 @@ def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_lcc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 arbitrary-EPSG path beyond UTM: every doc's point projected to
+    Lambert-93 (EPSG:2154, ellipsoidal LCC 2SP on GRS80 from the conic
+    registry) in PURE Column algebra — tan/pow/sin/cos stay in
+    whole-stage codegen, no UDF, map-only (zero-shuffle) at any corpus
+    size. The oracle renders the identical arithmetic in DuckDB;
+    tests/test_utm.py pins the Column math to geometry/conic's
+    LambertConformalConic class."""
+    from mapchete_spark.functions.conicsql import lcc_xy_cols
+
+    docs = load_docs(spark, sf_dir)
+    x, y = lcc_xy_cols(F.col("lon"), F.col("lat"))
+    return (
+        docs.select("doc_id", x.alias("lcc_x"), y.alias("lcc_y"))
+        .orderBy("doc_id")
+    )
+
+
+
+
 def o_utm_reproject() -> str:
     """Ellipsoidal Krüger forward in SQL: the series constants (first
     eccentricity, k0*A_rect, alpha_j) are embedded bit-identically via
@@ -3820,6 +3842,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_buffer": q_metric_buffer,
         "vector_reproject": q_vector_reproject,
         "utm_reproject": q_utm_reproject,
+        "lcc_reproject": q_lcc_reproject,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
@@ -3894,6 +3917,8 @@ def oracle_sql() -> dict[str, str]:
     out["span_media_join"] = o_span_media_join()
     out["vector_reproject"] = o_vector_reproject()
     out["utm_reproject"] = o_utm_reproject()
+    from mapchete_spark.functions.conicsql import lcc_reproject_sql
+    out["lcc_reproject"] = lcc_reproject_sql()
     out["events_windowed"] = o_events_windowed()
     out["events_sessionized"] = o_events_sessionized()
     out["revenue_by_nation"] = o_revenue_by_nation()

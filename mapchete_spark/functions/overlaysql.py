@@ -148,7 +148,7 @@ def union_rotated_sql() -> str:
         -- inside a slab and the midpoint measure is no longer exact
         -- (mirrors geometry/overlay._slab_cuts)
         SELECT tr, tc, bl, br,
-               ex0 + (yb - ey0) * ((ex1 - ex0) / (ey1 - ey0)) AS x
+               ex0 + ((yb - ey0) / (ey1 - ey0)) * (ex1 - ex0) AS x
         FROM edges CROSS JOIN (SELECT * FROM (VALUES (0), (1)) t(hb)) v
         CROSS JOIN LATERAL (SELECT CASE WHEN hb = 0 THEN bb ELSE bt END AS yb) yy
         WHERE LEAST(ey0, ey1) < yb AND yb < GREATEST(ey0, ey1)
@@ -169,7 +169,7 @@ def union_rotated_sql() -> str:
         FROM slabs WHERE x1 IS NOT NULL AND x1 > x0
     ), crossings AS (
         SELECT s.tr, s.tc, s.x0, s.w, e.fid, e.bb, e.bt,
-               e.ey0 + (s.xm - e.ex0) * ((e.ey1 - e.ey0) / (e.ex1 - e.ex0)) AS yv
+               e.ey0 + ((s.xm - e.ex0) / (e.ex1 - e.ex0)) * (e.ey1 - e.ey0) AS yv
         FROM slabm s JOIN edges e ON e.tr = s.tr AND e.tc = s.tc
         WHERE LEAST(e.ex0, e.ex1) < s.xm AND s.xm < GREATEST(e.ex0, e.ex1)
     ), iv AS (

@@ -1,0 +1,188 @@
+"""Ellipsoidal conic projections + a named-EPSG parameter registry.
+
+Closes the V5 "arbitrary EPSG codes raise" gap for the CRS class real
+mapchete configs actually use beyond UTM: national grids on Lambert
+Conformal Conic (France's Lambert-93 EPSG:2154, Belgian Lambert 2008
+EPSG:3812) and continental equal-area grids on Albers (NAD83 / Conus
+Albers EPSG:5070). The reference reaches these through pyproj
+(mapchete/geometry/reproject.py:75-229); without a proj database the
+engine implements the two projection families closed-form from the
+public Snyder formulas (Snyder 1987, *Map Projections — A Working
+Manual*, USGS PP 1395: LCC eqs. 15-1..15-11, Albers eqs. 14-1..14-11)
+and registers per-EPSG parameters.
+
+Datum note: the registered CRS are on GRS80 (RGF93 / ETRS89 / NAD83),
+which agrees with WGS84 to well under a millimeter of flattening
+difference; like pyproj's default no-gridshift pipeline, no datum
+shift is applied. All constants are module-level floats so the DuckDB
+oracle twin embeds bit-identical values via ``repr()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+GRS80_E = GRS80_E2**0.5
+
+# fixed-point rounds for the inverse latitude series (same budget as
+# reproject._CONFORMAL_INV_ITERS; ~1.5 digits/round)
+_INV_ITERS = 12
+
+
+@dataclass(frozen=True)
+class ConicParams:
+    kind: str  # "lcc" | "aea"
+    lat0: float  # latitude of origin (deg)
+    lon0: float  # central meridian (deg)
+    lat1: float  # first standard parallel (deg)
+    lat2: float  # second standard parallel (deg)
+    x0: float  # false easting (m)
+    y0: float  # false northing (m)
+
+
+#: named EPSG codes -> projection parameters (EPSG registry values)
+CONIC_REGISTRY = {
+    # RGF93 / Lambert-93 (France)
+    "EPSG:2154": ConicParams("lcc", 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
+    # ETRS89 / Belgian Lambert 2008
+    "EPSG:3812": ConicParams(
+        "lcc", 50.797815, 4.359215833333333, 49.833333333333336,
+        51.166666666666664, 649328.0, 665262.0,
+    ),
+    # NAD83 / Conus Albers
+    "EPSG:5070": ConicParams("aea", 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+}
+
+
+def _m(phi: np.ndarray) -> np.ndarray:
+    """Snyder 14-15: m = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - GRS80_E2 * s * s)
+
+
+def _t(phi: np.ndarray) -> np.ndarray:
+    """Snyder 15-9: t = tan(pi/4 - phi/2) / ((1 - e sin phi) /
+    (1 + e sin phi))^(e/2)."""
+    s = GRS80_E * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - s) / (1.0 + s)
+    ) ** (GRS80_E / 2.0)
+
+
+def _q(phi: np.ndarray) -> np.ndarray:
+    """Snyder 3-12 (authalic latitude integrand): q = (1 - e^2) *
+    [sin phi / (1 - e^2 sin^2 phi) - (1/(2e)) ln((1 - e sin phi) /
+    (1 + e sin phi))]."""
+    s = np.sin(phi)
+    es = GRS80_E * s
+    return (1.0 - GRS80_E2) * (
+        s / (1.0 - GRS80_E2 * s * s)
+        - (1.0 / (2.0 * GRS80_E)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+class LambertConformalConic:
+    """Ellipsoidal LCC with two standard parallels (Snyder ch. 15)."""
+
+    def __init__(self, p: ConicParams):
+        phi0, phi1, phi2 = map(np.radians, (p.lat0, p.lat1, p.lat2))
+        m1, m2 = _m(np.array(phi1)), _m(np.array(phi2))
+        t0, t1, t2 = (
+            _t(np.array(phi0)),
+            _t(np.array(phi1)),
+            _t(np.array(phi2)),
+        )
+        self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self.F = float(m1 / (self.n * t1**self.n))
+        self.rho0 = float(GRS80_A * self.F * t0**self.n)
+        self.lon0 = p.lon0
+        self.x0, self.y0 = p.x0, p.y0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = GRS80_A * self.F * _t(phi) ** self.n
+        th = self.n * np.radians(lon - self.lon0)
+        return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.x0
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self.n) * np.sqrt(dx * dx + dy * dy)
+        tp = (rho / (GRS80_A * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        lon = self.lon0 + np.degrees(th / self.n)
+        # Snyder 7-9 fixed point: phi = pi/2 - 2 atan(t ((1 - e sin phi)
+        # / (1 + e sin phi))^(e/2))
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(_INV_ITERS):
+            s = GRS80_E * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                tp * ((1.0 - s) / (1.0 + s)) ** (GRS80_E / 2.0)
+            )
+        return lon, np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers with two standard parallels (Snyder ch. 14)."""
+
+    def __init__(self, p: ConicParams):
+        phi0, phi1, phi2 = map(np.radians, (p.lat0, p.lat1, p.lat2))
+        m1, m2 = _m(np.array(phi1)), _m(np.array(phi2))
+        q0, q1, q2 = (
+            _q(np.array(phi0)),
+            _q(np.array(phi1)),
+            _q(np.array(phi2)),
+        )
+        self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = float(GRS80_A * np.sqrt(self.C - self.n * q0) / self.n)
+        self.lon0 = p.lon0
+        self.x0, self.y0 = p.x0, p.y0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = GRS80_A * np.sqrt(self.C - self.n * _q(phi)) / self.n
+        th = self.n * np.radians(lon - self.lon0)
+        return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.x0
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sqrt(dx * dx + dy * dy)
+        qv = (self.C - (rho * self.n / GRS80_A) ** 2) / self.n
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        lon = self.lon0 + np.degrees(th / self.n)
+        # Snyder 3-16 fixed point for the authalic -> geodetic latitude
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(_INV_ITERS):
+            s = np.sin(phi)
+            es = GRS80_E * s
+            one = 1.0 - GRS80_E2 * s * s
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                qv / (1.0 - GRS80_E2)
+                - s / one
+                + (1.0 / (2.0 * GRS80_E)) * np.log((1.0 - es) / (1.0 + es))
+            )
+        return lon, np.degrees(phi)
+
+
+def conic_projection(crs: str):
+    """Projection object for a registered conic EPSG code."""
+    p = CONIC_REGISTRY.get(crs)
+    if p is None:
+        raise ValueError(
+            f"no conic parameters registered for {crs} "
+            f"(known: {sorted(CONIC_REGISTRY)})"
+        )
+    return LambertConformalConic(p) if p.kind == "lcc" else AlbersEqualArea(p)
+
+
+def is_conic(crs: str) -> bool:
+    return crs in CONIC_REGISTRY

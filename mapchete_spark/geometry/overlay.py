@@ -121,15 +121,20 @@ def _feature_intervals(fid, x0, y0, x1, y1, xm: float):
     """Per-feature inside y-intervals at x = xm by even-odd parity.
 
     Returns (lo, hi) arrays over all features. Mirrored in SQL:
-        yv = y0 + (xm - x0) * ((y1 - y0) / (x1 - x0))
-    sorted per feature, consecutive pairs form intervals."""
+        yv = y0 + ((xm - x0) / (x1 - x0)) * (y1 - y0)
+    sorted per feature, consecutive pairs form intervals. The division
+    comes FIRST: (xm - x0)/(x1 - x0) lies in (0, 1) whenever xm is
+    strictly between the endpoints, so near-vertical edges (subnormal
+    dx from e.g. a ~1e-311 rotation angle) cannot overflow the slope
+    to inf — the slope-first order returned inf areas on such input
+    (hypothesis-found)."""
     lo_x = np.minimum(x0, x1)
     hi_x = np.maximum(x0, x1)
     m = (lo_x < xm) & (xm < hi_x)
     if not m.any():
         return np.zeros(0), np.zeros(0)
     f = fid[m]
-    yv = y0[m] + (xm - x0[m]) * ((y1[m] - y0[m]) / (x1[m] - x0[m]))
+    yv = y0[m] + ((xm - x0[m]) / (x1[m] - x0[m])) * (y1[m] - y0[m])
     order = np.lexsort((yv, f))
     f, yv = f[order], yv[order]
     # consecutive pairs within each feature (parity is even per feature)
@@ -200,8 +205,10 @@ def _slab_cuts(x0, y0, x1, y1, box: Optional[Bounds]) -> np.ndarray:
         for yb in (box.bottom, box.top):
             m = (np.minimum(y0, y1) < yb) & (yb < np.maximum(y0, y1))
             if m.any():
+                # division first: (yb - y0)/(y1 - y0) in (0, 1), no
+                # slope overflow on near-horizontal edges
                 cuts.append(
-                    x0[m] + (yb - y0[m]) * ((x1[m] - x0[m]) / (y1[m] - y0[m]))
+                    x0[m] + ((yb - y0[m]) / (y1[m] - y0[m])) * (x1[m] - x0[m])
                 )
     cuts = np.concatenate(cuts) if cuts else np.zeros(0)
     if box is not None:

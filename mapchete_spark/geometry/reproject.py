@@ -183,27 +183,51 @@ def utm_to_geodetic_factory(crs: str):
     return inv
 
 
+def _to_geodetic(src: str):
+    """(x, y) -> (lon, lat) for any supported CRS, or None for 4326."""
+    from mapchete_spark.geometry.conic import conic_projection, is_conic
+
+    if src == "EPSG:4326":
+        return None
+    if src == "EPSG:3857":
+        return mercator_to_geodetic
+    if src.startswith("EPSG:32"):
+        return utm_to_geodetic_factory(src)
+    if is_conic(src):
+        return conic_projection(src).inverse
+    raise ValueError(f"unsupported CRS {src}")
+
+
+def _from_geodetic(dst: str):
+    """(lon, lat) -> (x, y) for any supported CRS, or None for 4326."""
+    from mapchete_spark.geometry.conic import conic_projection, is_conic
+
+    if dst == "EPSG:4326":
+        return None
+    if dst == "EPSG:3857":
+        return geodetic_to_mercator
+    if dst.startswith("EPSG:32"):
+        return geodetic_to_utm_factory(dst)
+    if is_conic(dst):
+        return conic_projection(dst).forward
+    raise ValueError(f"unsupported CRS {dst}")
+
+
 def get_transform(src: str, dst: str):
     """Coordinate transform function (x, y) -> (x, y) between supported
-    CRS (built-in grids + UTM zones). Identity when src == dst."""
+    CRS: the built-in grids (4326/3857), UTM zones (326xx/327xx,
+    Krüger n^6), and registered conic national grids (Lambert-93
+    2154, Belgian Lambert 2008 3812, Conus Albers 5070 —
+    geometry/conic.CONIC_REGISTRY). Any pair composes through
+    geodetic. Identity when src == dst."""
     if src == dst:
         return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
-    if (src, dst) in _TRANSFORMS:
-        return _TRANSFORMS[(src, dst)]
-    if src == "EPSG:4326" and dst.startswith("EPSG:32"):
-        return geodetic_to_utm_factory(dst)
-    if dst == "EPSG:4326" and src.startswith("EPSG:32"):
-        return utm_to_geodetic_factory(src)
-    if src.startswith("EPSG:32") and dst.startswith("EPSG:32"):
-        inv, fwd = utm_to_geodetic_factory(src), geodetic_to_utm_factory(dst)
-        return lambda x, y: fwd(*inv(x, y))
-    if src == "EPSG:3857" and dst.startswith("EPSG:32"):
-        fwd = geodetic_to_utm_factory(dst)
-        return lambda x, y: fwd(*mercator_to_geodetic(x, y))
-    if src.startswith("EPSG:32") and dst == "EPSG:3857":
-        inv = utm_to_geodetic_factory(src)
-        return lambda x, y: geodetic_to_mercator(*inv(x, y))
-    raise ValueError(f"unsupported CRS pair {src} -> {dst}")
+    inv, fwd = _to_geodetic(src), _from_geodetic(dst)
+    if inv is None:
+        return fwd
+    if fwd is None:
+        return inv
+    return lambda x, y: fwd(*inv(x, y))
 
 
 def reproject_ring(

@@ -130,8 +130,11 @@ class TestUtmTransform:
         assert np.isfinite(x2).all()
 
     def test_unknown_pair_raises(self):
-        with pytest.raises(ValueError, match="unsupported CRS pair"):
-            get_transform("EPSG:4326", "EPSG:2154")
+        # EPSG:27700 (British National Grid, Airy ellipsoid) is not
+        # registered; EPSG:2154 IS supported since the conic registry
+        with pytest.raises(ValueError, match="unsupported CRS"):
+            get_transform("EPSG:4326", "EPSG:27700")
+        assert get_transform("EPSG:4326", "EPSG:2154") is not None
 
 
 class TestMetricBuffer:
@@ -192,3 +195,122 @@ class TestMetricBuffer:
         assert abs(west.left - (-180.0)) < 1e-6 or west.left < -178.0
         # buffered: covers more latitude than the original
         assert west.bottom < 10.0 - 0.3 and west.top > 12.0 + 0.3
+
+
+class TestConicProjections:
+    """Ellipsoidal LCC / Albers national grids (geometry/conic)."""
+
+    def test_lambert93_false_origin_exact(self):
+        from mapchete_spark.geometry.conic import conic_projection
+
+        p = conic_projection("EPSG:2154")
+        x, y = p.forward(np.array([3.0]), np.array([46.5]))
+        assert x[0] == pytest.approx(700000.0, abs=1e-6)
+        assert y[0] == pytest.approx(6600000.0, abs=1e-6)
+
+    def test_belgian_lambert_false_origin_exact(self):
+        from mapchete_spark.geometry.conic import conic_projection
+
+        p = conic_projection("EPSG:3812")
+        x, y = p.forward(
+            np.array([4.359215833333333]), np.array([50.797815])
+        )
+        assert x[0] == pytest.approx(649328.0, abs=1e-6)
+        assert y[0] == pytest.approx(665262.0, abs=1e-6)
+
+    def test_albers_origin_exact(self):
+        from mapchete_spark.geometry.conic import conic_projection
+
+        p = conic_projection("EPSG:5070")
+        x, y = p.forward(np.array([-96.0]), np.array([23.0]))
+        assert x[0] == pytest.approx(0.0, abs=1e-7)
+        assert y[0] == pytest.approx(0.0, abs=1e-7)
+
+    def test_lcc_unit_scale_on_standard_parallels(self):
+        # the defining property of LCC 2SP: scale factor 1 on both
+        # standard parallels (verifies n, F, rho0 jointly)
+        from mapchete_spark.geometry.conic import GRS80_A, GRS80_E2, conic_projection
+
+        p = conic_projection("EPSG:2154")
+        for lat0 in (44.0, 49.0):
+            h = 1e-6
+            x1, y1 = p.forward(np.array([3.0]), np.array([lat0 - h]))
+            x2, y2 = p.forward(np.array([3.0]), np.array([lat0 + h]))
+            phi = np.radians(lat0)
+            M = GRS80_A * (1 - GRS80_E2) / (1 - GRS80_E2 * np.sin(phi) ** 2) ** 1.5
+            k = np.hypot(x2[0] - x1[0], y2[0] - y1[0]) / (M * np.radians(2 * h))
+            assert k == pytest.approx(1.0, abs=1e-7)
+
+    def test_albers_preserves_area(self):
+        # equal-area property: the projected area of a small geodesic
+        # quad equals its ellipsoidal area (authalic), to first order
+        from mapchete_spark.geometry.conic import GRS80_A, GRS80_E2, conic_projection
+
+        p = conic_projection("EPSG:5070")
+        lon, lat, d = -100.0, 40.0, 0.01
+        corners_lon = np.array([lon, lon + d, lon + d, lon])
+        corners_lat = np.array([lat, lat, lat + d, lat + d])
+        x, y = p.forward(corners_lon, corners_lat)
+        proj_area = 0.5 * abs(
+            np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+        )
+        phi = np.radians(lat + d / 2)
+        sin2 = np.sin(phi) ** 2
+        M = GRS80_A * (1 - GRS80_E2) / (1 - GRS80_E2 * sin2) ** 1.5
+        N = GRS80_A / np.sqrt(1 - GRS80_E2 * sin2)
+        true_area = (M * np.radians(d)) * (N * np.cos(phi) * np.radians(d))
+        assert proj_area == pytest.approx(true_area, rel=1e-6)
+
+    def test_roundtrip_sub_micrometer(self):
+        from mapchete_spark.geometry.conic import conic_projection
+
+        rng = np.random.RandomState(9)
+        for crs, lo, hi, la, ha in [
+            ("EPSG:2154", -5.0, 9.0, 41.0, 51.5),
+            ("EPSG:3812", 2.5, 6.5, 49.4, 51.6),
+            ("EPSG:5070", -125.0, -67.0, 25.0, 49.0),
+        ]:
+            p = conic_projection(crs)
+            lon = rng.uniform(lo, hi, 200)
+            lat = rng.uniform(la, ha, 200)
+            x, y = p.forward(lon, lat)
+            lon2, lat2 = p.inverse(x, y)
+            assert np.max(np.abs(lon2 - lon)) * 111320 < 1e-6
+            assert np.max(np.abs(lat2 - lat)) * 111320 < 1e-6
+
+    def test_chain_through_utm(self):
+        lon, lat = np.array([2.3508]), np.array([48.8567])
+        a = get_transform("EPSG:4326", "EPSG:2154")(lon, lat)
+        b = get_transform("EPSG:2154", "EPSG:32631")(*a)
+        c = get_transform("EPSG:32631", "EPSG:4326")(*b)
+        assert abs(c[0][0] - lon[0]) * 111320 < 1e-6
+        assert abs(c[1][0] - lat[0]) * 111320 < 1e-6
+
+
+class TestLccColumnTwin:
+    """functions/conicsql Column algebra == geometry/conic class."""
+
+    def test_column_matches_library(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as SF
+
+        from mapchete_spark.functions.conicsql import lcc_xy_cols
+        from mapchete_spark.geometry.conic import conic_projection
+
+        rng = np.random.RandomState(17)
+        lon = rng.uniform(-10, 12, 500)
+        lat = rng.uniform(40, 52, 500)
+        pdf = pd.DataFrame({"i": range(500), "lon": lon, "lat": lat})
+        sdf = spark.createDataFrame(pdf)
+        x, y = lcc_xy_cols(SF.col("lon"), SF.col("lat"))
+        out = (
+            sdf.select("i", x.alias("x"), y.alias("y"))
+            .orderBy("i")
+            .toPandas()
+        )
+        p = conic_projection("EPSG:2154")
+        ex, ey = p.forward(lon, lat)
+        ex = np.floor(ex * 100.0 + 0.5) / 100.0
+        ey = np.floor(ey * 100.0 + 0.5) / 100.0
+        np.testing.assert_array_equal(out["x"].values, ex)
+        np.testing.assert_array_equal(out["y"].values, ey)
