@@ -269,7 +269,10 @@ def repair_polygon(
     double-subtracting (reference mapchete/geometry/repair.py:7-21
     delegates all of this to GEOS buffer(0)).
 
-    Returns (exact area, trapezoid-cover rings of the region)."""
+    Returns (exact area, DISSOLVED boundary rings of the region —
+    CCW shells / CW holes from :func:`union_rings`, the GEOS-style
+    merged output; use :func:`union_polygons` semantics to attach
+    holes to shells)."""
     from mapchete_spark.geometry.core import untangle_ring
 
     feats = [[lp] for lp in untangle_ring(np.asarray(exterior, dtype=np.float64))]
@@ -280,7 +283,7 @@ def repair_polygon(
         )
     return (
         union_area(feats, holes=hole_feats),
-        union_trapezoids(feats, holes=hole_feats),
+        union_rings(feats, holes=hole_feats),
     )
 
 

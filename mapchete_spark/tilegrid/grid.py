@@ -149,9 +149,11 @@ def grid_from_name_or_dict(grid) -> GridDef:
     if isinstance(grid, dict):
         rows, cols = grid["shape"]
         left, bottom, right, top = grid["bounds"]
-        srs = grid.get("srs", "custom")
+        srs = grid.get("srs") or grid.get("proj") or "custom"
         if isinstance(srs, dict):
             srs = srs.get("epsg") or srs.get("wkt") or "custom"
+        if isinstance(srs, str) and srs.lstrip().startswith("+proj="):
+            srs = _srs_from_proj_string(srs)
         return GridDef(
             name=grid.get("grid", "custom"),
             left=float(left),
@@ -164,3 +166,24 @@ def grid_from_name_or_dict(grid) -> GridDef:
             is_global=bool(grid.get("is_global", False)),
         )
     raise TypeError(f"cannot build grid from {grid!r}")
+
+
+def _srs_from_proj_string(proj: str) -> str:
+    """Resolve a proj4 string to an EPSG code where the engine has a
+    closed-form transform — currently the UTM family, matching the
+    reference's own custom-grid example
+    (examples/custom_grid/custom_grid.mapchete: ``proj: +proj=utm
+    +zone=32 +datum=WGS84 +units=m +no_defs``). Other proj strings are
+    preserved verbatim as an opaque srs label (grid arithmetic never
+    needs the CRS; only cross-CRS feature reprojection does, and
+    get_transform will raise with a clear message for labels it cannot
+    resolve)."""
+    parts = dict(
+        kv.split("=", 1) if "=" in kv else (kv, "")
+        for kv in proj.replace("+", " ").split()
+    )
+    if parts.get("proj") == "utm" and "zone" in parts:
+        zone = int(parts["zone"])
+        south = "south" in parts
+        return f"EPSG:{(32700 if south else 32600) + zone}"
+    return proj

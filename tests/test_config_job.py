@@ -211,3 +211,39 @@ class TestCustomGridAndSplit:
         # output rows are BASE tiles (256x256), not 1024px metatiles
         assert (r["height"], r["width"]) == (256, 256)
         assert out.count() > 4
+
+
+class TestProjStringGridJob:
+    def test_utm_proj_grid_job(self, spark, tmp_path):
+        """End-to-end convert job on the reference's UTM-32 proj-string
+        custom grid (examples/custom_grid), AOI-restricted."""
+        import numpy as np
+
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.raster.dem import dem_tile
+
+        cfg = JobConfig.from_file(
+            os.path.join(CONFIGS, "custom_grid_utm.mapchete")
+        )
+        cfg.output["path"] = str(tmp_path / "cgu")
+        assert cfg.pyramid.grid.srs == "EPSG:32632"
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["process_z0"] > 0 and counts["process_z1"] > 0
+        out = spark.read.parquet(str(tmp_path / "cgu" / "tiles"))
+        # tile count == closed-form cover of the AOI on the meter grid
+        for z in (0, 1):
+            want = sum(
+                (rmax - rmin + 1) * (cmax - cmin + 1)
+                for rmin, rmax, cmin, cmax in
+                cfg.pyramid.tile_ranges_from_bounds(cfg.bounds, z)
+            )
+            assert out.where(F.col("zoom") == z).count() == want
+        # payload matches the analytic DEM sampled on the projected grid
+        r = out.where(F.col("zoom") == 1).limit(1).collect()[0]
+        t = cfg.pyramid.tile(1, r["tile_row"], r["tile_col"])
+        got = row_to_array(r.asDict())
+        np.testing.assert_allclose(
+            got.filled(-9999.0).astype("float32"),
+            dem_tile(t).filled(-9999.0).astype("float32"),
+            atol=1e-2,
+        )

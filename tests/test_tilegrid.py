@@ -376,3 +376,73 @@ def test_refresh_parent_key_exact_at_high_rowcol(spark):
     ).collect()
     for r in got:
         assert r["got"] == r["want"]
+
+
+class TestProjStringCustomGrid:
+    """The reference's own custom-grid example verbatim: a UTM-32 grid
+    given as a proj4 string (examples/custom_grid/custom_grid.mapchete:
+    shape [1525, 125], bounds [166020, 0, 934020, 9369600],
+    metatiling 4)."""
+
+    GRID = {
+        "shape": [1525, 125],
+        "bounds": [166020, 0, 934020, 9369600],
+        "is_global": False,
+        "proj": "+proj=utm +zone=32 +datum=WGS84 +units=m +no_defs",
+    }
+
+    def test_proj_string_resolves_to_utm_epsg(self):
+        from mapchete_spark.tilegrid.grid import grid_from_name_or_dict
+
+        gd = grid_from_name_or_dict(self.GRID)
+        assert gd.srs == "EPSG:32632"
+        assert gd.matrix_shape(3) == (12200, 1000)
+
+    def test_south_and_unknown_proj_strings(self):
+        from mapchete_spark.tilegrid.grid import _srs_from_proj_string
+
+        assert (
+            _srs_from_proj_string("+proj=utm +zone=59 +south +datum=WGS84")
+            == "EPSG:32759"
+        )
+        laea = "+proj=laea +lat_0=52 +lon_0=10"
+        assert _srs_from_proj_string(laea) == laea  # preserved verbatim
+
+    def test_tile_bounds_arithmetic(self):
+        from mapchete_spark.tilegrid.grid import grid_from_name_or_dict
+
+        pyr = TilePyramid(grid_from_name_or_dict(self.GRID), metatiling=4)
+        # base cell is 6144 m; metatiling 4 at zoom 3 -> 3072 m tiles
+        t = pyr.tile(3, 0, 0)
+        b = t.bounds()
+        assert b.left == 166020.0
+        assert b.top == 9369600.0
+        assert b.right - b.left == pytest.approx(6144.0 / 8 * 4)
+
+    def test_points_reproject_and_assign(self):
+        """4326 points -> ellipsoidal UTM-32 -> closed-form tile
+        assignment on the projected grid (the reference job's core)."""
+        import numpy as np
+
+        from mapchete_spark.geometry.reproject import get_transform
+        from mapchete_spark.tilegrid.grid import grid_from_name_or_dict
+
+        gd = grid_from_name_or_dict(self.GRID)
+        pyr = TilePyramid(gd, metatiling=4)
+        zoom = 3
+        fwd = get_transform("EPSG:4326", gd.srs)
+        rng = np.random.RandomState(13)
+        lon = rng.uniform(6.5, 11.5, 200)   # inside zone 32
+        lat = rng.uniform(1.0, 60.0, 200)
+        x, y = fwd(lon, lat)
+        ts_x = gd.x_size / (gd.base_cols << zoom) * 4  # metatile size
+        ts_y = gd.y_size / (gd.base_rows << zoom) * 4
+        for xi, yi in zip(x, y):
+            if not (gd.left <= xi < gd.right and gd.bottom < yi <= gd.top):
+                continue
+            t = pyr.tile_from_xy(xi, yi, zoom)
+            want_col = int((xi - gd.left) // ts_x)
+            want_row = int((gd.top - yi) // ts_y)
+            assert (t.row, t.col) == (want_row, want_col)
+            b = t.bounds()
+            assert b.left <= xi <= b.right and b.bottom <= yi <= b.top

@@ -303,3 +303,36 @@ class TestUntangle:
         loops = untangle_ring(fig8)
         assert len(loops) == 2
         assert all(ring_area(lp) > 0 for lp in loops)
+
+
+def test_dissolve_union_wkb_roundtrip(spark, land):
+    """Consumer-facing dissolve: per-tile merged MultiPolygon WKB whose
+    area equals the exact slab union area, geometry round-trips, and
+    shells contain their holes."""
+    from mapchete_spark.operators.vector import (
+        dissolve_union_wkb,
+        tile_union_area_overlay,
+    )
+
+    sample = land.where(
+        F.col("feature_id").isin("feat-0003", "feat-0007", "feat-0012")
+    )
+    exploded = explode_features_to_tiles(sample, 5)
+    clipped = clip_features_to_tiles(exploded)
+    dissolved = {
+        (r["tile_row"], r["tile_col"]): r
+        for r in dissolve_union_wkb(clipped).collect()
+    }
+    measured = {
+        (r["tile_row"], r["tile_col"]): r["union_area"]
+        for r in tile_union_area_overlay(clipped).collect()
+    }
+    assert dissolved.keys() == measured.keys()
+    assert dissolved
+    for key, row in dissolved.items():
+        geom = from_wkb(bytes(row["geometry"]))
+        assert isinstance(geom, MultiPolygon)
+        assert len(geom.polygons) == row["n_polygons"] > 0
+        # dissolved-ring area == exact slab measure (both rounded 1e-6)
+        assert geom.area == pytest.approx(measured[key], abs=2e-6)
+        assert row["union_area"] == pytest.approx(measured[key], abs=2e-6)
