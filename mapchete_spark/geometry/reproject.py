@@ -186,6 +186,7 @@ def utm_to_geodetic_factory(crs: str):
 def _to_geodetic(src: str):
     """(x, y) -> (lon, lat) for any supported CRS, or None for 4326."""
     from mapchete_spark.geometry.conic import conic_projection, is_conic
+    from mapchete_spark.geometry.tm import is_tm, tm_grid
 
     if src == "EPSG:4326":
         return None
@@ -195,12 +196,15 @@ def _to_geodetic(src: str):
         return utm_to_geodetic_factory(src)
     if is_conic(src):
         return conic_projection(src).inverse
+    if is_tm(src):
+        return tm_grid(src).inverse
     raise ValueError(f"unsupported CRS {src}")
 
 
 def _from_geodetic(dst: str):
     """(lon, lat) -> (x, y) for any supported CRS, or None for 4326."""
     from mapchete_spark.geometry.conic import conic_projection, is_conic
+    from mapchete_spark.geometry.tm import is_tm, tm_grid
 
     if dst == "EPSG:4326":
         return None
@@ -210,6 +214,8 @@ def _from_geodetic(dst: str):
         return geodetic_to_utm_factory(dst)
     if is_conic(dst):
         return conic_projection(dst).forward
+    if is_tm(dst):
+        return tm_grid(dst).forward
     raise ValueError(f"unsupported CRS {dst}")
 
 

@@ -130,11 +130,13 @@ class TestUtmTransform:
         assert np.isfinite(x2).all()
 
     def test_unknown_pair_raises(self):
-        # EPSG:27700 (British National Grid, Airy ellipsoid) is not
-        # registered; EPSG:2154 IS supported since the conic registry
+        # EPSG:21781 (Swiss oblique Mercator) is not registered;
+        # EPSG:2154 (conic registry) and EPSG:27700 (TM registry,
+        # Airy 1830 + Helmert) ARE supported
         with pytest.raises(ValueError, match="unsupported CRS"):
-            get_transform("EPSG:4326", "EPSG:27700")
+            get_transform("EPSG:4326", "EPSG:21781")
         assert get_transform("EPSG:4326", "EPSG:2154") is not None
+        assert get_transform("EPSG:4326", "EPSG:27700") is not None
 
 
 class TestMetricBuffer:
@@ -314,3 +316,95 @@ class TestLccColumnTwin:
         ey = np.floor(ey * 100.0 + 0.5) / 100.0
         np.testing.assert_array_equal(out["x"].values, ex)
         np.testing.assert_array_equal(out["y"].values, ey)
+
+
+class TestBritishNationalGrid:
+    """General TM (geometry/tm): arbitrary ellipsoid + Helmert datum —
+    EPSG:27700 on Airy 1830."""
+
+    def test_natural_origin_maps_to_false_origin(self):
+        from mapchete_spark.geometry.tm import tm_grid
+
+        g = tm_grid("EPSG:27700")
+        x, y = g.forward_local(np.array([-2.0]), np.array([49.0]))
+        assert x[0] == pytest.approx(400000.0, abs=1e-6)
+        assert y[0] == pytest.approx(-100000.0, abs=1e-6)
+
+    def test_os_worked_example_sub_mm(self):
+        """The OS guide's published worked example (annexe, Caister
+        water tower): OSGB36 52d39'27.2531\"N 1d43'4.5177\"E ->
+        E 651409.903 N 313177.270 — matches to < 1 mm."""
+        from mapchete_spark.geometry.tm import tm_grid
+
+        g = tm_grid("EPSG:27700")
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        x, y = g.forward_local(np.array([lon]), np.array([lat]))
+        assert x[0] == pytest.approx(651409.903, abs=1e-3)
+        assert y[0] == pytest.approx(313177.270, abs=1e-3)
+
+    def test_local_roundtrip_sub_micrometer(self):
+        from mapchete_spark.geometry.tm import tm_grid
+
+        g = tm_grid("EPSG:27700")
+        rng = np.random.RandomState(2)
+        lon = rng.uniform(-7, 2, 300)
+        lat = rng.uniform(49.5, 61, 300)
+        lon2, lat2 = g.inverse_local(*g.forward_local(lon, lat))
+        assert np.max(np.abs(lon2 - lon)) * 111320 < 1e-6
+        assert np.max(np.abs(lat2 - lat)) * 111320 < 1e-6
+
+    def test_wgs84_roundtrip_within_helmert_closure(self):
+        # negating the 7 parameters inverts the Helmert only to second
+        # order -> ~cm closure; the shift itself is ~5 m accurate by spec
+        from mapchete_spark.geometry.tm import tm_grid
+
+        g = tm_grid("EPSG:27700")
+        rng = np.random.RandomState(4)
+        lon = rng.uniform(-6, 1.5, 300)
+        lat = rng.uniform(50, 60, 300)
+        lon2, lat2 = g.inverse(*g.forward(lon, lat))
+        assert np.max(np.abs(lon2 - lon)) * 111320 < 0.05
+        assert np.max(np.abs(lat2 - lat)) * 111320 < 0.05
+
+    def test_datum_shift_magnitude(self):
+        """WGS84 vs OSGB36 geodetic differ by the published ~50-120 m
+        over Britain; the shift must be applied (not a no-op)."""
+        from mapchete_spark.geometry.tm import tm_grid
+
+        g = tm_grid("EPSG:27700")
+        lon, lat = np.array([-1.0]), np.array([52.0])
+        xw, yw = g.forward(lon, lat)  # WGS84 input (shifted)
+        xl, yl = g.forward_local(lon, lat)  # same numbers read as OSGB36
+        d = float(np.hypot(xw - xl, yw - yl))
+        assert 50.0 < d < 150.0
+
+    def test_via_get_transform_chain(self):
+        f = get_transform("EPSG:4326", "EPSG:27700")
+        inv = get_transform("EPSG:27700", "EPSG:4326")
+        lon, lat = np.array([-0.1276]), np.array([51.5072])  # London
+        x, y = f(lon, lat)
+        assert 520000 < x[0] < 540000 and 170000 < y[0] < 190000
+        lon2, lat2 = inv(x, y)
+        assert abs(lon2[0] - lon[0]) * 111320 < 0.05
+        # chain BNG -> Lambert-93 across registries
+        g = get_transform("EPSG:27700", "EPSG:2154")
+        xf, yf = g(x, y)
+        assert np.isfinite(xf).all() and np.isfinite(yf).all()
+
+    def test_kruger_coeffs_match_wgs84_module_constants(self):
+        """kruger_coeffs(n) at the WGS84 n reproduces reproject.py's
+        precomputed alpha series and rectifying radius bit-for-bit."""
+        from mapchete_spark.geometry.reproject import (
+            KRUGER_ALPHA,
+            KRUGER_BETA,
+            _N,
+        )
+        from mapchete_spark.geometry.tm import WGS84, kruger_coeffs
+
+        alpha, beta, rect = kruger_coeffs(WGS84.n)
+        assert WGS84.n == _N
+        assert alpha == KRUGER_ALPHA
+        assert beta == KRUGER_BETA
+        # same value modulo multiply/divide ordering (one ulp)
+        assert WGS84.a * rect == pytest.approx(A_RECT, abs=1e-6)
