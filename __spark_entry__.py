@@ -3782,6 +3782,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
+        "span_chunking": q_span_chunking,
+        "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
@@ -3853,6 +3855,31 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_span_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-aware training-chunk packing (the interleaved-payload op):
+    each doc's span sequence split into token-budgeted chunks by an
+    in-array prefix sum — aggregate/zip_with/transform HOFs only, so
+    the stage is map-only (NO shuffle, no UDF) at any corpus size; the
+    only explode is the narrow per-chunk fan-out. Oracle recomputes
+    chunk ids, token sums and the order-sensitive chunk md5 via a
+    window prefix sum in SQL."""
+    from mapchete_spark.functions.chunking import chunk_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_spans(docs).orderBy("doc_id", "chunk_id")
+
+
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-token
+    shingle with the (synthetic) benchmark subset, via a BROADCAST
+    hash join of the tiny blocklist shingle set against the corpus
+    shingles — no corpus shuffle, no pair materialization."""
+    from mapchete_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -3869,6 +3896,11 @@ def oracle_sql() -> dict[str, str]:
         "salted_tile_digest": o_salted_tile_digest(),
     }
     out.update(_o_training_ops())
+    from mapchete_spark.functions.chunking import chunk_spans_sql
+    from mapchete_spark.operators.dedup import ngram_contamination_sql
+
+    out["span_chunking"] = chunk_spans_sql()
+    out["ngram_decontam"] = ngram_contamination_sql()
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
     out["convert"] = o_convert()

@@ -546,3 +546,73 @@ def simhash_sql(text: str = "text") -> str:
                     ELSE 0 END) AS BIGINT) AS simhash
     FROM agg GROUP BY doc_id
     """
+
+
+# ---- benchmark decontamination ----------------------------------------------
+
+# docs whose id satisfies this residue form the synthetic "benchmark"
+# set (the blocklist); everything else is training corpus
+BENCHMARK_RESIDUE = 5
+BENCHMARK_MOD = 17
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    3-token shingle with the benchmark set — the standard n-gram
+    overlap check run before LLM training to drop eval contamination.
+
+    Plan shape (the 100-TB posture): the benchmark side is tiny
+    relative to the corpus, so its distinct shingle set is BROADCAST
+    and the probe is a map-side hash join over the corpus shingles —
+    no shuffle of the corpus, no pair materialization. Output is one
+    row per contaminated doc with the match count and the number of
+    distinct benchmark docs hit.
+
+    Returns (doc_id, n_matched_shingles, n_benchmark_docs)."""
+    is_bench = (F.col(id_col) % BENCHMARK_MOD) == BENCHMARK_RESIDUE
+    bench_sh = shingles(
+        docs.where(is_bench), id_col=id_col, text_col=text_col
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    corpus_sh = shingles(docs.where(~is_bench), id_col=id_col, text_col=text_col)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+def ngram_contamination_sql() -> str:
+    """DuckDB twin: identical shingle derivation (md5 over 3-token
+    windows, distinct per doc) + blocklist join + per-doc counts."""
+    shingle = """
+        SELECT DISTINCT doc_id, md5(t1 || ' ' || t2 || ' ' || t3) AS shingle
+        FROM (
+            SELECT doc_id,
+                   toks[CAST(i AS INT)] AS t1,
+                   toks[CAST(i AS INT) + 1] AS t2,
+                   toks[CAST(i AS INT) + 2] AS t3
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 3 AND ({side})
+            ) CROSS JOIN LATERAL UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        )
+    """
+    bench = shingle.format(side=f"doc_id % {BENCHMARK_MOD} = {BENCHMARK_RESIDUE}")
+    corpus = shingle.format(side=f"doc_id % {BENCHMARK_MOD} <> {BENCHMARK_RESIDUE}")
+    return f"""
+    WITH bench AS ({bench}), corpus AS ({corpus})
+    SELECT c.doc_id AS doc_id,
+           COUNT(*) AS n_matched_shingles,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """

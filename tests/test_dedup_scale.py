@@ -185,3 +185,108 @@ class TestPointerDoublingConvergence:
         ring = np.column_stack([np.cos(th), np.sin(th)])
         with _pytest.raises(ValueError, match="subdivide"):
             union_area([[ring]])
+
+
+class TestContaminationAndChunking:
+    def test_contamination_broadcast_plan(self, spark, sf_dir):
+        """The blocklist side must broadcast: no sort-merge join of the
+        corpus against the benchmark shingles."""
+        from mapchete_spark.operators.dedup import ngram_contamination
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            ngram_contamination(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_contamination_flags_benchmark_overlap(self, spark, sf_dir):
+        """Contaminated docs really share a shingle with a benchmark
+        doc; benchmark docs never appear in the output."""
+        from mapchete_spark.operators.dedup import (
+            BENCHMARK_MOD,
+            BENCHMARK_RESIDUE,
+            ngram_contamination,
+            shingles,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = ngram_contamination(docs)
+        ids = [r["doc_id"] for r in out.collect()]
+        assert ids, "fixture produces no contamination"
+        assert all(i % BENCHMARK_MOD != BENCHMARK_RESIDUE for i in ids)
+        # spot-verify one doc's overlap directly
+        import pyspark.sql.functions as F
+
+        did = ids[0]
+        doc_sh = {
+            r["shingle"]
+            for r in shingles(docs.where(F.col("doc_id") == did)).collect()
+        }
+        bench_sh = {
+            r["shingle"]
+            for r in shingles(
+                docs.where(
+                    (F.col("doc_id") % BENCHMARK_MOD) == BENCHMARK_RESIDUE
+                )
+            ).collect()
+        }
+        assert doc_sh & bench_sh
+
+    def test_chunking_map_only_plan(self, spark, sf_dir):
+        """chunk_spans must not shuffle: the prefix sum runs inside the
+        spans array (HOFs), not through a corpus-wide window."""
+        from mapchete_spark.functions.chunking import chunk_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = chunk_spans(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+
+    def test_chunking_invariants(self, spark, sf_dir):
+        """Chunks tile the span sequence: ids contiguous from 0, span
+        counts sum to the doc's span count, chunk token sums equal the
+        doc's total cost, and no chunk starts at/after an overrun."""
+        import pyspark.sql.functions as F
+
+        from mapchete_spark.functions.chunking import (
+            CHUNK_BUDGET,
+            chunk_spans,
+        )
+        from mapchete_spark.functions.spans import with_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        chunks = chunk_spans(docs).cache()
+        per_doc = (
+            chunks.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.max("chunk_id").alias("max_cid"),
+                F.min("chunk_id").alias("min_cid"),
+                F.sum("n_spans").alias("spans_total"),
+                F.sum("chunk_tokens").alias("tokens_total"),
+            )
+        )
+        bad = per_doc.where(
+            (F.col("min_cid") != 0)
+            | (F.col("max_cid") != F.col("n_chunks") - 1)
+        ).count()
+        assert bad == 0
+        doc_spans = with_spans(docs).select(
+            "doc_id", F.size("spans").alias("n_spans_doc")
+        )
+        joined = per_doc.join(doc_spans, "doc_id")
+        assert joined.where(
+            F.col("spans_total") != F.col("n_spans_doc")
+        ).count() == 0
+        # every chunk except possibly the last per doc reaches the
+        # budget before closing (prefix-sum rule: a chunk only ends
+        # when cum crosses a multiple of CHUNK_BUDGET)
+        overfull = chunks.where(
+            F.col("chunk_tokens") > CHUNK_BUDGET + 16  # max single-span cost
+        ).count()
+        assert overfull == 0
+        chunks.unpersist()
