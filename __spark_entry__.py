@@ -3783,6 +3783,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
         "span_chunking": q_span_chunking,
+        "s2_cells": q_s2_cells,
         "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
@@ -3880,6 +3881,37 @@ def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs).orderBy("doc_id")
 
 
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell keys (the north star's 'H3/S2-indexed partition key'):
+    each doc's point through the published S2 scheme — cube-face
+    projection, quadratic s/t, Hilbert-curve interleave — as pure
+    Column arithmetic (the automaton unrolled into withColumn steps;
+    map-only, no shuffle, no UDF). Levels 12 and 8 are computed
+    INDEPENDENTLY on both engines; the hierarchical property
+    (key12 // 4^4 == key8) makes any automaton divergence a parity
+    break. Oracle: the identical unrolled arithmetic as chained CTEs."""
+    from mapchete_spark.functions.s2 import with_s2_key
+
+    docs = load_docs(spark, sf_dir)
+    out = with_s2_key(docs, level=12, out_col="s2_key")
+    out = with_s2_key(out, level=8, out_col="s2_key8")
+    return out.select("doc_id", "s2_key", "s2_key8").orderBy("doc_id")
+
+
+def o_s2_cells() -> str:
+    from mapchete_spark.functions import geo as G
+    from mapchete_spark.functions.s2 import s2_key_sql
+
+    k12 = s2_key_sql(G.lon_sql("doc_id"), G.lat_sql("doc_id"), 12)
+    k8 = s2_key_sql(G.lon_sql("doc_id"), G.lat_sql("doc_id"), 8)
+    return f"""
+    WITH t12 AS ({k12}), t8 AS ({k8})
+    SELECT t12.doc_id AS doc_id, t12.s2_key AS s2_key, t8.s2_key AS s2_key8
+    FROM t12 JOIN t8 ON t8.doc_id = t12.doc_id
+    ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -3900,6 +3932,7 @@ def oracle_sql() -> dict[str, str]:
     from mapchete_spark.operators.dedup import ngram_contamination_sql
 
     out["span_chunking"] = chunk_spans_sql()
+    out["s2_cells"] = o_s2_cells()
     out["ngram_decontam"] = ngram_contamination_sql()
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()

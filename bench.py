@@ -115,6 +115,7 @@ def sf_queries():
         "tile_assign_multizoom",
         "pyramid_rollup",
         "span_roundtrip",
+        "span_chunking",
         "dedup_exact",
         "minhash_lsh",
         "text_quality",
