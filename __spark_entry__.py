@@ -3784,6 +3784,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "span_chunking": q_span_chunking,
         "s2_cells": q_s2_cells,
+        "stratified_sample": q_stratified_sample,
+        "quality_quantiles": q_quality_quantiles,
         "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
@@ -3912,6 +3914,28 @@ def o_s2_cells() -> str:
     """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-stratified subsampling: keep/drop by
+    exact integer LCG arithmetic on doc_id with per-language rates —
+    reproducible under retries and repartitioning (unlike df.sample),
+    and the predicate evaluates at the scan. Oracle recomputes kept
+    counts and exact id checksums per language."""
+    from mapchete_spark.operators.sampling import stratified_sample_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_summary(docs).orderBy("lang")
+
+
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quantiles (p10/p50/p90/p99) of doc length and
+    token count: SQL percentile (exact linear interpolation) == DuckDB
+    quantile_cont."""
+    from mapchete_spark.operators.sampling import quality_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_quantiles(docs).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -3933,6 +3957,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["span_chunking"] = chunk_spans_sql()
     out["s2_cells"] = o_s2_cells()
+    from mapchete_spark.operators.sampling import (
+        quality_quantiles_sql,
+        stratified_sample_sql,
+    )
+
+    out["stratified_sample"] = stratified_sample_sql()
+    out["quality_quantiles"] = quality_quantiles_sql()
     out["ngram_decontam"] = ngram_contamination_sql()
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
