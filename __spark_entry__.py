@@ -3786,6 +3786,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "stratified_sample": q_stratified_sample,
         "quality_quantiles": q_quality_quantiles,
+        "pipeline_e2e": q_pipeline_e2e,
         "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
@@ -3936,6 +3937,98 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantiles(docs).orderBy("lang")
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION: exact dedup (keep
+    the min-id doc per content hash) -> deterministic stratified sample
+    -> span-aware chunk packing -> per-language chunk statistics. One
+    query chains four operators the way a real corpus build does; the
+    oracle re-derives the whole chain in SQL, so any drift in any stage
+    (or in how they compose) breaks parity. Plan: dedup is the only
+    shuffle; sampling is a scan predicate; chunking is map-only."""
+    from mapchete_spark.functions.chunking import chunk_spans
+    from mapchete_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = docs.join(keepers, "doc_id")
+    sampled = stratified_sample(surviving)
+    chunks = chunk_spans(sampled)
+    joined = chunks.join(sampled.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id"),
+                                F.col("chunk_id"),
+                                F.col("chunk_sig"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("chunks_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+def o_pipeline_e2e() -> str:
+    from mapchete_spark.functions.chunking import chunk_spans_sql
+    from mapchete_spark.operators.sampling import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        SAMPLE_A,
+        SAMPLE_C,
+    )
+    from mapchete_spark.functions.geo import lcg_sql
+
+    rate = str(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = f"CASE WHEN lang = '{lang}' THEN {r} ELSE {rate} END"
+    draw = f"({lcg_sql('d.doc_id', SAMPLE_A, SAMPLE_C)}) % 100"
+    # chunk_spans_sql reads FROM documents: rebind the view name via a
+    # CTE shadowing trick is not possible in DuckDB, so inline its body
+    # with the sampled keepers as the documents source
+    chunk_sql = chunk_spans_sql().replace(
+        "FROM documents", "FROM sampled_docs", 1
+    )
+    return f"""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), sampled_docs AS (
+        SELECT d.* FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+        WHERE {draw} < ({rate})
+    ), chunks AS (
+        {chunk_sql}
+    )
+    SELECT s.lang AS lang,
+           COUNT(DISTINCT c.doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           SUM(c.chunk_tokens) AS total_tokens,
+           md5(string_agg(
+               CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.chunk_id AS VARCHAR)
+                   || ':' || c.chunk_sig,
+               ',' ORDER BY CAST(c.doc_id AS VARCHAR) || ':'
+                   || CAST(c.chunk_id AS VARCHAR) || ':' || c.chunk_sig
+           )) AS chunks_digest
+    FROM chunks c JOIN sampled_docs s ON s.doc_id = c.doc_id
+    GROUP BY s.lang
+    ORDER BY lang
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -3964,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["stratified_sample"] = stratified_sample_sql()
     out["quality_quantiles"] = quality_quantiles_sql()
+    out["pipeline_e2e"] = o_pipeline_e2e()
     out["ngram_decontam"] = ngram_contamination_sql()
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
