@@ -247,3 +247,48 @@ class TestProjStringGridJob:
             dem_tile(t).filled(-9999.0).astype("float32"),
             atol=1e-2,
         )
+
+
+class TestCustomTileSize:
+    def test_tile_size_1000_job(self, spark, tmp_path):
+        """The reference's examples/custom_tile_size shape: geodetic
+        grid with 1000-px tiles. Pixel size scales by 256/1000 and the
+        convert job produces 1000x1000 payloads that match the analytic
+        DEM sampled on the wider lattice."""
+        import numpy as np
+
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.raster.dem import dem_tile
+        from mapchete_spark.tilegrid import TilePyramid
+
+        cfg = JobConfig.from_dict(
+            {
+                "process": "convert",
+                "zoom_levels": {"min": 1, "max": 1},
+                "pyramid": {"grid": "geodetic", "tile_size": 1000},
+                "bounds": [0.0, 0.0, 90.0, 90.0],
+                "input": "dem",
+                "output": {
+                    "format": "parquet_tiles",
+                    "dtype": "float32",
+                    "nodata": -9999.0,
+                    "path": str(tmp_path / "ts1000"),
+                },
+                "process_parameters": {"scale_ratio": 1.0},
+            }
+        )
+        assert cfg.pyramid.tile_size == 1000
+        # pixel size: 90 deg tile / 1000 px
+        assert cfg.pyramid.pixel_x_size(1) == pytest.approx(0.09)
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["process_z1"] == 1  # one tile covers the AOI
+        out = spark.read.parquet(str(tmp_path / "ts1000" / "tiles"))
+        r = out.collect()[0]
+        got = row_to_array(r.asDict())
+        assert got.shape[-2:] == (1000, 1000)
+        t = cfg.pyramid.tile(1, r["tile_row"], r["tile_col"])
+        np.testing.assert_allclose(
+            np.squeeze(got.filled(-9999.0)).astype("float32"),
+            np.squeeze(dem_tile(t).filled(-9999.0)).astype("float32"),
+            atol=1e-2,
+        )
