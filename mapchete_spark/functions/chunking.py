@@ -15,13 +15,17 @@ concatenating a doc's chunks reproduces its span sequence exactly (the
 north-rule span-sequence invariant — asserted via the same
 order-sensitive md5 signature as functions/spans).
 
-Engine shape: ENTIRELY per-row Column higher-order functions
-(aggregate / zip_with / transform / filter) — the prefix sum runs
-inside the spans array, so chunking is a map-only stage with NO
-shuffle and no Python UDF; the only explode is the narrow per-chunk
-fan-out of the output. At 10^12 docs this is the difference between a
-free map stage and a corpus-wide window shuffle (the SQL twin uses the
-window form — fine for an oracle, wrong for the engine).
+Engine shape: a MAP-ONLY Arrow-batched pass (mapInPandas) — the
+prefix sum and chunk grouping run linearly inside each batch, no
+shuffle, no corpus-wide window (the SQL twin uses the window form —
+fine for an oracle, wrong for the engine at 10^12 docs). A pure
+Column-HOF formulation was tried first and REJECTED: the chunk
+construction must reference the span/cost/prefix arrays several times
+per chunk, and Catalyst inlines (duplicates) the whole derivation
+subtree at every reference — per-row evaluation went quadratic in
+expression size and 5k docs took minutes. The Arrow path is the
+engine-correct shape here (vectorized batches, linear work), exactly
+the trade the raster pipeline already makes.
 """
 
 from __future__ import annotations
@@ -50,68 +54,73 @@ def _span_cost(s: Column) -> Column:
 
 def chunk_spans(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc_id, chunk_id): n_spans, chunk_tokens and the
-    order-sensitive chunk signature. Map-only; see module docstring."""
-    spans = spans_col(F.col(id_col), F.col(text_col))
-    costs = F.transform(spans, _span_cost)
-    # prefix sum INSIDE the array: acc = (cum-before list, running total)
-    cums = F.aggregate(
-        costs,
-        F.struct(
-            F.expr("CAST(array() AS array<bigint>)").alias("arr"),
-            F.lit(0).cast("long").alias("cum"),
+    order-sensitive chunk signature (md5 over kind\\x01text\\x01media_ref
+    joined by \\x02 — the functions/spans signature alphabet). Map-only
+    Arrow pass; see module docstring for why this is not Column HOFs."""
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from mapchete_spark.functions.spans import KIND_CYCLE
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "chunk_id": [],
+                "n_spans": [],
+                "chunk_tokens": [],
+                "chunk_sig": [],
+            }
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ("" if text is None else str(text)).split(" ")
+                cum = 0
+                cur_cid = 0
+                cur_lines = []
+                cur_cost = 0
+                for i, tok in enumerate(toks):
+                    kind = KIND_CYCLE[i % 7]
+                    if kind == "text":
+                        line = f"text\x01{tok}\x01"
+                        cost = max(1, (len(tok) + 3) // 4)
+                    else:
+                        line = f"{kind}\x01\x01media://{did}-{i}"
+                        cost = MEDIA_TOKEN_COST
+                    cid = cum // CHUNK_BUDGET
+                    if cid != cur_cid and cur_lines:
+                        out["doc_id"].append(int(did))
+                        out["chunk_id"].append(int(cur_cid))
+                        out["n_spans"].append(len(cur_lines))
+                        out["chunk_tokens"].append(int(cur_cost))
+                        out["chunk_sig"].append(
+                            hashlib.md5(
+                                "\x02".join(cur_lines).encode("utf-8")
+                            ).hexdigest()
+                        )
+                        cur_lines, cur_cost = [], 0
+                    cur_cid = cid
+                    cur_lines.append(line)
+                    cur_cost += cost
+                    cum += cost
+                if cur_lines:
+                    out["doc_id"].append(int(did))
+                    out["chunk_id"].append(int(cur_cid))
+                    out["n_spans"].append(len(cur_lines))
+                    out["chunk_tokens"].append(int(cur_cost))
+                    out["chunk_sig"].append(
+                        hashlib.md5(
+                            "\x02".join(cur_lines).encode("utf-8")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, chunk_id long, n_spans long, "
+            "chunk_tokens long, chunk_sig string"
         ),
-        lambda acc, c: F.struct(
-            F.concat(acc["arr"], F.array(acc["cum"])).alias("arr"),
-            (acc["cum"] + c).alias("cum"),
-        ),
-        lambda acc: acc["arr"],
-    )
-    chunk_ids = F.transform(cums, lambda c: F.floor(c / F.lit(CHUNK_BUDGET)))
-    tagged = F.zip_with(
-        spans,
-        F.zip_with(chunk_ids, costs, lambda cid, c: F.struct(cid.alias("cid"), c.alias("cost"))),
-        lambda s, t: F.struct(
-            t["cid"].alias("cid"),
-            t["cost"].alias("cost"),
-            F.concat_ws("\x01", s["kind"], s["text"], s["media_ref"]).alias("line"),
-        ),
-    )
-    n_chunks = F.element_at(chunk_ids, -1) + 1
-    chunks = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda cid: F.struct(
-            cid.alias("chunk_id"),
-            F.size(F.filter(tagged, lambda t: t["cid"] == cid)).alias("n_spans"),
-            F.aggregate(
-                F.filter(tagged, lambda t: t["cid"] == cid),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t["cost"],
-            ).alias("chunk_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.filter(tagged, lambda t: t["cid"] == cid),
-                        lambda t: t["line"],
-                    ),
-                    "\x02",
-                )
-            ).alias("chunk_sig"),
-        ),
-    )
-    # two-step select: referencing the doc_id column both standalone and
-    # inside the chunks expression in ONE select trips Spark 4's
-    # lateral-column-alias check (INTERNAL_ERROR), so materialize the
-    # chunks column first
-    return (
-        docs.withColumn("__chunks", chunks)
-        .select(F.col(id_col).alias("doc_id"), F.explode("__chunks").alias("ch"))
-        .select(
-            "doc_id",
-            F.col("ch.chunk_id").alias("chunk_id"),
-            F.col("ch.n_spans").alias("n_spans"),
-            F.col("ch.chunk_tokens").alias("chunk_tokens"),
-            F.col("ch.chunk_sig").alias("chunk_sig"),
-        )
     )
 
 

@@ -376,7 +376,7 @@ class TestBritishNationalGrid:
         lon, lat = np.array([-1.0]), np.array([52.0])
         xw, yw = g.forward(lon, lat)  # WGS84 input (shifted)
         xl, yl = g.forward_local(lon, lat)  # same numbers read as OSGB36
-        d = float(np.hypot(xw - xl, yw - yl))
+        d = float(np.hypot(xw - xl, yw - yl)[0])
         assert 50.0 < d < 150.0
 
     def test_via_get_transform_chain(self):
