@@ -3861,12 +3861,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def q_span_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-aware training-chunk packing (the interleaved-payload op):
-    each doc's span sequence split into token-budgeted chunks by an
-    in-array prefix sum — aggregate/zip_with/transform HOFs only, so
-    the stage is map-only (NO shuffle, no UDF) at any corpus size; the
-    only explode is the narrow per-chunk fan-out. Oracle recomputes
-    chunk ids, token sums and the order-sensitive chunk md5 via a
-    window prefix sum in SQL."""
+    each doc's span sequence split into token-budgeted chunks by a
+    linear Arrow-batched mapInPandas pass — map-only, NO shuffle, no
+    corpus-wide window at any corpus size. (A pure Column-HOF version
+    was rejected: Catalyst inlines the derivation subtree per
+    reference — 386s -> 1.3s at sf0.1; BENCH.md round-3 addendum.)
+    Oracle recomputes chunk ids, token sums and the order-sensitive
+    chunk md5 via a window prefix sum in SQL."""
     from mapchete_spark.functions.chunking import chunk_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
