@@ -358,3 +358,32 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def stream_chunk_spans(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: Optional[str] = None,
+):
+    """Streaming span-aware chunk packing: documents stream in and
+    their token-budgeted chunk rows (functions/chunking.chunk_spans —
+    a map-only Arrow pass, so it lifts onto a stream unchanged) append
+    to the chunk table. Exactly-once via the source offset log; no
+    state store needed because chunking is per-document."""
+    from mapchete_spark.functions.chunking import chunk_spans
+
+    schema = schema or (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    chunks = chunk_spans(stream)
+    return (
+        chunks.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -286,3 +286,32 @@ class TestSessionize:
             tuple(r) for r in sessionize_events(ev.repartition(13)).collect()
         )
         assert a == b
+
+
+class TestStreamChunking:
+    def test_stream_chunks_equal_batch(self, spark, tmp_path, sf_dir):
+        """chunk_spans lifted onto a stream (map-only, so unchanged):
+        two micro-batch deliveries produce exactly the batch result."""
+        import shutil
+
+        from mapchete_spark.functions.chunking import chunk_spans
+        from mapchete_spark.streaming.pipeline import stream_chunk_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        half1 = docs.where(F.col("doc_id") % 2 == 0)
+        half2 = docs.where(F.col("doc_id") % 2 == 1)
+        in_dir = str(tmp_path / "docs_in")
+        out_dir = str(tmp_path / "chunks_out")
+        ckpt = str(tmp_path / "ckpt")
+        half1.write.mode("overwrite").parquet(in_dir)
+        q = stream_chunk_spans(spark, in_dir, ckpt, out_dir)
+        q.awaitTermination(120)
+        half2.write.mode("append").parquet(in_dir)
+        q2 = stream_chunk_spans(spark, in_dir, ckpt, out_dir)
+        q2.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+        want = sorted(tuple(r) for r in chunk_spans(docs).collect())
+        assert got == want
+        docs.unpersist()
