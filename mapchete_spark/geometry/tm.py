@@ -255,3 +255,113 @@ def tm_grid(crs: str) -> TransverseMercatorGrid:
 
 def is_tm(crs: str) -> bool:
     return crs in TM_REGISTRY
+
+
+# ---- Swiss oblique Mercator (CH1903 / LV03, EPSG:21781) ---------------------
+
+BESSEL_1841 = Ellipsoid(6377397.155, 1.0 / 299.1528128)
+
+# CH1903 -> WGS84 geocentric translation (swisstopo GRANIT87; no
+# rotation/scale published for the standard 3-parameter transform)
+CH1903_TO_WGS84 = Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
+
+class SwissObliqueMercator:
+    """CH1903 / LV03 (EPSG:21781): the published swisstopo double
+    projection — Bessel ellipsoid conformally to a sphere, then an
+    oblique Mercator about Bern — from 'Formulas and constants for the
+    calculation of the Swiss conformal cylindrical projection and for
+    the transformation between coordinate systems' (swisstopo, public).
+    WGS84 input is shifted onto CH1903 with the GRANIT87 3-parameter
+    Helmert (same no-gridshift accuracy class, ~1-2 m, as pyproj
+    without the official NTv2 grid)."""
+
+    LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0  # Bern
+    LON0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+    X0, Y0 = 200000.0, 600000.0  # false northing (X), easting (Y)
+
+    def __init__(self):
+        ell = BESSEL_1841
+        self.ell = ell
+        e2 = ell.e2
+        phi0 = np.radians(self.LAT0)
+        s0, c0 = np.sin(phi0), np.cos(phi0)
+        self.R = ell.a * np.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+        self.alpha = np.sqrt(1.0 + (e2 / (1.0 - e2)) * c0**4)
+        self.b0 = np.arcsin(s0 / self.alpha)
+        e = ell.e
+        self.K = (
+            np.log(np.tan(np.pi / 4.0 + self.b0 / 2.0))
+            - self.alpha * np.log(np.tan(np.pi / 4.0 + phi0 / 2.0))
+            + self.alpha * (e / 2.0) * np.log(
+                (1.0 + e * s0) / (1.0 - e * s0)
+            )
+        )
+        self.to_wgs84 = CH1903_TO_WGS84
+        self.from_wgs84 = CH1903_TO_WGS84.inverse()
+
+    def forward_local(self, lon, lat):
+        """CH1903 geodetic (Bessel) -> LV03 (easting, northing)."""
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.LON0)
+        s = np.sin(phi)
+        S = (
+            self.alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+            - self.alpha * (e / 2.0) * np.log((1.0 + e * s) / (1.0 - e * s))
+            + self.K
+        )
+        b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+        l = self.alpha * lam
+        # rotate to the pseudo-equator system about Bern
+        sb0, cb0 = np.sin(self.b0), np.cos(self.b0)
+        bbar = np.arcsin(cb0 * np.sin(b) - sb0 * np.cos(b) * np.cos(l))
+        lbar = np.arctan2(np.sin(l) * np.cos(b), np.cos(l) * np.cos(b) * cb0 + np.sin(b) * sb0)
+        y = self.R * lbar
+        x = (self.R / 2.0) * np.log((1.0 + np.sin(bbar)) / (1.0 - np.sin(bbar)))
+        return self.Y0 + y, self.X0 + x
+
+    def inverse_local(self, east, north):
+        e = self.ell.e
+        y = (np.asarray(east, dtype=np.float64) - self.Y0) / self.R
+        x = (np.asarray(north, dtype=np.float64) - self.X0) / self.R
+        bbar = 2.0 * (np.arctan(np.exp(x)) - np.pi / 4.0)
+        lbar = y
+        sb0, cb0 = np.sin(self.b0), np.cos(self.b0)
+        b = np.arcsin(cb0 * np.sin(bbar) + sb0 * np.cos(bbar) * np.cos(lbar))
+        l = np.arctan2(
+            np.sin(lbar) * np.cos(bbar),
+            np.cos(lbar) * np.cos(bbar) * cb0 - np.sin(bbar) * sb0,
+        )
+        lam = l / self.alpha
+        # invert the conformal latitude of the sphere -> ellipsoid
+        S = np.log(np.tan(np.pi / 4.0 + b / 2.0))
+        phi = b
+        for _ in range(_INV_ITERS := 12):
+            s = np.sin(phi)
+            phi = 2.0 * np.arctan(
+                np.exp(
+                    (S - self.K) / self.alpha
+                    + (e / 2.0) * np.log((1.0 + e * s) / (1.0 - e * s))
+                )
+            ) - np.pi / 2.0
+        return self.LON0 + np.degrees(lam), np.degrees(phi)
+
+    def forward(self, lon, lat):
+        lon, lat = datum_shift(lon, lat, WGS84, self.ell, self.from_wgs84)
+        return self.forward_local(lon, lat)
+
+    def inverse(self, east, north):
+        lon, lat = self.inverse_local(east, north)
+        return datum_shift(lon, lat, self.ell, WGS84, self.to_wgs84)
+
+
+class _SwissLV95(SwissObliqueMercator):
+    """CH1903+ / LV95 (EPSG:2056): identical projection, false origin
+    shifted to (2 600 000, 1 200 000)."""
+
+    X0, Y0 = 1200000.0, 2600000.0
+
+
+TM_REGISTRY["EPSG:21781"] = SwissObliqueMercator
+TM_REGISTRY["EPSG:2056"] = _SwissLV95

@@ -130,13 +130,13 @@ class TestUtmTransform:
         assert np.isfinite(x2).all()
 
     def test_unknown_pair_raises(self):
-        # EPSG:21781 (Swiss oblique Mercator) is not registered;
-        # EPSG:2154 (conic registry) and EPSG:27700 (TM registry,
-        # Airy 1830 + Helmert) ARE supported
+        # EPSG:5514 (Czech Krovak, oblique conformal conic) is not
+        # registered; 2154 (conic), 27700 (TM + Helmert) and 21781
+        # (Swiss oblique Mercator) ARE supported
         with pytest.raises(ValueError, match="unsupported CRS"):
-            get_transform("EPSG:4326", "EPSG:21781")
-        assert get_transform("EPSG:4326", "EPSG:2154") is not None
-        assert get_transform("EPSG:4326", "EPSG:27700") is not None
+            get_transform("EPSG:4326", "EPSG:5514")
+        for crs in ("EPSG:2154", "EPSG:27700", "EPSG:21781", "EPSG:2056"):
+            assert get_transform("EPSG:4326", crs) is not None
 
 
 class TestMetricBuffer:
@@ -408,3 +408,66 @@ class TestBritishNationalGrid:
         assert beta == KRUGER_BETA
         # same value modulo multiply/divide ordering (one ulp)
         assert WGS84.a * rect == pytest.approx(A_RECT, abs=1e-6)
+
+
+class TestSwissObliqueMercator:
+    """CH1903 / LV03 (EPSG:21781): swisstopo double projection on
+    Bessel 1841 + GRANIT87 datum shift."""
+
+    def test_bern_maps_to_false_origin(self):
+        from mapchete_spark.geometry.tm import SwissObliqueMercator
+
+        g = SwissObliqueMercator()
+        y, x = g.forward_local(np.array([g.LON0]), np.array([g.LAT0]))
+        assert y[0] == pytest.approx(600000.0, abs=1e-4)
+        assert x[0] == pytest.approx(200000.0, abs=1e-4)
+
+    def test_conformality_isotropic_scale(self):
+        """The projection is conformal: meridional and parallel scale
+        factors agree to float-differentiation accuracy everywhere."""
+        from mapchete_spark.geometry.tm import SwissObliqueMercator
+
+        g = SwissObliqueMercator()
+        e2, a = g.ell.e2, g.ell.a
+        for L, P in [(6.2, 46.0), (7.44, 46.95), (9.8, 47.6)]:
+            h = 1e-7
+            E1, N1 = g.forward_local(np.array([L - h]), np.array([P]))
+            E2, N2 = g.forward_local(np.array([L + h]), np.array([P]))
+            E3, N3 = g.forward_local(np.array([L]), np.array([P - h]))
+            E4, N4 = g.forward_local(np.array([L]), np.array([P + h]))
+            phi = np.radians(P)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            Nr = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            kx = np.hypot(E2[0] - E1[0], N2[0] - N1[0]) / (
+                Nr * np.cos(phi) * np.radians(2 * h)
+            )
+            ky = np.hypot(E4[0] - E3[0], N4[0] - N3[0]) / (M * np.radians(2 * h))
+            assert kx / ky == pytest.approx(1.0, abs=1e-6)
+
+    def test_roundtrips(self):
+        from mapchete_spark.geometry.tm import SwissObliqueMercator
+
+        g = SwissObliqueMercator()
+        rng = np.random.RandomState(8)
+        lon = rng.uniform(5.9, 10.5, 300)
+        lat = rng.uniform(45.8, 47.8, 300)
+        lon2, lat2 = g.inverse_local(*g.forward_local(lon, lat))
+        assert np.max(np.abs(lon2 - lon)) * 111320 < 1e-6
+        lon3, lat3 = g.inverse(*g.forward(lon, lat))
+        assert np.max(np.abs(lon3 - lon)) * 111320 < 0.01  # Helmert closure
+
+    def test_lv95_offset(self):
+        from mapchete_spark.geometry.tm import tm_grid
+
+        lv03 = tm_grid("EPSG:21781")
+        lv95 = tm_grid("EPSG:2056")
+        lon, lat = np.array([8.0]), np.array([47.0])
+        e3, n3 = lv03.forward(lon, lat)
+        e5, n5 = lv95.forward(lon, lat)
+        assert e5[0] - e3[0] == pytest.approx(2000000.0, abs=1e-9)
+        assert n5[0] - n3[0] == pytest.approx(1000000.0, abs=1e-9)
+
+    def test_via_get_transform(self):
+        f = get_transform("EPSG:4326", "EPSG:21781")
+        e, n = f(np.array([8.5417]), np.array([47.3769]))  # Zurich
+        assert 660000 < e[0] < 710000 and 230000 < n[0] < 270000
