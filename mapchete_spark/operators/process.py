@@ -18,7 +18,7 @@ Built-in processes (P1-P4): convert, hillshade, contours, clip.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Iterator, List, Optional
 
 import numpy as np
@@ -52,6 +52,9 @@ class TileContext:
     array: Optional[np.ma.MaskedArray]
     nodata: float
     params: dict
+    #: named multi-input arrays (reference file_groups semantics):
+    #: flat name -> masked array or None when that input has no tile here
+    inputs: dict = field(default_factory=dict)
 
     @property
     def affine(self):
@@ -313,3 +316,126 @@ def process_clip(ctx: TileContext) -> np.ma.MaskedArray:
     if out.mask.all():
         raise Empty
     return out
+
+
+_TILE_ID_COLS = ["zoom", "tile_row", "tile_col", "tile_key"]
+_PAYLOAD_COLS = ["bands", "height", "width", "dtype", "nodata", "data"]
+
+
+def run_multi_raster_process(
+    named_tiles: "dict[str, DataFrame]",
+    pyramid: TilePyramid,
+    process: RasterProcess,
+    params: Optional[dict] = None,
+    out_dtype: Optional[str] = None,
+    out_nodata: Optional[float] = None,
+    groups: Optional[dict] = None,
+) -> DataFrame:
+    """NAMED multi-input raster process — the reference's grouped-input
+    jobs (examples/file_groups: ``execute(group1: RasterInputGroup,
+    group2: ...)``). The k input tile tables FULL-OUTER join on the
+    tile id (one k-way hash shuffle on tile_key — co-partitioned at any
+    scale), each row decodes every present input, and the process sees:
+
+    - ``ctx.inputs``: flat name -> masked array (None where that input
+      has no tile here);
+    - each flat name injected as a process parameter (so a user
+      ``execute(mp, dem_a, dem_b)`` binds them positionally by name,
+      the reference's named-input injection);
+    - each ``groups`` entry injected as a list of (member_name, array)
+      tuples — the RasterInputGroup analog.
+
+    ``ctx.array`` is the first non-None input (reading order of
+    ``named_tiles``); output nodata/dtype default to that input's.
+    Pixelbuffered multi-input is not implemented (apply
+    operators/halo.add_buffers per input upstream if needed)."""
+    import functools
+
+    params = params or {}
+    groups = groups or {}
+    names = list(named_tiles)
+    # positional column prefixes: input names may contain dots
+    # (group.member), which Spark column resolution treats as struct
+    # access
+    renamed = []
+    for i, (name, df) in enumerate(named_tiles.items()):
+        sel = [F.col(c) for c in _TILE_ID_COLS] + [
+            F.col(c).alias(f"in{i}__{c}") for c in _PAYLOAD_COLS
+        ]
+        renamed.append(df.select(*sel))
+    joined = functools.reduce(
+        lambda a, b: a.join(b, on=_TILE_ID_COLS, how="full_outer"), renamed
+    )
+    pyr_dict = pyramid.to_dict()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "bands",
+                "height", "width", "dtype", "nodata", "data",
+            )}
+            for _, row in pdf.iterrows():
+                tile = Tile(p, int(row["zoom"]), int(row["tile_row"]), int(row["tile_col"]))
+                inputs = {}
+                primary = None
+                primary_nodata = None
+                for i, name in enumerate(names):
+                    data = row[f"in{i}__data"]
+                    if data is None:
+                        inputs[name] = None
+                        continue
+                    arr = decode_array(
+                        data,
+                        row[f"in{i}__dtype"],
+                        int(row[f"in{i}__bands"]),
+                        int(row[f"in{i}__height"]),
+                        int(row[f"in{i}__width"]),
+                        float(row[f"in{i}__nodata"]),
+                    )
+                    inputs[name] = arr
+                    if primary is None:
+                        primary = arr
+                        primary_nodata = float(row[f"in{i}__nodata"])
+                if primary is None:
+                    continue
+                group_params = {
+                    g: [(short, inputs.get(flat)) for short, flat in members]
+                    for g, members in groups.items()
+                }
+                ctx = TileContext(
+                    tile=tile,
+                    array=primary,
+                    nodata=primary_nodata,
+                    params={**params, **inputs, **group_params},
+                    inputs=inputs,
+                )
+                try:
+                    result = process(ctx)
+                except Empty:
+                    continue
+                if result is None:
+                    continue
+                nodata = (
+                    out_nodata if out_nodata is not None else primary_nodata
+                )
+                if out_dtype:
+                    result = result.astype(out_dtype)
+                if isinstance(result, np.ma.MaskedArray) and result.mask.all():
+                    continue
+                enc_data, enc_dtype, enc_bands, enc_h, enc_w = encode_array(
+                    result, nodata
+                )
+                out["zoom"].append(tile.zoom)
+                out["tile_row"].append(tile.row)
+                out["tile_col"].append(tile.col)
+                out["tile_key"].append(int(row["tile_key"]))
+                out["bands"].append(enc_bands)
+                out["height"].append(enc_h)
+                out["width"].append(enc_w)
+                out["dtype"].append(enc_dtype)
+                out["nodata"].append(float(nodata))
+                out["data"].append(enc_data)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(gen, schema=RASTER_SCHEMA)

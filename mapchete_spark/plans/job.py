@@ -34,6 +34,7 @@ from mapchete_spark.operators.process import (
     process_convert,
     process_hillshade,
     run_raster_process,
+    run_multi_raster_process,
     run_vector_process,
 )
 from mapchete_spark.operators.rastertable import materialize_dem
@@ -68,7 +69,19 @@ def resolve_process(cfg: JobConfig):
     from mapchete_spark.plans.process_func import ProcessFunc
 
     pf = ProcessFunc(cfg.process, config_dir=getattr(cfg, "config_dir", None))
-    pf.analyze_parameters({z: cfg.params_at_zoom(z) for z in cfg.process_zooms()})
+
+    def with_input_names(zoom):
+        # named multi-inputs bind to same-named process parameters
+        # (reference file_groups: execute(group1, group2)), so they
+        # count as provided during signature validation
+        params = dict(cfg.params_at_zoom(zoom) or {})
+        inp = cfg.input_at_zoom(zoom)
+        if _is_multi_input(inp):
+            for name in inp:
+                params.setdefault(name, True)
+        return params
+
+    pf.analyze_parameters({z: with_input_names(z) for z in cfg.process_zooms()})
     kind = (
         "vector"
         if str(cfg.output.get("format", "")).lower() in _VECTOR_FORMATS
@@ -108,11 +121,58 @@ def _filter_tiles_to_area(df: DataFrame, pyramid, area) -> DataFrame:
     return df.mapInPandas(fn, df.schema)
 
 
+#: keys marking a dict as a SINGLE input spec, not a named-input map
+_INPUT_RESERVED = {"source", "path", "hole"}
+
+
+def _is_leaf_spec(v) -> bool:
+    return isinstance(v, str) or (
+        isinstance(v, dict) and bool(_INPUT_RESERVED & set(v))
+    )
+
+
+def _is_multi_input(inp) -> bool:
+    """True for the reference's named/grouped input maps
+    (examples/file_groups: ``input: {group1: {file1: .., file2: ..}}``)
+    as opposed to a single source spec."""
+    return (
+        isinstance(inp, dict)
+        and bool(inp)
+        and not (_INPUT_RESERVED & set(inp))
+        and all(isinstance(v, (str, dict)) for v in inp.values())
+    )
+
+
+def _input_tiles_multi(spark, cfg: JobConfig, zoom: int):
+    """(flat name -> tile table, group map) for a named-input config.
+    One level of nesting = a group: its members flatten to
+    ``group.member`` and the group name later injects as a list of
+    (member, array) tuples (the RasterInputGroup analog)."""
+    inp = cfg.input_at_zoom(zoom)
+    flat, groups = {}, {}
+    for name, spec in inp.items():
+        if _is_leaf_spec(spec):
+            flat[name] = spec
+        else:
+            groups[name] = []
+            for short, sub in spec.items():
+                fname = f"{name}.{short}"
+                flat[fname] = sub
+                groups[name].append((short, fname))
+    tables = {
+        n: _materialize_input(spark, cfg, zoom, spec) for n, spec in flat.items()
+    }
+    return tables, groups
+
+
 def _input_tiles(spark, cfg: JobConfig, zoom: int) -> DataFrame:
     """Materialize the input tile table for one zoom. The built-in
     source is the synthetic DEM ('dem'); a parquet path reads an
     existing tile table (S3/S4 analog: another job's output)."""
-    inp = cfg.input_at_zoom(zoom)
+    return _materialize_input(spark, cfg, zoom, cfg.input_at_zoom(zoom))
+
+
+def _materialize_input(spark, cfg: JobConfig, zoom: int, inp) -> DataFrame:
     if inp in (None, "dem") or (isinstance(inp, dict) and inp.get("source") == "dem"):
         # area filter applied on the ID table inside materialize_dem —
         # excluded tiles never compute a payload
@@ -249,6 +309,25 @@ def execute(
             params = {**params, "preprocessing": prep}
 
         def build(zoom=zoom, params=params):
+            inp_spec = cfg.input_at_zoom(zoom)
+            if _is_multi_input(inp_spec):
+                if kind != "raster":
+                    raise ValueError(
+                        "named multi-inputs are implemented for raster "
+                        "processes only"
+                    )
+                if pb > 0:
+                    raise ValueError(
+                        "named multi-inputs do not support a pixelbuffer "
+                        "yet; apply operators/halo.add_buffers per input"
+                    )
+                tables, groups = _input_tiles_multi(spark, cfg, zoom)
+                return run_multi_raster_process(
+                    tables, cfg.pyramid, fn, params=params,
+                    out_dtype=cfg.output.get("dtype"),
+                    out_nodata=cfg.output.get("nodata"),
+                    groups=groups,
+                )
             tiles = _input_tiles(spark, cfg, zoom)
             out_meta_ = int(cfg.output.get("metatiling", cfg.pyramid.metatiling))
             # continue-mode compute skip: drop already-done PROCESS

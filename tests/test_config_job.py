@@ -292,3 +292,35 @@ class TestCustomTileSize:
             np.squeeze(dem_tile(t).filled(-9999.0)).astype("float32"),
             atol=1e-2,
         )
+
+
+class TestFileGroups:
+    def test_named_and_grouped_inputs(self, spark, tmp_path):
+        """Reference examples/file_groups semantics: a group of two DEM
+        variants plus a plain named input, combined by a user process
+        receiving (member, array) tuples; output equals the hand-built
+        mean of the three lattices."""
+        import numpy as np
+
+        from mapchete_spark.operators.rastertable import row_to_array
+        from mapchete_spark.raster.dem import dem_tile
+
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, "file_groups.mapchete"))
+        cfg.output["path"] = str(tmp_path / "fg")
+        counts = execute(spark, cfg, mode="overwrite")
+        assert counts["process_z3"] > 0
+        out = spark.read.parquet(str(tmp_path / "fg" / "tiles"))
+        r = out.limit(1).collect()[0]
+        t = cfg.pyramid.tile(3, r["tile_row"], r["tile_col"])
+        got = np.squeeze(row_to_array(r.asDict()).filled(-9999.0))
+        a = dem_tile(t, hole=True).filled(np.nan)
+        b = dem_tile(t, hole=False).filled(np.nan)
+        c = dem_tile(t, hole=True).filled(np.nan)  # base default hole=True
+        # ma.mean skips masked members (only all-masked stays masked)
+        with np.errstate(invalid="ignore"):
+            g1 = np.nanmean(np.stack([a, b]), axis=0)
+            want = np.nanmean(np.stack([g1, c]), axis=0)
+        want = np.where(np.isnan(want), -9999.0, want)
+        np.testing.assert_allclose(
+            got.astype("float64"), np.squeeze(want), atol=1e-2
+        )
