@@ -3787,6 +3787,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_quantiles": q_quality_quantiles,
         "pipeline_e2e": q_pipeline_e2e,
+        "job_multi_input": q_job_multi_input,
         "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
@@ -4030,6 +4031,82 @@ def o_pipeline_e2e() -> str:
     """
 
 
+def q_job_multi_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named MULTI-INPUT job (reference examples/file_groups): jobs A
+    and B write independent affine transforms of the lattice; job C
+    declares ``input: {a: <pathA>, b: <pathB>}`` and an inline user
+    process ``execute(mp, a, b)`` receiving both arrays by name (the
+    k-way tile-id join in run_multi_raster_process), writing their
+    mean. The oracle re-derives every pixel through both affines and
+    the mean."""
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    d = tempfile.mkdtemp(prefix="msq_multi_")
+    out_a = os.path.join(d, "a")
+    out_b = os.path.join(d, "b")
+    out_c = os.path.join(d, "c")
+    cfg_a = JobConfig.from_dict(_job_base_conf(out_a, _JOB_BOUNDS_FULL))
+    execute(spark, cfg_a, mode="overwrite")
+    conf_b = _job_base_conf(out_b, _JOB_BOUNDS_FULL)
+    conf_b["process_parameters"] = {"scale_ratio": 4.0, "scale_offset": 1.0}
+    execute(spark, JobConfig.from_dict(conf_b), mode="overwrite")
+    proc_path = os.path.join(d, "mean_inputs.py")
+    with open(proc_path, "w") as fh:
+        fh.write("def execute(mp, a, b):\n    return (a + b) / 2.0\n")
+    cfg_c = JobConfig.from_dict(
+        dict(
+            process=proc_path,
+            zoom_levels=[_JOB_ZOOM],
+            pyramid={"grid": "geodetic"},
+            input={
+                "a": os.path.join(out_a, "tiles"),
+                "b": os.path.join(out_b, "tiles"),
+            },
+            bounds=list(_JOB_BOUNDS_FULL),
+            output={"path": out_c, "format": "parquet_tiles"},
+        )
+    )
+    execute(spark, cfg_c, mode="overwrite")
+    out = spark.read.parquet(os.path.join(out_c, "tiles"))
+    return tile_value_digests(out, with_dims=False).orderBy("tile_row", "tile_col")
+
+
+def o_job_multi_input() -> str:
+    from mapchete_spark.functions import rastersql as R
+    from mapchete_spark.tilegrid.grid import Bounds
+    from mapchete_spark.tilegrid.pyramid import TilePyramid
+
+    pyr = TilePyramid("geodetic")
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(
+        Bounds(*_JOB_BOUNDS_FULL), _JOB_ZOOM
+    )
+    _, px = R._geodetic_sizes(_JOB_ZOOM)
+    gi0, gi1 = r0 * 256, (r1 + 1) * 256 - 1
+    gj0, gj1 = c0 * 256, (c1 + 1) * 256 - 1
+    e = R._elev_f32("r.cy1", "r.sy2", "c.sx1", "c.sx2")
+    # A: f64(e)*2+10; B: f64(e)*4+1; C = (A + B) / 2
+    v = (
+        f"(((CAST({e} AS DOUBLE) * 2.0 + 10.0) "
+        f"+ (CAST({e} AS DOUBLE) * 4.0 + 1.0)) / 2.0)"
+    )
+    return f"""
+    WITH {R._rows_cte("rows_g", gi0, gi1, px)},
+    {R._cols_cte("cols_g", gj0, gj1, px)},
+    px AS (
+        SELECT r.gi, c.gj, {v} AS v FROM rows_g r CROSS JOIN cols_g c
+    )
+    SELECT {_JOB_ZOOM} AS zoom, gi // 256 AS tile_row, gj // 256 AS tile_col,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           {R._qsum("v")} AS value_q_sum
+    FROM px GROUP BY 2, 3
+    ORDER BY tile_row, tile_col
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _raw_queries().items()}
 
@@ -4059,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
     out["stratified_sample"] = stratified_sample_sql()
     out["quality_quantiles"] = quality_quantiles_sql()
     out["pipeline_e2e"] = o_pipeline_e2e()
+    out["job_multi_input"] = o_job_multi_input()
     out["ngram_decontam"] = ngram_contamination_sql()
     out["dem_tiles"] = o_dem_tiles()
     out["dem_tiles_meta"] = o_dem_tiles_meta()
