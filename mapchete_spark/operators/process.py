@@ -375,7 +375,9 @@ def run_multi_raster_process(
                 "zoom", "tile_row", "tile_col", "tile_key", "bands",
                 "height", "width", "dtype", "nodata", "data",
             )}
-            for _, row in pdf.iterrows():
+            cols = {c: pdf[c].values for c in pdf.columns}
+            for ridx in range(len(pdf)):
+                row = {c: cols[c][ridx] for c in cols}
                 tile = Tile(p, int(row["zoom"]), int(row["tile_row"]), int(row["tile_col"]))
                 inputs = {}
                 primary = None
