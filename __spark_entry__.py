@@ -2531,8 +2531,8 @@ def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seg = segmentize_ring(ring, r * 0.43)
                 out["doc_id"].append(int(did))
                 out["n_vertices"].append(len(seg))
-                out["qx"].append(int(np.floor(seg[:, 0].sum() * 1048576.0 + 0.5)))
-                out["qy"].append(int(np.floor(seg[:, 1].sum() * 1048576.0 + 0.5)))
+                out["qx"].append(int(np.floor(seg[:, 0] * 1048576.0 + 0.5).sum()))
+                out["qy"].append(int(np.floor(seg[:, 1] * 1048576.0 + 0.5).sum()))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
@@ -2575,8 +2575,8 @@ def o_segmentize() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_vertices,
-           CAST(FLOOR(SUM(vx) * 1048576.0 + 0.5) AS BIGINT) AS qx,
-           CAST(FLOOR(SUM(vy) * 1048576.0 + 0.5) AS BIGINT) AS qy
+           CAST(SUM(CAST(FLOOR(vx * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qx,
+           CAST(SUM(CAST(FLOOR(vy * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qy
     FROM verts
     GROUP BY doc_id
     ORDER BY doc_id
@@ -2776,8 +2776,8 @@ def q_custom_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 out["doc_id"].append(int(did))
                 out["n_vertices"].append(len(warped))
-                out["qx"].append(int(np.floor(warped[:, 0].sum() * 1048576.0 + 0.5)))
-                out["qy"].append(int(np.floor(warped[:, 1].sum() * 1048576.0 + 0.5)))
+                out["qx"].append(int(np.floor(warped[:, 0] * 1048576.0 + 0.5).sum()))
+                out["qy"].append(int(np.floor(warped[:, 1] * 1048576.0 + 0.5).sum()))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(
@@ -2818,8 +2818,8 @@ def o_custom_transform() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_vertices,
-           CAST(FLOOR(SUM(vx * 0.5 + 10.0) * 1048576.0 + 0.5) AS BIGINT) AS qx,
-           CAST(FLOOR(SUM(vy * 2.0 - 5.0) * 1048576.0 + 0.5) AS BIGINT) AS qy
+           CAST(SUM(CAST(FLOOR((vx * 0.5 + 10.0) * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qx,
+           CAST(SUM(CAST(FLOOR((vy * 2.0 - 5.0) * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qy
     FROM verts
     GROUP BY doc_id
     ORDER BY doc_id
@@ -2938,8 +2938,8 @@ def q_metric_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ext = ext[:-1]
                 out["doc_id"].append(int(did))
                 out["n_vertices"].append(len(ext))
-                out["qlon"].append(int(np.floor(ext[:, 0].sum() * 1048576.0 + 0.5)))
-                out["qlat"].append(int(np.floor(ext[:, 1].sum() * 1048576.0 + 0.5)))
+                out["qlon"].append(int(np.floor(ext[:, 0] * 1048576.0 + 0.5).sum()))
+                out["qlat"].append(int(np.floor(ext[:, 1] * 1048576.0 + 0.5).sum()))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "lon", "lat", "radius").mapInPandas(

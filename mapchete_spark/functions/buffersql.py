@@ -197,8 +197,8 @@ def metric_buffer_sql() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_vertices,
-           CAST(FLOOR(SUM(vlon) * 1048576.0 + 0.5) AS BIGINT) AS qlon,
-           CAST(FLOOR(SUM(vlat) * 1048576.0 + 0.5) AS BIGINT) AS qlat
+           CAST(SUM(CAST(FLOOR(vlon * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qlon,
+           CAST(SUM(CAST(FLOOR(vlat * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS qlat
     FROM pts
     GROUP BY doc_id
     ORDER BY doc_id
