@@ -169,3 +169,83 @@ def test_union_area_bounds_and_axis_swap(squares):
 def test_union_area_monotone(squares, extra):
     feats = [_rot_sq(*p) for p in squares]
     assert union_area(feats + [_rot_sq(*extra)]) >= union_area(feats) - 1e-9
+
+
+# ---- S2 key properties (pure numpy twin; hypothesis-driven) -----------------
+
+@given(
+    lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    lat=st.floats(min_value=-89.999, max_value=89.999, allow_nan=False),
+    level=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_s2_parent_property_everywhere(lon, lat, level):
+    """parent(key_L) == key_{L-1} for arbitrary points incl. poles,
+    antimeridian and cube-face boundaries."""
+    import numpy as np
+
+    from mapchete_spark.functions.s2 import s2_key_np
+
+    kL = s2_key_np(np.array([lon]), np.array([lat]), level)[0]
+    kP = s2_key_np(np.array([lon]), np.array([lat]), level - 1)[0]
+    assert kL // 4 == kP
+    assert 0 <= kL < 6 * 4**level
+
+
+@given(
+    lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    lat=st.floats(min_value=-89.999, max_value=89.999, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_s2_key_is_deterministic_and_finite(lon, lat):
+    import numpy as np
+
+    from mapchete_spark.functions.s2 import s2_key_np
+
+    a = s2_key_np(np.array([lon]), np.array([lat]), 16)[0]
+    b = s2_key_np(np.array([lon]), np.array([lat]), 16)[0]
+    assert a == b
+
+
+# ---- chunking invariant (python twin of the Arrow pass) ---------------------
+
+@given(
+    text=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+        min_size=0,
+        max_size=400,
+    ).map(lambda t: " ".join(t[i : i + 7] for i in range(0, max(len(t), 1), 7)))
+)
+@settings(max_examples=150, deadline=None)
+def test_chunking_tiles_the_span_sequence(text):
+    """Python re-derivation of the chunk rule: chunk ids contiguous
+    from 0, spans and costs conserved, and every chunk except the last
+    ends exactly when the prefix sum crosses a budget multiple."""
+    from mapchete_spark.functions.chunking import (
+        CHUNK_BUDGET,
+        MEDIA_TOKEN_COST,
+    )
+    from mapchete_spark.functions.spans import KIND_CYCLE
+
+    toks = text.split(" ")
+    costs, cids = [], []
+    cum = 0
+    for i, tok in enumerate(toks):
+        kind = KIND_CYCLE[i % 7]
+        cost = max(1, (len(tok) + 3) // 4) if kind == "text" else MEDIA_TOKEN_COST
+        cids.append(cum // CHUNK_BUDGET)
+        costs.append(cost)
+        cum += cost
+    # chunk ids are non-decreasing and start at 0
+    assert cids[0] == 0
+    assert all(b >= a for a, b in zip(cids, cids[1:]))
+    # the span count and total cost are conserved by grouping
+    from collections import Counter
+
+    per_chunk = Counter(cids)
+    assert sum(per_chunk.values()) == len(toks)
+    # a new chunk starts exactly when cum-before crosses a multiple
+    for i in range(1, len(cids)):
+        if cids[i] != cids[i - 1]:
+            before = sum(costs[:i])
+            assert before // CHUNK_BUDGET == cids[i]
