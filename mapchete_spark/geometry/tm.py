@@ -365,3 +365,116 @@ class _SwissLV95(SwissObliqueMercator):
 
 TM_REGISTRY["EPSG:21781"] = SwissObliqueMercator
 TM_REGISTRY["EPSG:2056"] = _SwissLV95
+
+
+# ---- Krovak oblique conformal conic (S-JTSK, EPSG:5514) ---------------------
+
+# S-JTSK -> WGS84 7-parameter Helmert (EPSG transformation 1622)
+SJTSK_TO_WGS84 = Helmert(
+    570.8, 85.7, 462.8,
+    4.998 * _AS, 1.587 * _AS, 5.261 * _AS,
+    3.56e-6,
+)
+
+
+class KrovakProjection:
+    """Krovak oblique conformal conic on Bessel 1841 (EPSG method 9819,
+    public EPSG Guidance Note 7-2 formulas) — S-JTSK / Krovak East-North
+    (EPSG:5514: easting = -westing, northing = -southing). WGS84 input
+    shifts through the EPSG:1622 Helmert (no-gridshift class, ~1 m)."""
+
+    LAT_C = 49.5  # latitude of projection centre
+    LON_0 = 24.0 + 50.0 / 60.0  # longitude of origin, east of Greenwich
+    ALPHA_C = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0  # cone azimuth
+    LAT_P = 78.5  # latitude of pseudo standard parallel
+    K_P = 0.9999
+
+    def __init__(self):
+        ell = BESSEL_1841
+        self.ell = ell
+        e2, e = ell.e2, ell.e
+        phiC = np.radians(self.LAT_C)
+        sC = np.sin(phiC)
+        self.A = ell.a * np.sqrt(1.0 - e2) / (1.0 - e2 * sC * sC)
+        self.B = np.sqrt(1.0 + e2 * np.cos(phiC) ** 4 / (1.0 - e2))
+        self.g0 = np.arcsin(sC / self.B)
+        self.t0 = (
+            np.tan(np.pi / 4.0 + self.g0 / 2.0)
+            * ((1.0 + e * sC) / (1.0 - e * sC)) ** (e * self.B / 2.0)
+            / np.tan(np.pi / 4.0 + phiC / 2.0) ** self.B
+        )
+        self.n = np.sin(np.radians(self.LAT_P))
+        self.r0 = self.K_P * self.A / np.tan(np.radians(self.LAT_P))
+        self.to_wgs84 = SJTSK_TO_WGS84
+        self.from_wgs84 = SJTSK_TO_WGS84.inverse()
+
+    def forward_local(self, lon, lat):
+        """S-JTSK geodetic (Bessel, Greenwich longitudes) ->
+        EPSG:5514 (easting, northing) — both negative over Czechia."""
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        U = 2.0 * (
+            np.arctan(
+                self.t0
+                * np.tan(phi / 2.0 + np.pi / 4.0) ** self.B
+                / ((1.0 + e * s) / (1.0 - e * s)) ** (e * self.B / 2.0)
+            )
+            - np.pi / 4.0
+        )
+        V = self.B * (np.radians(self.LON_0) - lam)
+        aC = np.radians(self.ALPHA_C)
+        T = np.arcsin(np.cos(aC) * np.sin(U) + np.sin(aC) * np.cos(U) * np.cos(V))
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        theta = self.n * D
+        r = (
+            self.r0
+            * np.tan(np.pi / 4.0 + np.radians(self.LAT_P) / 2.0) ** self.n
+            / np.tan(T / 2.0 + np.pi / 4.0) ** self.n
+        )
+        Xs = r * np.cos(theta)  # southing
+        Yw = r * np.sin(theta)  # westing
+        return -Yw, -Xs  # East-North orientation (EPSG:5514)
+
+    def inverse_local(self, east, north):
+        e = self.ell.e
+        Yw = -np.asarray(east, dtype=np.float64)
+        Xs = -np.asarray(north, dtype=np.float64)
+        r = np.hypot(Xs, Yw)
+        theta = np.arctan2(Yw, Xs)
+        D = theta / self.n
+        T = 2.0 * (
+            np.arctan(
+                (self.r0 / r) ** (1.0 / self.n)
+                * np.tan(np.pi / 4.0 + np.radians(self.LAT_P) / 2.0)
+            )
+            - np.pi / 4.0
+        )
+        aC = np.radians(self.ALPHA_C)
+        U = np.arcsin(np.cos(aC) * np.sin(T) - np.sin(aC) * np.cos(T) * np.cos(D))
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        lam = np.radians(self.LON_0) - V / self.B
+        # invert U(phi) by fixed point
+        phi = U
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = 2.0 * (
+                np.arctan(
+                    (np.tan(U / 2.0 + np.pi / 4.0) / self.t0) ** (1.0 / self.B)
+                    * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+                )
+                - np.pi / 4.0
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+    def forward(self, lon, lat):
+        lon, lat = datum_shift(lon, lat, WGS84, self.ell, self.from_wgs84)
+        return self.forward_local(lon, lat)
+
+    def inverse(self, east, north):
+        lon, lat = self.inverse_local(east, north)
+        return datum_shift(lon, lat, self.ell, WGS84, self.to_wgs84)
+
+
+TM_REGISTRY["EPSG:5514"] = KrovakProjection

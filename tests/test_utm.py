@@ -130,12 +130,15 @@ class TestUtmTransform:
         assert np.isfinite(x2).all()
 
     def test_unknown_pair_raises(self):
-        # EPSG:5514 (Czech Krovak, oblique conformal conic) is not
-        # registered; 2154 (conic), 27700 (TM + Helmert) and 21781
-        # (Swiss oblique Mercator) ARE supported
+        # EPSG:29902 (Irish grid, Airy Modified) is not registered;
+        # the conic/TM/oblique registries cover 2154, 27700, 21781,
+        # 2056 and 5514
         with pytest.raises(ValueError, match="unsupported CRS"):
-            get_transform("EPSG:4326", "EPSG:5514")
-        for crs in ("EPSG:2154", "EPSG:27700", "EPSG:21781", "EPSG:2056"):
+            get_transform("EPSG:4326", "EPSG:29902")
+        for crs in (
+            "EPSG:2154", "EPSG:27700", "EPSG:21781", "EPSG:2056",
+            "EPSG:5514",
+        ):
             assert get_transform("EPSG:4326", crs) is not None
 
 
@@ -471,3 +474,57 @@ class TestSwissObliqueMercator:
         f = get_transform("EPSG:4326", "EPSG:21781")
         e, n = f(np.array([8.5417]), np.array([47.3769]))  # Zurich
         assert 660000 < e[0] < 710000 and 230000 < n[0] < 270000
+
+
+class TestKrovak:
+    """S-JTSK / Krovak (EPSG:5514): EPSG method 9819 on Bessel 1841."""
+
+    def test_epsg_worked_example_sub_cm(self):
+        """EPSG Guidance Note 7-2 worked example: 50d12'32.4416\"N,
+        16d50'59.1790\"E (Greenwich) -> Southing 1050538.63,
+        Westing 568991.00 — reproduced to < 2 cm (published values are
+        cm-rounded)."""
+        from mapchete_spark.geometry.tm import KrovakProjection
+
+        g = KrovakProjection()
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        E, N = g.forward_local(np.array([lon]), np.array([lat]))
+        assert -N[0] == pytest.approx(1050538.63, abs=0.02)
+        assert -E[0] == pytest.approx(568991.00, abs=0.02)
+
+    def test_conformal_and_pseudo_parallel_scale(self):
+        from mapchete_spark.geometry.tm import KrovakProjection
+
+        g = KrovakProjection()
+        e2, a = g.ell.e2, g.ell.a
+        for L, P in [(14.42, 50.09), (17.0, 49.2), (18.5, 49.8)]:
+            h = 1e-7
+            E1, N1 = g.forward_local(np.array([L - h]), np.array([P]))
+            E2, N2 = g.forward_local(np.array([L + h]), np.array([P]))
+            E3, N3 = g.forward_local(np.array([L]), np.array([P - h]))
+            E4, N4 = g.forward_local(np.array([L]), np.array([P + h]))
+            phi = np.radians(P)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            Nr = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            kx = np.hypot(E2[0] - E1[0], N2[0] - N1[0]) / (
+                Nr * np.cos(phi) * np.radians(2 * h)
+            )
+            ky = np.hypot(E4[0] - E3[0], N4[0] - N3[0]) / (M * np.radians(2 * h))
+            assert kx / ky == pytest.approx(1.0, abs=1e-6)  # conformal
+            assert 0.9997 < kx < 1.0003  # near the k=0.9999 design band
+
+    def test_roundtrips_and_chain(self):
+        from mapchete_spark.geometry.tm import KrovakProjection
+
+        g = KrovakProjection()
+        rng = np.random.RandomState(5)
+        lon = rng.uniform(12, 19, 300)
+        lat = rng.uniform(48.5, 51.1, 300)
+        lon2, lat2 = g.inverse_local(*g.forward_local(lon, lat))
+        assert np.max(np.abs(lon2 - lon)) * 111320 < 1e-6
+        lon3, lat3 = g.inverse(*g.forward(lon, lat))
+        assert np.max(np.abs(lon3 - lon)) * 111320 < 0.05  # Helmert closure
+        f = get_transform("EPSG:4326", "EPSG:5514")
+        E, N = f(np.array([14.42]), np.array([50.09]))  # Prague
+        assert -760000 < E[0] < -720000 and -1060000 < N[0] < -1020000
