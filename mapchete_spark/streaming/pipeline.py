@@ -387,3 +387,60 @@ def stream_chunk_spans(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    blocklist_docs=None,
+    schema: Optional[str] = None,
+):
+    """Streaming benchmark decontamination: incoming documents shingle
+    and probe a STATIC broadcast blocklist (stream-static join — the
+    static side resolves per micro-batch, the stream side never
+    shuffles). Contaminated doc flags append to ``out_dir``; batch twin
+    is operators/dedup.ngram_contamination.
+
+    ``blocklist_docs``: static DataFrame of benchmark docs; defaults to
+    reading ``docs_dir`` and applying the standard benchmark residue."""
+    from mapchete_spark.operators.dedup import (
+        BENCHMARK_MOD,
+        BENCHMARK_RESIDUE,
+        shingles,
+    )
+
+    schema = schema or (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if blocklist_docs is None:
+        blocklist_docs = spark.read.schema(schema).parquet(docs_dir).where(
+            (F.col("doc_id") % BENCHMARK_MOD) == BENCHMARK_RESIDUE
+        )
+    bench_sh = shingles(blocklist_docs).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    corpus_sh = shingles(
+        stream.where((F.col("doc_id") % BENCHMARK_MOD) != BENCHMARK_RESIDUE)
+    )
+    # the per-doc aggregation happens INSIDE foreachBatch: a document's
+    # row (hence all its shingles) arrives in exactly one micro-batch,
+    # so per-batch groupBy(doc_id) is complete without a state store
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: bdf.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_matched_shingles"),
+                F.countDistinct("bench_id").alias("n_benchmark_docs"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

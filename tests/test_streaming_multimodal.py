@@ -315,3 +315,35 @@ class TestStreamChunking:
         want = sorted(tuple(r) for r in chunk_spans(docs).collect())
         assert got == want
         docs.unpersist()
+
+
+class TestStreamDecontamination:
+    def test_stream_static_join_equals_batch(self, spark, tmp_path, sf_dir):
+        """Streaming decontamination (stream-static broadcast join) over
+        two micro-batch deliveries reproduces the batch operator."""
+        from mapchete_spark.operators.dedup import ngram_contamination
+        from mapchete_spark.streaming.pipeline import stream_decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        in_dir = str(tmp_path / "docs_in")
+        out_dir = str(tmp_path / "flags_out")
+        ckpt = str(tmp_path / "ckpt")
+        docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(in_dir)
+        # static blocklist reads the FULL corpus (fixed benchmark set)
+        q = stream_decontaminate(
+            spark, in_dir, ckpt, out_dir, blocklist_docs=docs.where(
+                (F.col("doc_id") % 17) == 5
+            )
+        )
+        q.awaitTermination(120)
+        docs.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+        q2 = stream_decontaminate(
+            spark, in_dir, ckpt, out_dir, blocklist_docs=docs.where(
+                (F.col("doc_id") % 17) == 5
+            )
+        )
+        q2.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+        want = sorted(tuple(r) for r in ngram_contamination(docs).collect())
+        assert got == want
+        docs.unpersist()
