@@ -249,3 +249,41 @@ def test_chunking_tiles_the_span_sequence(text):
         if cids[i] != cids[i - 1]:
             before = sum(costs[:i])
             assert before // CHUNK_BUDGET == cids[i]
+
+
+# ---- projection registry round-trip properties ------------------------------
+
+_CRS_DOMAINS = {
+    "EPSG:2154": (-5.0, 9.5, 41.0, 51.5),
+    "EPSG:3812": (2.5, 6.5, 49.4, 51.6),
+    "EPSG:5070": (-125.0, -67.0, 24.0, 50.0),
+    "EPSG:27700": (-8.0, 2.0, 49.8, 60.9),
+    "EPSG:21781": (5.9, 10.5, 45.8, 47.9),
+    "EPSG:2056": (5.9, 10.5, 45.8, 47.9),
+    "EPSG:5514": (12.0, 22.6, 48.5, 51.1),
+    "EPSG:32632": (6.0, 12.0, -80.0, 84.0),
+}
+
+
+@given(
+    crs=st.sampled_from(sorted(_CRS_DOMAINS)),
+    u=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    v=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=250, deadline=None)
+def test_registered_crs_roundtrip_in_domain(crs, u, v):
+    """Every registered projected CRS round-trips points anywhere in
+    its national validity domain to < 0.1 m through get_transform
+    (Helmert-datum CRS close to ~cm; datum-free to sub-micrometer)."""
+    import numpy as np
+
+    from mapchete_spark.geometry.reproject import get_transform
+
+    lo0, lo1, la0, la1 = _CRS_DOMAINS[crs]
+    lon = np.array([lo0 + u * (lo1 - lo0)])
+    lat = np.array([la0 + v * (la1 - la0)])
+    fwd = get_transform("EPSG:4326", crs)
+    inv = get_transform(crs, "EPSG:4326")
+    lon2, lat2 = inv(*fwd(lon, lat))
+    assert abs(lon2[0] - lon[0]) * 111320 < 0.1
+    assert abs(lat2[0] - lat[0]) * 111320 < 0.1
