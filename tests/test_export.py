@@ -172,3 +172,69 @@ def test_png_gray_alpha_roundtrip():
         dtype=np.uint8,
     ).reshape(16, 16, 2)
     np.testing.assert_array_equal(got, la)
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_serves(self, spark, tmp_path):
+        """Compaction shrinks the file count to the target bound, the
+        row multiset is bit-identical, and the z-order serve point
+        lookup still works on the rewritten layout."""
+        import pyspark.sql.functions as F
+
+        from mapchete_spark.plans.config import JobConfig
+        from mapchete_spark.plans.job import execute
+        from mapchete_spark.sources.compact import (
+            compact_tile_table,
+            parquet_file_count,
+        )
+
+        out = str(tmp_path / "cj")
+        cfg = JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels={"min": 4, "max": 5},
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=[0.0, 0.0, 90.0, 60.0],
+                process_parameters={"scale_ratio": 1.0},
+                output={"path": out, "format": "parquet_tiles"},
+            )
+        )
+        execute(spark, cfg, mode="overwrite")
+        tiles_path = f"{out}/tiles"
+        before = spark.read.parquet(tiles_path)
+        want = sorted(
+            (r["zoom"], r["tile_row"], r["tile_col"], r["digest"])
+            for r in before.select(
+                "zoom", "tile_row", "tile_col", F.md5("data").alias("digest")
+            ).collect()
+        )
+        n_rows = len(want)
+        stats = compact_tile_table(spark, tiles_path, target_rows_per_file=16)
+        assert stats["rows"] == n_rows
+        assert stats["files_after"] <= math_ceil_files(n_rows, 16) + 2
+        assert stats["files_after"] == parquet_file_count(tiles_path)
+        after = spark.read.parquet(tiles_path)
+        got = sorted(
+            (r["zoom"], r["tile_row"], r["tile_col"], r["digest"])
+            for r in after.select(
+                "zoom", "tile_row", "tile_col", F.md5("data").alias("digest")
+            ).collect()
+        )
+        assert got == want
+        # serve point lookup still resolves on the compacted layout
+        from mapchete_spark.sources.serve import TileReader
+
+        r0 = after.limit(1).collect()[0]
+        reader = TileReader(out)
+        arr = reader.read_tile(
+            int(r0["zoom"]), int(r0["tile_row"]), int(r0["tile_col"])
+        )
+        assert arr is not None and arr.size > 0
+
+
+def math_ceil_files(n_rows, target):
+    import math
+
+    # per-zoom ceil sums can exceed one global ceil by (n_zooms - 1)
+    return math.ceil(n_rows / target) + 2
