@@ -193,3 +193,45 @@ class TestExecuteIndexCli:
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert "index rows" in res.stdout
+
+
+class TestCompactCli:
+    def test_compact_cli_smoke(self, spark, tmp_path):
+        """jobs/compact.py rewrites a real output in a subprocess and
+        reports the file counts; rows conserved."""
+        from pyspark.sql import functions as F
+
+        from mapchete_spark.plans.config import JobConfig
+        from mapchete_spark.plans.job import execute as run_job
+
+        out = str(tmp_path / "cjob")
+        cfg = JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels=[4],
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=[0.0, 0.0, 90.0, 45.0],
+                process_parameters={"scale_ratio": 1.0},
+                output={"path": out, "format": "parquet_tiles"},
+            )
+        )
+        run_job(spark, cfg, mode="overwrite")
+        n_before = spark.read.parquet(f"{out}/tiles").count()
+        res = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "jobs", "compact.py"),
+                out,
+                "--target-rows",
+                "8",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-800:]
+        stats = json.loads(res.stdout.strip().splitlines()[-1])
+        assert stats["status"] == "done"
+        assert stats["rows"] == n_before
+        assert spark.read.parquet(f"{out}/tiles").count() == n_before
