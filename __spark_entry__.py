@@ -3774,30 +3774,193 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+def q_laea_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 proj-parameter front-end (geometry/projparams): every doc's
+    point projected to ETRS89-extended / LAEA Europe (EPSG:3035) —
+    resolved from its proj4 parameter string at import, NOT a
+    hand-registered class — in PURE Column algebra (Snyder 24-2..24-8
+    ellipsoidal oblique LAEA; sin/cos/asin/ln/sqrt stay in whole-stage
+    codegen, map-only, zero shuffle). The library class pins to the
+    EPSG Guidance Note 7-2 published test point (5E 50N ->
+    3962799.451, 2999718.853) in tests/test_utm.py. Reference parity:
+    mapchete/geometry/reproject.py:75-229 (arbitrary pyproj CRS)."""
+    from mapchete_spark.functions.conicsql import laea_xy_cols
+
+    docs = load_docs(spark, sf_dir)
+    x, y = laea_xy_cols(F.col("lon"), F.col("lat"))
+    return (
+        docs.select("doc_id", x.alias("laea_x"), y.alias("laea_y"))
+        .orderBy("doc_id")
+    )
+
+
+_COMPACT_TARGET_ROWS = 256
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction contract (sources/compact.py, the small-files
+    maintenance rewrite): a deliberately fragmented tile table (48
+    shuffled files per zoom partition) is compacted to ~256 rows/file;
+    the rewritten table's per-zoom row MULTISET must be bit-identical
+    to the logical assignment (the oracle recomputes it straight from
+    documents — compaction is content-identity) and the physical file
+    count must shrink AND land within ceil(n_z/target) per zoom. The
+    physical checks run driver-side against the real directory tree
+    and fold in as literal booleans the oracle asserts TRUE."""
+    import math
+    import tempfile
+
+    from mapchete_spark.sources.compact import (
+        compact_tile_table,
+        parquet_file_count,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [5, 6]).select(
+        "zoom", "tile_row", "tile_col", "doc_id"
+    )
+    d = tempfile.mkdtemp(prefix="msq_compact_")
+    path = os.path.join(d, "tiles")
+    assigned.repartition(48).write.partitionBy("zoom").parquet(path)
+    files_before = parquet_file_count(path)
+    stats = compact_tile_table(
+        spark, path, target_rows_per_file=_COMPACT_TARGET_ROWS
+    )
+    after = spark.read.parquet(path)
+    per_zoom = {
+        int(r["zoom"]): int(r["n"])
+        for r in after.groupBy("zoom").agg(F.count("*").alias("n")).collect()
+    }
+    bound = sum(
+        max(1, math.ceil(n / _COMPACT_TARGET_ROWS)) for n in per_zoom.values()
+    )
+    files_ok = bool(1 <= stats["files_after"] <= bound)
+    shrunk = bool(stats["files_after"] < files_before)
+    return (
+        after.groupBy("zoom")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":", F.col("doc_id"), F.col("tile_row"),
+                                F.col("tile_col"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("rows_digest"),
+        )
+        .withColumn("files_ok", F.lit(files_ok))
+        .withColumn("shrunk", F.lit(shrunk))
+        .select("zoom", "n_rows", "rows_digest", "files_ok", "shrunk")
+        .orderBy("zoom")
+    )
+
+
+def o_compact_roundtrip() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    , z AS (SELECT UNNEST(generate_series(5, 6)) AS zoom)
+    , assigned AS (
+        SELECT z.zoom,
+               {G.tile_row_sql("lat", "z.zoom")} AS tile_row,
+               {G.tile_col_sql("lon", "z.zoom")} AS tile_col,
+               doc_id
+        FROM docs_geo, z
+    )
+    SELECT zoom,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(tile_row AS VARCHAR)
+                   || ':' || CAST(tile_col AS VARCHAR),
+               ',' ORDER BY CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(tile_row AS VARCHAR) || ':'
+                   || CAST(tile_col AS VARCHAR)
+           )) AS rows_digest,
+           TRUE AS files_ok,
+           TRUE AS shrunk
+    FROM assigned
+    GROUP BY zoom
+    ORDER BY zoom
+    """
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is load-bearing: the driver's correctness gate runs
+    the FIRST 50 entries only. Round-4 ordering policy: queries with no
+    green driver row yet (the round-3 tail at positions 51-81, plus the
+    three whose oracles had the HUGEINT cast bug, plus anything new this
+    round) come first; queries already driver-green in CORRECTNESS_r03
+    rotate to the back so every operator has a green driver row across
+    r03 ∪ r04."""
     return {
+        # -- never driver-checked before round 4 (r3 positions 51-81) --
+        "meta_intersect": q_meta_intersect,
+        "batch_enum": q_batch_enum,
+        "extract_prepare": q_extract_prepare,
+        "mosaic_digest": q_mosaic_digest,
+        "segmentize": q_segmentize,
+        "am_split": q_am_split,
+        "geom_type_filter": q_geom_type_filter,
+        "custom_transform": q_custom_transform,
+        "job_resume": q_job_resume,
+        "job_user_preprocess": q_job_user_preprocess,
+        "job_stage_metrics": q_job_stage_metrics,
+        "job_composition": q_job_composition,
+        "refresh_digest": q_refresh_digest,
+        "stac_item": q_stac_item,
+        "job_metadata": q_job_metadata,
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "job_status": q_job_status,
+        "png_export": q_png_export,
+        "serve_lookup": q_serve_lookup,
+        "cli_execute": q_cli_execute,
+        "metric_buffer": q_metric_buffer,
+        "lcc_reproject": q_lcc_reproject,
+        "span_media_join": q_span_media_join,
+        # -- r2-green but not yet r3-checked (old tail) --
+        "vector_reproject": q_vector_reproject,
+        "utm_reproject": q_utm_reproject,
+        "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
+        "media_features": q_media_features,
+        "revenue_by_nation": q_revenue_by_nation,
+        "neighbor_halo_counts": q_neighbor_halo_counts,
+        "spatial_knn": q_spatial_knn,
+        # -- r3 rows that were red on the oracle-cast bug, now fixed --
+        "span_chunking": q_span_chunking,
+        "stratified_sample": q_stratified_sample,
+        "pipeline_e2e": q_pipeline_e2e,
+        # -- new in round 4 --
+        "compact_roundtrip": q_compact_roundtrip,
+        "laea_reproject": q_laea_reproject,
+        "count_tiles": q_count_tiles,  # extended with fragmented-AOI case
+        # -- r3 driver-green, kept inside the cap as regression canaries --
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "span_roundtrip": q_span_roundtrip,
-        "span_chunking": q_span_chunking,
         "s2_cells": q_s2_cells,
-        "stratified_sample": q_stratified_sample,
         "quality_quantiles": q_quality_quantiles,
-        "pipeline_e2e": q_pipeline_e2e,
         "job_multi_input": q_job_multi_input,
         "ngram_decontam": q_ngram_decontam,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
+        # ---------------- driver cap boundary (position 50) ----------------
         "dem_tiles": q_dem_tiles,
         "dem_tiles_meta": q_dem_tiles_meta,
         "convert": q_convert,
         "raster_clip": q_raster_clip,
         "output_split": q_output_split,
-        "count_tiles": q_count_tiles,
         "singlefile_mosaic": q_singlefile_mosaic,
         "hillshade": q_hillshade,
         "contours": q_contours,
@@ -3826,37 +3989,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_union_dissolve": q_vector_union_dissolve,
         "grid_snap": q_grid_snap,
         "grid_affine": q_grid_affine,
-        "meta_intersect": q_meta_intersect,
-        "batch_enum": q_batch_enum,
-        "extract_prepare": q_extract_prepare,
-        "mosaic_digest": q_mosaic_digest,
-        "segmentize": q_segmentize,
-        "am_split": q_am_split,
-        "geom_type_filter": q_geom_type_filter,
-        "custom_transform": q_custom_transform,
-        "job_resume": q_job_resume,
-        "job_user_preprocess": q_job_user_preprocess,
-        "job_stage_metrics": q_job_stage_metrics,
-        "job_composition": q_job_composition,
-        "refresh_digest": q_refresh_digest,
-        "stac_item": q_stac_item,
-        "job_metadata": q_job_metadata,
-        "wkt_roundtrip": q_wkt_roundtrip,
-        "job_status": q_job_status,
-        "png_export": q_png_export,
-        "serve_lookup": q_serve_lookup,
-        "cli_execute": q_cli_execute,
-        "metric_buffer": q_metric_buffer,
-        "vector_reproject": q_vector_reproject,
-        "utm_reproject": q_utm_reproject,
-        "lcc_reproject": q_lcc_reproject,
-        "events_windowed": q_events_windowed,
-        "events_sessionized": q_events_sessionized,
-        "media_features": q_media_features,
-        "span_media_join": q_span_media_join,
-        "revenue_by_nation": q_revenue_by_nation,
-        "neighbor_halo_counts": q_neighbor_halo_counts,
-        "spatial_knn": q_spatial_knn,
     }
 
 
@@ -4018,7 +4150,7 @@ def o_pipeline_e2e() -> str:
     SELECT s.lang AS lang,
            COUNT(DISTINCT c.doc_id) AS n_docs,
            COUNT(*) AS n_chunks,
-           SUM(c.chunk_tokens) AS total_tokens,
+           CAST(SUM(c.chunk_tokens) AS BIGINT) AS total_tokens,
            md5(string_agg(
                CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.chunk_id AS VARCHAR)
                    || ':' || c.chunk_sig,
@@ -4193,4 +4325,7 @@ def oracle_sql() -> dict[str, str]:
     out["revenue_by_nation"] = o_revenue_by_nation()
     out["neighbor_halo_counts"] = o_neighbor_halo_counts()
     out["spatial_knn"] = o_spatial_knn()
+    from mapchete_spark.functions.conicsql import laea_reproject_sql
+    out["laea_reproject"] = laea_reproject_sql()
+    out["compact_roundtrip"] = o_compact_roundtrip()
     return out

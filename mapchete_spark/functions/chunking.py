@@ -148,7 +148,7 @@ def chunk_spans_sql() -> str:
     SELECT doc_id,
            CAST(FLOOR(cum_before / {CHUNK_BUDGET}) AS BIGINT) AS chunk_id,
            COUNT(*) AS n_spans,
-           SUM(cost) AS chunk_tokens,
+           CAST(SUM(cost) AS BIGINT) AS chunk_tokens,
            md5(string_agg(kind || chr(1) || span_text || chr(1) || media_ref,
                           chr(2) ORDER BY "offset")) AS chunk_sig
     FROM cumd

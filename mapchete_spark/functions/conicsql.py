@@ -79,3 +79,111 @@ def lcc_reproject_sql() -> str:
     FROM xy
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LAEA Europe (EPSG:3035) — the proj-parameter front-end's flagship CRS
+# ---------------------------------------------------------------------------
+
+from mapchete_spark.geometry.conic import GRS80_E2, LambertAzimuthalEqualArea
+from mapchete_spark.geometry.projparams import EPSG_PROJ4, projection_from_proj4
+
+# Instantiated THROUGH the proj4 front-end (not the hand registry) so the
+# contract query also vouches for geometry/projparams end-to-end.
+import math as _math
+
+_L = projection_from_proj4(EPSG_PROJ4["EPSG:3035"])
+assert isinstance(_L, LambertAzimuthalEqualArea)
+LAEA_QP = _L.qp
+LAEA_SB1 = _math.sin(_L.beta1)
+LAEA_CB1 = _math.cos(_L.beta1)
+LAEA_RQ = _L.Rq
+LAEA_D = _L.D
+LAEA_LON0 = _L.lon0
+LAEA_X0 = _L.x0
+LAEA_Y0 = _L.y0
+
+
+def _q_col(phi: Column) -> Column:
+    """Snyder 3-12 authalic q as a Column (same algebra as conic._q)."""
+    s = F.sin(phi)
+    es = F.lit(GRS80_E) * s
+    return F.lit(1.0 - GRS80_E2) * (
+        s / (F.lit(1.0) - F.lit(GRS80_E2) * s * s)
+        - F.lit(1.0 / (2.0 * GRS80_E))
+        * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es))
+    )
+
+
+def laea_xy_cols(lon: Column, lat: Column):
+    """(x, y) Columns of the EPSG:3035 forward transform (Snyder
+    24-2..24-8 oblique ellipsoidal LAEA with precomputed qp/beta1/Rq/D
+    from the proj4 front-end), cm-quantized like every reproject
+    oracle. Pure Column algebra: sin/cos/asin/log/sqrt stay in
+    whole-stage codegen — map-only, zero shuffle at any corpus size."""
+    phi = F.radians(lat)
+    beta = F.asin(
+        F.least(
+            F.greatest(_q_col(phi) / F.lit(LAEA_QP), F.lit(-1.0)), F.lit(1.0)
+        )
+    )
+    lam = F.radians(lon - F.lit(LAEA_LON0))
+    sb, cb = F.sin(beta), F.cos(beta)
+    B = F.lit(LAEA_RQ) * F.sqrt(
+        F.lit(2.0)
+        / (
+            F.lit(1.0)
+            + F.lit(LAEA_SB1) * sb
+            + F.lit(LAEA_CB1) * cb * F.cos(lam)
+        )
+    )
+    x = F.lit(LAEA_X0) + B * F.lit(LAEA_D) * cb * F.sin(lam)
+    y = F.lit(LAEA_Y0) + (B / F.lit(LAEA_D)) * (
+        F.lit(LAEA_CB1) * sb - F.lit(LAEA_SB1) * cb * F.cos(lam)
+    )
+    q = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    return q(x), q(y)
+
+
+def laea_reproject_sql() -> str:
+    """DuckDB twin of :func:`laea_xy_cols` over the documents table."""
+    from mapchete_spark.functions import geo as G
+
+    e = repr(GRS80_E)
+    e2 = repr(GRS80_E2)
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id, {G.lon_sql("doc_id")} AS lon, {G.lat_sql("doc_id")} AS lat
+        FROM documents
+    ), authalic AS (
+        SELECT doc_id, lon,
+               {repr(1.0 - GRS80_E2)} * (
+                   sin(radians(lat)) / (1.0 - {e2} * sin(radians(lat)) * sin(radians(lat)))
+                   - {repr(1.0 / (2.0 * GRS80_E))}
+                     * ln((1.0 - {e} * sin(radians(lat))) / (1.0 + {e} * sin(radians(lat))))
+               ) AS qv
+        FROM docs_geo
+    ), beta_t AS (
+        SELECT doc_id,
+               asin(LEAST(GREATEST(qv / {repr(LAEA_QP)}, -1.0), 1.0)) AS beta,
+               radians(lon - {repr(LAEA_LON0)}) AS lam
+        FROM authalic
+    ), bb AS (
+        SELECT doc_id, beta, lam,
+               {repr(LAEA_RQ)} * sqrt(2.0 / (1.0 + {repr(LAEA_SB1)} * sin(beta)
+                   + {repr(LAEA_CB1)} * cos(beta) * cos(lam))) AS B
+        FROM beta_t
+    ), xy AS (
+        SELECT doc_id,
+               {repr(LAEA_X0)} + B * {repr(LAEA_D)} * cos(beta) * sin(lam) AS x,
+               {repr(LAEA_Y0)} + (B / {repr(LAEA_D)})
+                   * ({repr(LAEA_CB1)} * sin(beta)
+                      - {repr(LAEA_SB1)} * cos(beta) * cos(lam)) AS y
+        FROM bb
+    )
+    SELECT doc_id,
+           FLOOR(x * 100.0 + 0.5) / 100.0 AS laea_x,
+           FLOOR(y * 100.0 + 0.5) / 100.0 AS laea_y
+    FROM xy
+    ORDER BY doc_id
+    """

@@ -36,13 +36,15 @@ _INV_ITERS = 12
 
 @dataclass(frozen=True)
 class ConicParams:
-    kind: str  # "lcc" | "aea"
+    kind: str  # "lcc" | "aea" | "laea"
     lat0: float  # latitude of origin (deg)
     lon0: float  # central meridian (deg)
-    lat1: float  # first standard parallel (deg)
-    lat2: float  # second standard parallel (deg)
+    lat1: float  # first standard parallel (deg; unused for laea)
+    lat2: float  # second standard parallel (deg; unused for laea)
     x0: float  # false easting (m)
     y0: float  # false northing (m)
+    a: float = GRS80_A  # ellipsoid semi-major axis (m)
+    f: float = GRS80_F  # ellipsoid flattening
 
 
 #: named EPSG codes -> projection parameters (EPSG registry values)
@@ -56,33 +58,42 @@ CONIC_REGISTRY = {
     ),
     # NAD83 / Conus Albers
     "EPSG:5070": ConicParams("aea", 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+    # ETRS89-extended / LAEA Europe (EEA statistical grid)
+    "EPSG:3035": ConicParams(
+        "laea", 52.0, 10.0, 0.0, 0.0, 4321000.0, 3210000.0
+    ),
 }
 
+_CONIC_CLASSES = {}  # filled after the classes are defined
 
-def _m(phi: np.ndarray) -> np.ndarray:
+
+def _m(phi: np.ndarray, e2: float = GRS80_E2) -> np.ndarray:
     """Snyder 14-15: m = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1.0 - GRS80_E2 * s * s)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
 
 
-def _t(phi: np.ndarray) -> np.ndarray:
+def _t(phi: np.ndarray, e: float = GRS80_E) -> np.ndarray:
     """Snyder 15-9: t = tan(pi/4 - phi/2) / ((1 - e sin phi) /
     (1 + e sin phi))^(e/2)."""
-    s = GRS80_E * np.sin(phi)
+    s = e * np.sin(phi)
     return np.tan(np.pi / 4.0 - phi / 2.0) / (
         (1.0 - s) / (1.0 + s)
-    ) ** (GRS80_E / 2.0)
+    ) ** (e / 2.0)
 
 
-def _q(phi: np.ndarray) -> np.ndarray:
+def _q(phi: np.ndarray, e: float = GRS80_E) -> np.ndarray:
     """Snyder 3-12 (authalic latitude integrand): q = (1 - e^2) *
     [sin phi / (1 - e^2 sin^2 phi) - (1/(2e)) ln((1 - e sin phi) /
     (1 + e sin phi))]."""
+    e2 = e * e
     s = np.sin(phi)
-    es = GRS80_E * s
-    return (1.0 - GRS80_E2) * (
-        s / (1.0 - GRS80_E2 * s * s)
-        - (1.0 / (2.0 * GRS80_E)) * np.log((1.0 - es) / (1.0 + es))
+    es = e * s
+    if e == 0.0:
+        return 2.0 * s
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
     )
 
 
@@ -90,23 +101,32 @@ class LambertConformalConic:
     """Ellipsoidal LCC with two standard parallels (Snyder ch. 15)."""
 
     def __init__(self, p: ConicParams):
+        self.a = p.a
+        e2 = p.f * (2.0 - p.f)
+        self.e = e2**0.5
         phi0, phi1, phi2 = map(np.radians, (p.lat0, p.lat1, p.lat2))
-        m1, m2 = _m(np.array(phi1)), _m(np.array(phi2))
+        m1, m2 = _m(np.array(phi1), e2), _m(np.array(phi2), e2)
         t0, t1, t2 = (
-            _t(np.array(phi0)),
-            _t(np.array(phi1)),
-            _t(np.array(phi2)),
+            _t(np.array(phi0), self.e),
+            _t(np.array(phi1), self.e),
+            _t(np.array(phi2), self.e),
         )
-        self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        if p.lat1 == p.lat2:
+            # 1SP degenerate: n = sin(lat1) (Snyder p. 107)
+            self.n = float(np.sin(phi1))
+        else:
+            self.n = float(
+                (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+            )
         self.F = float(m1 / (self.n * t1**self.n))
-        self.rho0 = float(GRS80_A * self.F * t0**self.n)
+        self.rho0 = float(self.a * self.F * t0**self.n)
         self.lon0 = p.lon0
         self.x0, self.y0 = p.x0, p.y0
 
     def forward(self, lon, lat):
         lon = np.asarray(lon, dtype=np.float64)
         phi = np.radians(np.asarray(lat, dtype=np.float64))
-        rho = GRS80_A * self.F * _t(phi) ** self.n
+        rho = self.a * self.F * _t(phi, self.e) ** self.n
         th = self.n * np.radians(lon - self.lon0)
         return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
 
@@ -114,16 +134,16 @@ class LambertConformalConic:
         dx = np.asarray(x, dtype=np.float64) - self.x0
         dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
         rho = np.sign(self.n) * np.sqrt(dx * dx + dy * dy)
-        tp = (rho / (GRS80_A * self.F)) ** (1.0 / self.n)
+        tp = (rho / (self.a * self.F)) ** (1.0 / self.n)
         th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
         lon = self.lon0 + np.degrees(th / self.n)
         # Snyder 7-9 fixed point: phi = pi/2 - 2 atan(t ((1 - e sin phi)
         # / (1 + e sin phi))^(e/2))
         phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
         for _ in range(_INV_ITERS):
-            s = GRS80_E * np.sin(phi)
+            s = self.e * np.sin(phi)
             phi = np.pi / 2.0 - 2.0 * np.arctan(
-                tp * ((1.0 - s) / (1.0 + s)) ** (GRS80_E / 2.0)
+                tp * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
             )
         return lon, np.degrees(phi)
 
@@ -132,23 +152,30 @@ class AlbersEqualArea:
     """Ellipsoidal Albers with two standard parallels (Snyder ch. 14)."""
 
     def __init__(self, p: ConicParams):
+        self.a = p.a
+        self.e2 = p.f * (2.0 - p.f)
+        self.e = self.e2**0.5
         phi0, phi1, phi2 = map(np.radians, (p.lat0, p.lat1, p.lat2))
-        m1, m2 = _m(np.array(phi1)), _m(np.array(phi2))
+        m1, m2 = _m(np.array(phi1), self.e2), _m(np.array(phi2), self.e2)
         q0, q1, q2 = (
-            _q(np.array(phi0)),
-            _q(np.array(phi1)),
-            _q(np.array(phi2)),
+            _q(np.array(phi0), self.e),
+            _q(np.array(phi1), self.e),
+            _q(np.array(phi2), self.e),
         )
-        self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        if p.lat1 == p.lat2:
+            # 1SP degenerate: n = sin(lat1) (Snyder 14-5 limit)
+            self.n = float(np.sin(phi1))
+        else:
+            self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
         self.C = float(m1 * m1 + self.n * q1)
-        self.rho0 = float(GRS80_A * np.sqrt(self.C - self.n * q0) / self.n)
+        self.rho0 = float(self.a * np.sqrt(self.C - self.n * q0) / self.n)
         self.lon0 = p.lon0
         self.x0, self.y0 = p.x0, p.y0
 
     def forward(self, lon, lat):
         lon = np.asarray(lon, dtype=np.float64)
         phi = np.radians(np.asarray(lat, dtype=np.float64))
-        rho = GRS80_A * np.sqrt(self.C - self.n * _q(phi)) / self.n
+        rho = self.a * np.sqrt(self.C - self.n * _q(phi, self.e)) / self.n
         th = self.n * np.radians(lon - self.lon0)
         return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
 
@@ -156,21 +183,102 @@ class AlbersEqualArea:
         dx = np.asarray(x, dtype=np.float64) - self.x0
         dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
         rho = np.sqrt(dx * dx + dy * dy)
-        qv = (self.C - (rho * self.n / GRS80_A) ** 2) / self.n
+        qv = (self.C - (rho * self.n / self.a) ** 2) / self.n
         th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
         lon = self.lon0 + np.degrees(th / self.n)
         # Snyder 3-16 fixed point for the authalic -> geodetic latitude
         phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
         for _ in range(_INV_ITERS):
             s = np.sin(phi)
-            es = GRS80_E * s
-            one = 1.0 - GRS80_E2 * s * s
+            es = self.e * s
+            one = 1.0 - self.e2 * s * s
             phi = phi + (one * one / (2.0 * np.cos(phi))) * (
-                qv / (1.0 - GRS80_E2)
+                qv / (1.0 - self.e2)
                 - s / one
-                + (1.0 / (2.0 * GRS80_E)) * np.log((1.0 - es) / (1.0 + es))
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
             )
         return lon, np.degrees(phi)
+
+
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal LAEA, oblique aspect (Snyder ch. 24, eqs. 24-2..24-8
+    forward, 24-16..24-21 + the Albers authalic fixed point inverse).
+    Covers ETRS89-extended / LAEA Europe (EPSG:3035), the EEA's
+    standard statistical grid."""
+
+    def __init__(self, p: ConicParams):
+        self.a = p.a
+        self.e2 = p.f * (2.0 - p.f)
+        self.e = self.e2**0.5
+        phi0 = np.radians(p.lat0)
+        self.qp = float(_q(np.array(np.pi / 2.0), self.e))
+        q0 = float(_q(np.array(phi0), self.e))
+        self.beta1 = float(np.arcsin(np.clip(q0 / self.qp, -1.0, 1.0)))
+        self.Rq = float(self.a * np.sqrt(self.qp / 2.0))
+        m1 = float(_m(np.array(phi0), self.e2))
+        self.D = float(self.a * m1 / (self.Rq * np.cos(self.beta1)))
+        self.lon0 = p.lon0
+        self.x0, self.y0 = p.x0, p.y0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(_q(phi, self.e) / self.qp, -1.0, 1.0))
+        lam = np.radians(lon - self.lon0)
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        sb, cb = np.sin(beta), np.cos(beta)
+        B = self.Rq * np.sqrt(
+            2.0 / (1.0 + sb1 * sb + cb1 * cb * np.cos(lam))
+        )
+        x = self.x0 + B * self.D * cb * np.sin(lam)
+        y = self.y0 + (B / self.D) * (cb1 * sb - sb1 * cb * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        dx = (np.asarray(x, dtype=np.float64) - self.x0) / self.D
+        dy = (np.asarray(y, dtype=np.float64) - self.y0) * self.D
+        rho = np.sqrt(dx * dx + dy * dy)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            qv = self.qp * np.where(
+                rho > 0.0,
+                cce * sb1 + dy * sce * cb1 / np.where(rho > 0.0, rho, 1.0),
+                sb1,
+            )
+            lam = np.arctan2(dx * sce, rho * cb1 * cce - dy * sb1 * sce)
+        lon = self.lon0 + np.degrees(lam)
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(_INV_ITERS):
+            s = np.sin(phi)
+            es = self.e * s
+            one = 1.0 - self.e2 * s * s
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                qv / (1.0 - self.e2)
+                - s / one
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
+            )
+        return lon, np.degrees(phi)
+
+
+_CONIC_CLASSES.update(
+    {
+        "lcc": LambertConformalConic,
+        "aea": AlbersEqualArea,
+        "laea": LambertAzimuthalEqualArea,
+    }
+)
+
+
+def projection_from_params(p: ConicParams):
+    """Projection object for explicit conic/azimuthal parameters (the
+    proj-parameter front-end entry point — geometry/projparams.py)."""
+    try:
+        cls = _CONIC_CLASSES[p.kind]
+    except KeyError:
+        raise ValueError(f"unknown projection kind {p.kind!r}") from None
+    return cls(p)
 
 
 def conic_projection(crs: str):
@@ -181,7 +289,7 @@ def conic_projection(crs: str):
             f"no conic parameters registered for {crs} "
             f"(known: {sorted(CONIC_REGISTRY)})"
         )
-    return LambertConformalConic(p) if p.kind == "lcc" else AlbersEqualArea(p)
+    return projection_from_params(p)
 
 
 def is_conic(crs: str) -> bool:

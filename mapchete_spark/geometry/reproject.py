@@ -198,6 +198,11 @@ def _to_geodetic(src: str):
         return conic_projection(src).inverse
     if is_tm(src):
         return tm_grid(src).inverse
+    from mapchete_spark.geometry.projparams import resolve_projection
+
+    proj = resolve_projection(src)
+    if proj is not None:
+        return proj.inverse
     raise ValueError(f"unsupported CRS {src}")
 
 
@@ -216,6 +221,11 @@ def _from_geodetic(dst: str):
         return conic_projection(dst).forward
     if is_tm(dst):
         return tm_grid(dst).forward
+    from mapchete_spark.geometry.projparams import resolve_projection
+
+    proj = resolve_projection(dst)
+    if proj is not None:
+        return proj.forward
     raise ValueError(f"unsupported CRS {dst}")
 
 

@@ -49,9 +49,14 @@ def stratified_sample_summary(docs: DataFrame) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
-        F.sum(F.col("doc_id") * F.col("doc_id") % F.lit(1_000_000_007)).alias(
-            "id_checksum"
-        ),
+        # Overflow-safe modular square: reduce doc_id mod p BEFORE squaring so
+        # ids above ~3.04e9 cannot wrap signed 64-bit (Spark wraps silently,
+        # DuckDB promotes to HUGEINT -- they would diverge otherwise).
+        F.sum(
+            (F.col("doc_id") % F.lit(1_000_000_007))
+            * (F.col("doc_id") % F.lit(1_000_000_007))
+            % F.lit(1_000_000_007)
+        ).alias("id_checksum"),
     )
 
 
@@ -63,8 +68,9 @@ def stratified_sample_sql() -> str:
     return f"""
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(doc_id) AS id_sum,
-           SUM((doc_id * doc_id) % 1000000007) AS id_checksum
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(((doc_id % 1000000007) * (doc_id % 1000000007))
+                    % 1000000007) AS BIGINT) AS id_checksum
     FROM documents
     WHERE {draw} < ({rate})
     GROUP BY lang

@@ -72,12 +72,33 @@ def compact_tile_table(
             .partitionBy("zoom")
             .parquet(tmp)
         )
-    old = tiles_path + "__old"
-    if os.path.exists(old):
+    if zooms is None:
+        # Full rewrite: swap the whole table root.
+        old = tiles_path + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        shutil.move(tiles_path, old)
+        shutil.move(tmp, tiles_path)
         shutil.rmtree(old)
-    shutil.move(tiles_path, old)
-    shutil.move(tmp, tiles_path)
-    shutil.rmtree(old)
+    else:
+        # Partial rewrite: only the requested zoom partitions were
+        # written to tmp — swap each zoom=<z> subdirectory in place and
+        # leave every other zoom's partition untouched (a whole-root
+        # swap here would silently delete the unlisted zooms).
+        for zoom in sorted(counts.items()):
+            zdir = f"zoom={zoom[0]}"
+            src = os.path.join(tmp, zdir)
+            dst = os.path.join(tiles_path, zdir)
+            old = dst + "__old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(dst):
+                shutil.move(dst, old)
+            shutil.move(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
     return {
         "files_before": files_before,
         "files_after": parquet_file_count(tiles_path),

@@ -237,8 +237,10 @@ class TestContaminationAndChunking:
         assert doc_sh & bench_sh
 
     def test_chunking_map_only_plan(self, spark, sf_dir):
-        """chunk_spans must not shuffle: the prefix sum runs inside the
-        spans array (HOFs), not through a corpus-wide window."""
+        """chunk_spans must not shuffle: the prefix sum runs inside a
+        single Arrow mapInPandas stage (functions/chunking.py design
+        note; the Column-HOF version was measured and rejected), not
+        through a corpus-wide window."""
         from mapchete_spark.functions.chunking import chunk_spans
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -232,6 +232,77 @@ class TestCompaction:
         )
         assert arr is not None and arr.size > 0
 
+    def test_compact_zoom_subset_keeps_other_zooms(self, spark, tmp_path):
+        """Regression (round-4 ADVICE): compacting only zoom 5 must
+        rewrite zoom 5's partition in place and leave zoom 4's files
+        and rows completely untouched — the round-3 whole-root swap
+        silently deleted every unlisted zoom."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from mapchete_spark.plans.config import JobConfig
+        from mapchete_spark.plans.job import execute
+        from mapchete_spark.sources.compact import (
+            compact_tile_table,
+            parquet_file_count,
+        )
+
+        out = str(tmp_path / "cjz")
+        cfg = JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels={"min": 4, "max": 5},
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=[0.0, 0.0, 90.0, 60.0],
+                process_parameters={"scale_ratio": 1.0},
+                output={"path": out, "format": "parquet_tiles"},
+            )
+        )
+        execute(spark, cfg, mode="overwrite")
+        tiles_path = f"{out}/tiles"
+
+        def snapshot(zoom):
+            return sorted(
+                (r["tile_row"], r["tile_col"], r["digest"])
+                for r in spark.read.parquet(tiles_path)
+                .where(F.col("zoom") == zoom)
+                .select(
+                    "tile_row", "tile_col", F.md5("data").alias("digest")
+                )
+                .collect()
+            )
+
+        def zoom_files(zoom):
+            zdir = os.path.join(tiles_path, f"zoom={zoom}")
+            return sorted(
+                os.path.join(root, f)
+                for root, _d, fs in os.walk(zdir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        z4_rows, z5_rows = snapshot(4), snapshot(5)
+        z4_files_before = zoom_files(4)
+        assert z4_rows and z5_rows
+        stats = compact_tile_table(
+            spark, tiles_path, target_rows_per_file=16, zooms=[5]
+        )
+        # zoom 4: identical files on disk, identical rows
+        assert zoom_files(4) == z4_files_before
+        assert snapshot(4) == z4_rows
+        # zoom 5: same rows, rewritten files
+        assert snapshot(5) == z5_rows
+        assert stats["files_after"] == parquet_file_count(tiles_path)
+        # no leftover temp/old dirs
+        parent = os.path.dirname(tiles_path)
+        leftovers = [
+            p for p in os.listdir(parent)
+            if "__compact" in p or "__old" in p
+        ]
+        assert not leftovers
+
 
 def math_ceil_files(n_rows, target):
     import math

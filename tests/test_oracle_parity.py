@@ -22,13 +22,46 @@ def _canon(rows, cols):
 
 def _spark_result(spark, fn, sf_dir):
     df = fn(spark, sf_dir)
-    return df.columns, [tuple(r) for r in df.collect()]
+    return df.columns, [tuple(r) for r in df.collect()], dict(df.dtypes)
 
 
 def _duck_result(duck, sql):
     res = duck.execute(sql)
     cols = [d[0] for d in res.description]
-    return cols, res.fetchall()
+    arrow = res.arrow()
+    types = {f.name: str(f.type) for f in arrow.schema}
+    return cols, [tuple(r.values()) for r in arrow.to_pylist()], types
+
+
+def _type_family(type_str: str) -> str:
+    """Collapse a Spark dtype / arrow type string into the family the
+    driver's value hasher distinguishes. DuckDB returns HUGEINT for
+    SUM(BIGINT); through Arrow that is decimal128(38,0), which hashes
+    differently from Spark's int64 even when the values are equal —
+    the round-3 bug class. Keeping 'decimal' a distinct family makes
+    the replay fail locally when an oracle misses a CAST(... AS
+    BIGINT)."""
+    t = type_str.lower()
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if t.startswith(("int", "uint", "bigint", "smallint", "tinyint", "long",
+                     "short", "byte")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat", "real")):
+        return "float"
+    if t.startswith(("bool",)):
+        return "bool"
+    if t.startswith(("string", "varchar", "large_string", "utf8")):
+        return "string"
+    if t.startswith(("binary", "large_binary", "blob")):
+        return "binary"
+    if t.startswith(("list", "array")):
+        return "list"
+    if t.startswith(("timestamp", "date")):
+        # timestamp_ntz (spark) vs timestamp[us] (arrow) are the same
+        # wall-clock value; both hash as the datetime
+        return "timestamp"
+    return t
 
 
 def all_query_names():
@@ -50,11 +83,26 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
         # source zoom), so demand rows
         assert df.count() > 0
         return
-    s_cols, s_rows = _spark_result(spark, q, sf_dir)
-    d_cols, d_rows = _duck_result(duck, sql)
+    s_cols, s_rows, s_types = _spark_result(spark, q, sf_dir)
+    d_cols, d_rows, d_types = _duck_result(duck, sql)
     sc, sr = _canon(s_rows, s_cols)
     dc, dr = _canon(d_rows, d_cols)
     assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    # type-strict per column (floats excepted — rounding already
+    # absorbs representation differences there)
+    for col in sc:
+        sf, df_ = _type_family(s_types[col]), _type_family(d_types[col])
+        if "float" in (sf, df_) and {sf, df_} <= {"float", "int", "decimal"}:
+            # float on either side: the replay's 9-digit rounding (and
+            # the driver's hasher, per the green r3 rows for decimal
+            # oracles like contours/tile_index) absorbs representation
+            # differences. decimal-vs-INT stays strict — that's the
+            # HUGEINT bug class.
+            continue
+        assert sf == df_, (
+            f"{name}.{col}: type family mismatch spark={s_types[col]} "
+            f"duck={d_types[col]} (HUGEINT-cast bug class?)"
+        )
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
     mismatches = [
         (a, b) for a, b in zip(sr, dr) if a != b
