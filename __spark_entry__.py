@@ -501,24 +501,73 @@ def o_dem_tiles_meta() -> str:
     """
 
 
+#: fragmented AOI for the count_tiles rasterize fallback: 14 axis-
+#: aligned parts, some overlapping, spread over 3 continents-worth of
+#: grid — the AOI shape whose quadtree recursion degenerates (every
+#: part recursed at every zoom) and whose tile sets overlap, which
+#: round-4 fixed in the quadtree's full-cover shortcut (a MultiPolygon
+#: area SUM can fake full coverage). Coordinates avoid dyadic tile
+#: boundaries so engine/oracle float rounding cannot disagree.
+_FRAG_RECTS = [
+    (-151.317, -42.183, -139.822, -31.914),
+    (-148.211, -37.555, -131.049, -28.673),  # overlaps the first
+    (-97.454, 12.311, -84.617, 23.842),
+    (-91.733, 17.221, -80.119, 29.377),      # overlaps the third
+    (-45.611, -61.317, -37.484, -52.209),
+    (-12.319, 38.911, -2.871, 47.203),
+    (-8.454, 42.117, 3.209, 51.388),         # overlaps the sixth
+    (14.217, -25.811, 27.933, -14.222),
+    (33.117, 5.209, 41.844, 14.733),
+    (61.209, 22.817, 74.911, 35.211),
+    (97.311, -8.733, 109.217, 2.844),
+    (121.417, 30.211, 135.733, 42.917),
+    (139.211, -44.817, 152.733, -33.209),
+    (166.317, 55.211, 178.844, 64.733),
+]
+
+
+def _frag_aoi():
+    from mapchete_spark.geometry.core import MultiPolygon, Polygon
+    from mapchete_spark.tilegrid import Bounds
+
+    return MultiPolygon(
+        tuple(
+            Polygon.from_bounds(Bounds(*r)) for r in _FRAG_RECTS
+        )
+    )
+
+
 def q_count_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6 closed-form tile counting: count_tiles' recursive quadtree
-    (with the sum-4^z shortcut) vs the oracle's per-zoom enumeration of
-    positive-overlap ranges."""
-    from mapchete_spark.tilegrid.cover import count_tiles
+    """G6 tile counting, BOTH algorithms: the recursive quadtree (with
+    the sum-4^z closed form) on a bbox AOI, and the round-4 rasterize
+    fallback (cover.count_tiles_rasterized — scanline grid + 2x2
+    max-pool, the no-rasterio twin of mapchete/tile.py:410-459
+    _count_cells) on a 14-part fragmented AOI with overlapping parts.
+    The two algorithms are golden-tested equal on every AOI
+    (tests/test_tilegrid.py); the oracle re-derives both counts from
+    dyadic range arithmetic (distinct-cell union for the fragments)."""
+    from mapchete_spark.tilegrid.cover import count_tiles, count_tiles_rasterized
     from mapchete_spark.tilegrid import Bounds
 
     pyr, aoi = _raster_ctx()
     rows = [
-        (z, int(count_tiles(aoi, pyr, z, z)))
+        ("bbox", z, int(count_tiles(aoi, pyr, z, z)))
+        for z in range(0, 9)
+    ] + [
+        ("frag", z, int(count_tiles_rasterized(_frag_aoi(), pyr, z, z)))
         for z in range(0, 9)
     ]
-    return spark.createDataFrame(rows, "zoom int, n_tiles long").orderBy("zoom")
+    return spark.createDataFrame(
+        rows, "aoi string, zoom int, n_tiles long"
+    ).orderBy("aoi", "zoom")
 
 
 def o_count_tiles() -> str:
     _, aoi = _raster_ctx()
     l, b, r, t = aoi.left, aoi.bottom, aoi.right, aoi.top
+    rect_rows = ",\n               ".join(
+        f"({rl!r}, {rb!r}, {rr!r}, {rt!r})" for (rl, rb, rr, rt) in _FRAG_RECTS
+    )
     return f"""
     WITH z AS (SELECT UNNEST(generate_series(0, 8)) AS zoom),
     ts AS (SELECT zoom, 180.0 / POWER(2.0, zoom) AS s FROM z),
@@ -529,10 +578,28 @@ def o_count_tiles() -> str:
                CAST(CEIL(({r!r} + 180.0) / s) - FLOOR(({l!r} + 180.0) / s) AS BIGINT) AS n_cols,
                CAST(CEIL((90.0 - {b!r}) / s) - FLOOR((90.0 - {t!r}) / s) AS BIGINT) AS n_rows
         FROM ts
+    ),
+    rects(rl, rb, rr, rt) AS (
+        VALUES {rect_rows}
+    ),
+    frag_cells AS (
+        -- union of per-rect positive-overlap cells: DISTINCT dedups
+        -- the overlapping parts, mirroring true geometric union
+        SELECT DISTINCT ts.zoom, rw.r AS tile_row, cl.c AS tile_col
+        FROM ts, rects,
+             UNNEST(generate_series(
+                 CAST(FLOOR((90.0 - rt) / s) AS BIGINT),
+                 CAST(CEIL((90.0 - rb) / s) AS BIGINT) - 1)) AS rw(r),
+             UNNEST(generate_series(
+                 CAST(FLOOR((rl + 180.0) / s) AS BIGINT),
+                 CAST(CEIL((rr + 180.0) / s) AS BIGINT) - 1)) AS cl(c)
     )
-    SELECT zoom, CAST(n_cols * n_rows AS BIGINT) AS n_tiles
+    SELECT 'bbox' AS aoi, zoom, CAST(n_cols * n_rows AS BIGINT) AS n_tiles
     FROM rng
-    ORDER BY zoom
+    UNION ALL
+    SELECT 'frag' AS aoi, zoom, CAST(COUNT(*) AS BIGINT) AS n_tiles
+    FROM frag_cells GROUP BY zoom
+    ORDER BY aoi, zoom
     """
 
 

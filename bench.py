@@ -126,6 +126,24 @@ def sf_queries():
     return {n: qs[n] for n in names}
 
 
+def _cpu_ticks():
+    """(busy, idle, steal) jiffies from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    busy = v[0] + v[1] + v[2] + v[5] + v[6]
+    return busy, v[3] + v[4], v[7] if len(v) > 7 else 0
+
+
+def _cpu_pct_since(t0_ticks):
+    b0, i0, s0 = t0_ticks
+    b1, i1, s1 = _cpu_ticks()
+    tot = (b1 - b0) + (i1 - i0) + (s1 - s0) or 1
+    return {
+        "busy_pct": round(100.0 * (b1 - b0) / tot, 1),
+        "steal_pct": round(100.0 * (s1 - s0) / tot, 1),
+    }
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from mapchete_spark.session import get_spark
@@ -137,7 +155,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     _warm_raster(spark)
     _warm_assign(spark)
 
-    timings, aux = {}, {}
+    timings, aux, host = {}, {}, {}
+    suite_ticks = _cpu_ticks()
     if not os.environ.get("SPARK_GRAFT_BENCH_ONLY_THROUGHPUT"):
         _warm_sf_queries(spark)
         for name, fn in sf_queries().items():
@@ -146,9 +165,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             timings[name] = round(time.time() - t0, 3)
 
     for name, fn in throughput_workloads(spark).items():
+        ticks = _cpu_ticks()
         t0 = time.time()
         aux[name] = fn()
         timings[name] = round(time.time() - t0, 3)
+        # sandbox runs inside a VM whose host steals CPU unpredictably
+        # (measured up to 16% of a run); record it per throughput
+        # workload so a slow number is attributable
+        host[name] = _cpu_pct_since(ticks)
+    host["suite"] = _cpu_pct_since(suite_ticks)
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     total = round(sum(timings.values()), 3)
@@ -164,6 +189,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "docs_per_sec": round(BENCH_DOCS / timings["assign_rollup_synth"], 1),
         "tiles_per_sec": round(aux["hillshade_pyramid"] / timings["hillshade_pyramid"], 1),
         "hillshade_tiles": aux["hillshade_pyramid"],
+        "host_cpu": host,
     }
     spark.stop()
     return out

@@ -38,7 +38,27 @@ def get_spark(
         # parquet scans: pushdown + pruning stay on
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Heap sized to the thread count: raster rows carry ~260KB
+        # payloads, so a local[32] run shuffles ~0.7GB per raster stage
+        # through the single JVM. An 8g heap thrashes G1 once a few
+        # stages' garbage accumulates (measured: the same 2795-tile
+        # hillshade degrades 6x late in a long session at 8g; stable at
+        # 16g). local mode = driver IS the executor, hence driver.memory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus // 2)}g"),
+        )
+        # Long-session hygiene: ContextCleaner only releases shuffle
+        # files/broadcasts when the DRIVER GCs, and a big mostly-idle
+        # driver heap may not GC for hours — periodic GC (default 30min
+        # upstream) at 60s bounds the accumulation; with
+        # ExplicitGCInvokesConcurrent those are concurrent cycles, not
+        # stop-the-world full GCs.
+        .config("spark.cleaner.periodicGC.interval", "60s")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

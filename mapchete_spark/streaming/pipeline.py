@@ -428,18 +428,41 @@ def stream_decontaminate(
     # the per-doc aggregation happens INSIDE foreachBatch: a document's
     # row (hence all its shingles) arrives in exactly one micro-batch,
     # so per-batch groupBy(doc_id) is complete without a state store
+    def _write_batch(bdf, bid):
+        # Idempotent under micro-batch REPLAY: plain mode("append")
+        # would re-append rows when a batch is retried after a partial
+        # failure. Instead each batch lands at deterministic
+        # batch-id-derived file names — a retry overwrites its own
+        # previous attempt, never duplicates it. The _tmp staging dir
+        # starts with "_" so parquet readers of out_dir ignore it even
+        # if a crash strands one. (On an object store, route this
+        # through the transactional file sink instead, as
+        # stream_chunk_spans does.)
+        import glob
+        import shutil
+
+        agg = bdf.groupBy("doc_id").agg(
+            F.count("*").alias("n_matched_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        tmp = os.path.join(out_dir, f"_tmp_batch_{bid}")
+        agg.write.mode("overwrite").parquet(tmp)
+        for old in glob.glob(
+            os.path.join(out_dir, f"batch-{bid:05d}-*.parquet")
+        ):
+            os.remove(old)
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            os.replace(
+                p, os.path.join(out_dir, f"batch-{bid:05d}-{i:04d}.parquet")
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .writeStream.outputMode("append")
-        .foreachBatch(
-            lambda bdf, bid: bdf.groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_matched_shingles"),
-                F.countDistinct("bench_id").alias("n_benchmark_docs"),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        .foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -93,6 +93,20 @@ def count_tiles(
         # matching the reference's intersection.area check
         return 0
 
+    def _fully_covered(tb, tile_area: float, inter: float) -> bool:
+        """The 4^z shortcut is only sound when the tile is genuinely
+        covered. MultiPolygon.intersection_area SUMS part areas, so
+        overlapping parts can reach tile_area without covering the
+        tile (the reference's shapely intersection never double-counts
+        — mapchete/tile.py:385-390); demand a single part covering."""
+        if inter < tile_area:
+            return False
+        if isinstance(geom, MultiPolygon):
+            return any(
+                p.intersection_area(tb) >= tile_area for p in geom.polygons
+            )
+        return True
+
     def rec(tile: Tile, parent_area: float) -> int:
         tb = tile.bounds(pixelbuffer=0)
         inter = geom.intersection_area(tb)
@@ -102,7 +116,7 @@ def count_tiles(
         if tile.zoom < maxzoom:
             children = tile.get_children()
             tile_area = tb.width * tb.height
-            if inter < tile_area or len(children) != 4:
+            if not _fully_covered(tb, tile_area, inter) or len(children) != 4:
                 count += sum(rec(c, inter) for c in children)
             else:
                 count += sum(
@@ -119,6 +133,118 @@ def count_tiles(
         for col in range(unbuffered.matrix_width(init_zoom)):
             total += rec(unbuffered.tile(init_zoom, row, col), float("inf"))
     return total
+
+
+def count_tiles_rasterized(
+    geom: Geometry, pyramid: TilePyramid, minzoom: int, maxzoom: int
+) -> int:
+    """Rasterize-and-pool tile counting — the reference's fallback for
+    AOIs where quadtree recursion degenerates (many fragments, high
+    zoom: mapchete/tile.py:410-459 _count_cells). The reference
+    rasterizes with GDAL all_touched=True on a slightly shrunk
+    geometry, then max-resamples up the pyramid; without rasterio this
+    implements the same cell semantics EXACTLY (a cell counts iff its
+    intersection with the geometry has positive area) via an even-odd
+    scanline over tile-row slabs:
+
+    - per maxzoom tile row, the slab is cut at interior vertex ys; in
+      each sub-slab a simple polygon's edges cannot cross, so midline
+      even-odd crossings pair into trapezoids whose x-projection over
+      the sub-slab is exact — every cell overlapping a projection by a
+      positive length gains positive intersection area, boundary-touch
+      cells never do (the closed-form twin of the reference's negative
+      buffer + all_touched trick);
+    - counts for coarser zooms come from 2x2 max-pooling (the dyadic
+      grid's exact equivalent of Resampling.max), summing per zoom.
+
+    O(rows x edges + marked cells) instead of the quadtree's
+    O(fragments x depth) — linear in the grid for shattered AOIs.
+    Agrees with count_tiles exactly (golden-tested)."""
+    unbuffered = pyramid.without_pixelbuffer()
+    if isinstance(geom, Bounds):
+        geom = Polygon.from_bounds(geom)
+    if isinstance(geom, Point) or geom.is_empty():
+        return 0
+    polys = geom.polygons if isinstance(geom, MultiPolygon) else [geom]
+
+    mh, mw = unbuffered.matrix_height(maxzoom), unbuffered.matrix_width(maxzoom)
+    t00 = unbuffered.tile(maxzoom, 0, 0).bounds(pixelbuffer=0)
+    tsx, tsy = t00.right - t00.left, t00.top - t00.bottom
+    left, top = t00.left, t00.top
+    grid = np.zeros((mh, mw), dtype=bool)
+
+    def _close(ring: np.ndarray) -> np.ndarray:
+        if len(ring) and not np.array_equal(ring[0], ring[-1]):
+            return np.vstack([ring, ring[:1]])
+        return ring
+
+    for poly in polys:
+        if poly.is_empty():
+            continue
+        rings = [_close(poly.exterior)] + [_close(h) for h in poly.interiors]
+        xs0 = np.concatenate([r[:-1, 0] for r in rings])
+        ys0 = np.concatenate([r[:-1, 1] for r in rings])
+        xs1 = np.concatenate([r[1:, 0] for r in rings])
+        ys1 = np.concatenate([r[1:, 1] for r in rings])
+        keep = ys0 != ys1  # horizontal edges never cross a scanline
+        xs0, ys0, xs1, ys1 = xs0[keep], ys0[keep], xs1[keep], ys1[keep]
+        if len(xs0) == 0:
+            continue
+        ylo = np.minimum(ys0, ys1)
+        yhi = np.maximum(ys0, ys1)
+        vys = np.unique(np.concatenate([ys0, ys1]))
+        bb = poly.bounds
+        r0 = max(0, int(np.floor((top - bb.top) / tsy)))
+        r1 = min(mh - 1, int(np.ceil((top - bb.bottom) / tsy)) - 1)
+        for r in range(r0, r1 + 1):
+            yt = top - r * tsy
+            yb = yt - tsy
+            sel = (ylo < yt) & (yhi > yb)
+            if not sel.any():
+                continue
+            ex0, ey0, ex1, ey1 = xs0[sel], ys0[sel], xs1[sel], ys1[sel]
+            inner = vys[(vys > yb) & (vys < yt)]
+            cuts = np.concatenate([[yb], inner, [yt]])
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                if b - a <= 0.0:
+                    continue
+                ym = 0.5 * (a + b)
+                # half-open crossing rule at the midline
+                cross = ((ey0 <= ym) & (ym < ey1)) | ((ey1 <= ym) & (ym < ey0))
+                if not cross.any():
+                    continue
+                cx0, cy0 = ex0[cross], ey0[cross]
+                cx1, cy1 = ex1[cross], ey1[cross]
+                tmid = (ym - cy0) / (cy1 - cy0)
+                xm = cx0 + tmid * (cx1 - cx0)
+                order = np.argsort(xm, kind="stable")
+                xa = cx0 + ((a - cy0) / (cy1 - cy0)) * (cx1 - cx0)
+                xb = cx0 + ((b - cy0) / (cy1 - cy0)) * (cx1 - cx0)
+                xa, xb = xa[order], xb[order]
+                n_pairs = len(order) // 2
+                for k in range(n_pairs):
+                    lo = min(xa[2 * k], xb[2 * k])
+                    hi = max(xa[2 * k + 1], xb[2 * k + 1])
+                    if hi - lo <= 0.0:
+                        continue  # degenerate sliver: zero area
+                    c0 = int(np.floor((lo - left) / tsx))
+                    if left + (c0 + 1) * tsx <= lo:
+                        c0 += 1
+                    c1 = int(np.ceil((hi - left) / tsx)) - 1
+                    if left + c1 * tsx >= hi:
+                        c1 -= 1
+                    c0, c1 = max(c0, 0), min(c1, mw - 1)
+                    if c1 >= c0:
+                        grid[r, c0 : c1 + 1] = True
+
+    count = int(grid.sum()) if maxzoom >= minzoom else 0
+    g = grid
+    for z in range(maxzoom - 1, minzoom - 1, -1):
+        nh, nw = unbuffered.matrix_height(z), unbuffered.matrix_width(z)
+        fh, fw = g.shape[0] // nh, g.shape[1] // nw
+        g = g.reshape(nh, fh, nw, fw).any(axis=(1, 3))
+        count += int(g.sum())
+    return count
 
 
 def snap_geometry_to_tiles(

@@ -268,6 +268,53 @@ class TestCountTiles:
         poly = Polygon.from_bounds(GEO.bounds)
         assert count_tiles(poly, GEO, 0, 5) == sum(2 * 4**z for z in range(6))
 
+    @pytest.mark.parametrize("mnmx", [(0, 6), (3, 6), (6, 6)])
+    def test_rasterized_matches_quadtree(self, mnmx):
+        """Golden: the rasterize fallback (tile.py:410-459 semantics)
+        equals the quadtree on bbox, n-gon and polygon-with-hole
+        AOIs."""
+        from mapchete_spark.tilegrid.cover import count_tiles_rasterized
+
+        mn, mx = mnmx
+        import numpy as np
+
+        hole_outer = Polygon.regular(-60.0, -30.0, 12.0, n=16)
+        hole_inner = Polygon.regular(-60.0, -30.0, 5.0, n=16)
+        for geom in [
+            Polygon.from_bounds(Bounds(-12.3, 4.7, 61.2, 58.9)),
+            Polygon.regular(20.0, 30.0, 15.0, n=7, phase=0.3),
+            Polygon(hole_outer.exterior, (hole_inner.exterior,)),
+        ]:
+            assert count_tiles_rasterized(geom, GEO, mn, mx) == count_tiles(
+                geom, GEO, mn, mx
+            )
+
+    def test_rasterized_matches_quadtree_overlapping_parts(self):
+        """Regression (round 4): a MultiPolygon with OVERLAPPING parts
+        can sum per-part intersection areas past the tile area and
+        falsely trigger the quadtree's full-cover 4^z shortcut; the
+        fixed quadtree, the rasterized count and brute enumeration all
+        agree."""
+        from mapchete_spark.geometry.core import MultiPolygon
+        from mapchete_spark.tilegrid.cover import count_tiles_rasterized
+
+        mp = MultiPolygon(
+            (
+                Polygon.from_bounds(Bounds(10.1, 10.1, 30.3, 25.2)),
+                Polygon.from_bounds(Bounds(18.7, 14.3, 41.9, 31.7)),
+                Polygon.from_bounds(Bounds(-20.4, -15.8, -5.2, -3.1)),
+            )
+        )
+        for mn, mx in [(0, 7), (5, 7)]:
+            q = count_tiles(mp, GEO, mn, mx)
+            ras = count_tiles_rasterized(mp, GEO, mn, mx)
+            assert q == ras
+        brute = sum(
+            len(list(tiles_from_geom(GEO, mp, z, exact=True)))
+            for z in range(5, 8)
+        )
+        assert count_tiles(mp, GEO, 5, 7) == brute
+
 
 class TestSnap:
     def test_snap_bounds(self):
