@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--zoom", type=int, nargs="*", default=None)
     args = ap.parse_args()
 
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.sources.compact import (
         DEFAULT_TARGET_ROWS,
         compact_tile_table,
@@ -45,7 +45,7 @@ def main():
         zooms=args.zoom,
     )
     print(json.dumps({"status": "done", **stats}))
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

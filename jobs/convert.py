@@ -31,7 +31,7 @@ def main():
     args = ap.parse_args()
 
     from mapchete_spark.plans.convert import convert
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.tilegrid.pyramid import TilePyramid
 
     dst_pyr = None
@@ -52,7 +52,7 @@ def main():
         scale_offset=args.scale_offset, dtype=args.dtype,
     )
     print(json.dumps({"status": "done", "stages": counts}))
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

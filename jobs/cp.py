@@ -25,7 +25,7 @@ def main():
 
     from pyspark.sql import functions as F
 
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.tilegrid.grid import Bounds
     from mapchete_spark.tilegrid.pyramid import TilePyramid
 
@@ -59,7 +59,7 @@ def main():
         os.path.join(args.dst, "metadata.json"),
     )
     print(json.dumps({"status": "done", "tiles_copied": n}))
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

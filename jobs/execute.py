@@ -31,7 +31,7 @@ def main():
 
     from mapchete_spark.plans.config import JobConfig
     from mapchete_spark.plans.job import execute
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.tilegrid.grid import Bounds
 
     cfg = JobConfig.from_file(args.config)
@@ -45,7 +45,7 @@ def main():
     spark = get_spark(f"mapchete_spark:{cfg.process}")
     counts = execute(spark, cfg, mode=args.mode)
     print(json.dumps({"status": "done", "mode": args.mode, "stages": counts}))
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

@@ -20,7 +20,7 @@ def main():
     args = ap.parse_args()
 
     from mapchete_spark.plans.job import tile_index
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
 
     spark = get_spark("mapchete_spark:index")
     idx = tile_index(spark, args.out_path, args.zoom)
@@ -29,7 +29,7 @@ def main():
         print(f"wrote {idx.count()} index rows to {args.dest}")
     else:
         idx.show(50, truncate=False)
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

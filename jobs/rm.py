@@ -27,7 +27,7 @@ def main():
 
     from pyspark.sql import functions as F
 
-    from mapchete_spark.session import get_spark
+    from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.tilegrid.grid import Bounds
     from mapchete_spark.tilegrid.pyramid import TilePyramid
 
@@ -71,7 +71,7 @@ def main():
     shutil.move(tmp, tiles_path)
     shutil.rmtree(old_path)
     print(json.dumps({"status": "done", "tiles_removed": n_dropped, "tiles_kept": n_keep}))
-    spark.stop()
+    stop_unless_kept(spark)
     return 0
 
 

@@ -36,7 +36,13 @@ LINEAGE_SCHEMA = (
     "tile_key long, zoom int, partition_id int, n_src_rows long, "
     "payload_md5 string, run_id string"
 )
-METRICS_SCHEMA = "run_id string, stage string, n_rows long, wall_ms double, at double"
+METRICS_SCHEMA = (
+    "run_id string, stage string, n_rows long, wall_ms double, at double, "
+    # J6 task-metrics profile (operators/profilers.StageMetricsProfiler;
+    # nulls when no profiler was attached)
+    "task_run_ms double, peak_mem_bytes long, shuffle_read_bytes long, "
+    "shuffle_write_bytes long, spilled_bytes long"
+)
 
 # J7 status lifecycle (reference mapchete/enums.py:34-73 Status):
 # pending -> parsing -> initializing -> running -> done | failed
@@ -117,11 +123,68 @@ class JobStore:
 
     # ---- metrics ------------------------------------------------------------
 
-    def record_metric(self, stage: str, n_rows: int, wall_ms: float):
-        self.spark.createDataFrame(
-            [(self.run_id, stage, int(n_rows), float(wall_ms), time.time())],
-            METRICS_SCHEMA,
-        ).coalesce(1).write.mode("append").parquet(self._table("metrics"))
+    def _append_rows_local(self, name: str, arrow_schema, rows) -> None:
+        """Driver-side parquet append for TINY bookkeeping rows
+        (status transitions, per-stage metrics). A Spark write job for
+        a single metadata row costs ~1s of scheduler + commit-protocol
+        overhead per call — with ~10 bookkeeping rows per job run that
+        overhead dominated small jobs. Metadata belongs driver-side
+        (the same shape as Iceberg/Delta writing manifests from the
+        driver); the files are plain parquet parts the Spark readers
+        (_read_or_empty) consume unchanged."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._table(name)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=arrow_schema),
+            os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
+        )
+
+    def record_metric(
+        self, stage: str, n_rows: int, wall_ms: float, profile: dict = None
+    ):
+        """One metrics row per stage; ``profile`` carries the Spark
+        TaskMetrics aggregate from StageMetricsProfiler (J6)."""
+        import pyarrow as pa
+
+        p = profile or {}
+        self._append_rows_local(
+            "metrics",
+            pa.schema(
+                [
+                    ("run_id", pa.string()),
+                    ("stage", pa.string()),
+                    ("n_rows", pa.int64()),
+                    ("wall_ms", pa.float64()),
+                    ("at", pa.float64()),
+                    ("task_run_ms", pa.float64()),
+                    ("peak_mem_bytes", pa.int64()),
+                    ("shuffle_read_bytes", pa.int64()),
+                    ("shuffle_write_bytes", pa.int64()),
+                    ("spilled_bytes", pa.int64()),
+                ]
+            ),
+            [
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "n_rows": int(n_rows),
+                    "wall_ms": float(wall_ms),
+                    "at": time.time(),
+                    "task_run_ms": (
+                        float(p["task_run_ms"]) if "task_run_ms" in p else None
+                    ),
+                    "peak_mem_bytes": p.get("peak_mem_bytes"),
+                    "shuffle_read_bytes": p.get("shuffle_read_bytes"),
+                    "shuffle_write_bytes": p.get("shuffle_write_bytes"),
+                    "spilled_bytes": p.get("spilled_bytes"),
+                }
+            ],
+        )
 
     def metrics(self) -> DataFrame:
         return self._read_or_empty("metrics", METRICS_SCHEMA)
@@ -133,9 +196,29 @@ class JobStore:
         ObserverProtocol.update(status=...) + Status enum semantics)."""
         if state not in STATUS_ORDER:
             raise ValueError(f"unknown status {state!r}; have {STATUS_ORDER}")
-        self.spark.createDataFrame(
-            [(self.run_id, int(seq), state, detail, time.time())], STATUS_SCHEMA
-        ).coalesce(1).write.mode("append").parquet(self._table("status"))
+        import pyarrow as pa
+
+        self._append_rows_local(
+            "status",
+            pa.schema(
+                [
+                    ("run_id", pa.string()),
+                    ("seq", pa.int32()),
+                    ("state", pa.string()),
+                    ("detail", pa.string()),
+                    ("at", pa.float64()),
+                ]
+            ),
+            [
+                {
+                    "run_id": self.run_id,
+                    "seq": int(seq),
+                    "state": state,
+                    "detail": detail,
+                    "at": time.time(),
+                }
+            ],
+        )
 
     def status(self) -> DataFrame:
         return self._read_or_empty("status", STATUS_SCHEMA)

@@ -1,0 +1,137 @@
+"""J6 task-metrics profilers — Spark-native twin of the reference's
+measurement decorators (mapchete/processing/profilers/{memory,time}.py
+attach per-task memory/time tracking; here the Spark scheduler already
+measures every task, so the profiler is a SparkListener that aggregates
+task metrics per JOB STAGE and lands them in the job's metrics table).
+
+The listener is a py4j callback object implementing
+SparkListenerInterface (the same callback-server mechanism Structured
+Streaming's foreachBatch uses): onJobStart maps Spark stage ids to the
+current job group (plans/job.py sets the group to the mapchete stage
+name), onStageCompleted folds that stage's accumulated TaskMetrics —
+peak execution memory, shuffle read/write bytes, spill bytes, executor
+run time — into the per-group totals. Works identically on a real
+cluster: TaskMetrics are collected driver-side from task completion
+events regardless of executor count.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+def _empty_profile() -> Dict[str, int]:
+    return {
+        "task_run_ms": 0,
+        "peak_mem_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "spilled_bytes": 0,
+    }
+
+
+class StageMetricsProfiler:
+    """Aggregates Spark TaskMetrics per job group.
+
+    Usage (plans/job.py):
+
+        prof = StageMetricsProfiler.attach(spark)   # None if unavailable
+        ...
+        spark.sparkContext.setJobGroup(stage_name, stage_name)
+        <run the stage action>
+        profile = prof.profile_for(stage_name)      # dict of counters
+        ...
+        prof.detach()
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._stage_to_group: Dict[int, Optional[str]] = {}
+        self.groups: Dict[Optional[str], Dict[str, int]] = defaultdict(
+            _empty_profile
+        )
+
+    # -- SparkListenerInterface callbacks (called from the JVM) --------
+
+    def onJobStart(self, job_start):
+        group = job_start.properties().get("spark.jobGroup.id")
+        infos = job_start.stageInfos()
+        for i in range(infos.size()):
+            self._stage_to_group[infos.apply(i).stageId()] = group
+
+    def onStageCompleted(self, stage_completed):
+        si = stage_completed.stageInfo()
+        group = self._stage_to_group.get(si.stageId())
+        m = si.taskMetrics()
+        agg = self.groups[group]
+        agg["task_run_ms"] += int(m.executorRunTime())
+        agg["peak_mem_bytes"] = max(
+            agg["peak_mem_bytes"], int(m.peakExecutionMemory())
+        )
+        agg["shuffle_read_bytes"] += int(
+            m.shuffleReadMetrics().totalBytesRead()
+        )
+        agg["shuffle_write_bytes"] += int(
+            m.shuffleWriteMetrics().bytesWritten()
+        )
+        agg["spilled_bytes"] += int(m.memoryBytesSpilled())
+
+    # py4j proxies dispatch by attribute lookup: every other listener
+    # callback (onTaskEnd, onExecutorAdded, ...) no-ops through here
+    def __getattr__(self, name):
+        if name == "equals":
+            return lambda other: False
+        if name == "hashCode":
+            return lambda: id(self)
+        if name == "toString":
+            return lambda: "StageMetricsProfiler"
+        return lambda *a, **k: None
+
+    class Java:
+        implements = ["org.apache.spark.scheduler.SparkListenerInterface"]
+
+    # -- driver-side API ----------------------------------------------
+
+    @classmethod
+    def attach(cls, spark) -> Optional["StageMetricsProfiler"]:
+        """Register on the listener bus; returns None if the py4j
+        callback server cannot start (never fails the job over
+        profiling)."""
+        try:
+            from pyspark.java_gateway import ensure_callback_server_started
+
+            sc = spark.sparkContext
+            ensure_callback_server_started(sc._gateway)
+            prof = cls(spark)
+            sc._jsc.sc().addSparkListener(prof)
+            return prof
+        except Exception:
+            return None
+
+    def flush(self) -> None:
+        """Drain the async listener bus so every completed stage's
+        metrics are folded in before reading (listener events trail the
+        action's return). listenerBus.waitUntilEmpty is private[spark],
+        which is public at the JVM level."""
+        try:
+            self._spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(
+                5000
+            )
+        except Exception:
+            try:
+                self._spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:
+                import time
+
+                time.sleep(0.5)
+
+    def profile_for(self, group: str) -> Dict[str, int]:
+        self.flush()
+        return dict(self.groups.get(group) or _empty_profile())
+
+    def detach(self) -> None:
+        try:
+            self._spark.sparkContext._jsc.sc().removeSparkListener(self)
+        except Exception:
+            pass

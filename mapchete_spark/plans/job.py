@@ -260,11 +260,21 @@ def execute(
         raise
     counts: Dict[str, int] = {}
 
+    # J6: per-stage Spark TaskMetrics (peak memory, shuffle bytes, spill)
+    # via a listener keyed on the job group; None if the callback server
+    # is unavailable — profiling never fails the job
+    from mapchete_spark.operators.profilers import StageMetricsProfiler
+
+    profiler = StageMetricsProfiler.attach(spark)
+
     def stage(name: str, df_fn, payload="data"):
         t0 = time.time()
         if mode == "readonly":
             counts[name] = 0
             return
+        group = f"{store.run_id}:{name}"
+        if profiler is not None:
+            spark.sparkContext.setJobGroup(group, name)
         try:
             df = df_fn()
             if mode == "continue":
@@ -294,9 +304,14 @@ def execute(
             finally:
                 df.unpersist()
         except Exception as exc:  # J7: surface the failing stage
+            if profiler is not None:
+                profiler.detach()
             notify("failed", f"{name}: {type(exc).__name__}")
             raise
-        store.record_metric(name, n, (time.time() - t0) * 1000)
+        profile = (
+            profiler.profile_for(group) if profiler is not None else None
+        )
+        store.record_metric(name, n, (time.time() - t0) * 1000, profile)
         counts[name] = n
 
     pb = max(cfg.pyramid.pixelbuffer, min_pb)
@@ -428,6 +443,8 @@ def execute(
         os.makedirs(out_path, exist_ok=True)
         with open(os.path.join(out_path, "metadata.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
+    if profiler is not None:
+        profiler.detach()
     notify("done")
     return counts
 

@@ -93,3 +93,12 @@ def _ship_package(spark: SparkSession) -> None:
                     z.write(full, rel)
     sc.addPyFile(zpath)
     sc._mapchete_spark_shipped = True
+
+
+def stop_unless_kept(spark: SparkSession) -> None:
+    """CLI entry points call this instead of spark.stop() so the jobs
+    can also run embedded in a larger application's session: with
+    MAPCHETE_SPARK_KEEP_SESSION set, the (shared, getOrCreate'd)
+    session survives the CLI main()."""
+    if not os.environ.get("MAPCHETE_SPARK_KEEP_SESSION"):
+        spark.stop()

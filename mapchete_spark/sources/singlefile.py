@@ -88,6 +88,23 @@ def write_single_artifact(
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path + ".npy", mosaic.filled(nodata))
+    # real single-file GeoTIFF alongside (sources/gtiff.py baseline
+    # TIFF; the reference's write_in_parent_process deliverable) when
+    # the CRS is an EPSG code and the dtype is TIFF-representable
+    try:
+        from mapchete_spark.sources.gtiff import encode_gtiff
+
+        with open(path + ".tif", "wb") as f:
+            f.write(
+                encode_gtiff(
+                    mosaic.filled(nodata),
+                    bounds,
+                    crs=pyramid.crs,
+                    nodata=nodata,
+                )
+            )
+    except ValueError:
+        pass  # non-EPSG custom grid / exotic dtype: .npy+.json only
     meta = dict(
         zoom=zoom,
         bounds=list(bounds),

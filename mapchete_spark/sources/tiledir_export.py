@@ -121,8 +121,13 @@ def write_tile_directory(
         json.dump(meta, f, indent=2, default=str)
 
     fmt_local = fmt
+    pyr_dict = pyramid.to_dict()
+    crs_local = getattr(pyramid, "crs", None) or "EPSG:4326"
 
     def write_partition(rows):
+        from mapchete_spark.tilegrid import TilePyramid as _TP
+
+        pyr_local = _TP(**pyr_dict)
         for r in rows:
             arr = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
                 r["bands"], r["height"], r["width"]
@@ -133,6 +138,19 @@ def write_tile_directory(
                 img = arr[0] if r["bands"] == 1 else np.moveaxis(arr, 0, 2)
                 payload = encode_png(img)
                 ext = "png"
+            elif fmt_local == "gtiff":
+                # real GeoTIFF bytes (sources/gtiff.py): georeferenced
+                # via the tile's closed-form bounds — the reference's
+                # default output driver shape (formats/default/gtiff.py)
+                from mapchete_spark.sources.gtiff import encode_gtiff
+
+                tb = pyr_local.tile(
+                    int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"])
+                ).bounds(pixelbuffer=0)
+                payload = encode_gtiff(
+                    arr, tb, crs=crs_local, nodata=r["nodata"]
+                )
+                ext = "tif"
             else:
                 import io
 

@@ -11,7 +11,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from mapchete_spark.session import get_spark
 
-    s = get_spark("mapchete_spark_tests", master="local[4]", shuffle_partitions=8)
+    # local[8]: the job tests push 262KB tile rows through several
+    # shuffle stages each — 8 threads roughly halves the suite's
+    # Spark-job wall time vs local[4] on this 32-core box while keeping
+    # per-test parallelism low enough to not fight the whole machine
+    extra = {}
+    if not os.environ.get("SPARK_GRAFT_TEST_CODEGEN"):
+        # Janino whole-stage compilation costs 100-300ms per UNIQUE
+        # plan; this suite runs thousands of unique tiny plans, so
+        # compile time dominates execution (measured: test_config_job
+        # 108s -> 71s with codegen off). Interpreted mode evaluates the
+        # SAME Catalyst expressions — values, exchanges and broadcasts
+        # (what the plan tests assert) are unchanged. The driver's
+        # correctness gate and bench.py keep codegen ON.
+        extra["spark.sql.codegen.wholeStage"] = "false"
+    s = get_spark(
+        "mapchete_spark_tests", master="local[8]", shuffle_partitions=8,
+        extra_conf=extra,
+    )
     yield s
     s.stop()
 
@@ -38,3 +55,36 @@ def duck():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     yield con
     con.close()
+
+
+def run_cli_inproc(script: str, argv):
+    """Run a jobs/<script>.py main() IN-PROCESS against the shared test
+    session (MAPCHETE_SPARK_KEEP_SESSION short-circuits the CLI's
+    spark.stop). Subprocess JVM boots cost ~13s each; one canonical
+    subprocess test keeps the true spark-submit path covered while the
+    breadth tests use this. Returns (rc, stdout_text)."""
+    import contextlib
+    import importlib.util
+    import io
+    import sys as _sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "jobs", f"{script}.py")
+    spec = importlib.util.spec_from_file_location(f"_jobs_{script}_inproc", path)
+    mod = importlib.util.module_from_spec(spec)
+    old_argv = _sys.argv
+    old_keep = os.environ.get("MAPCHETE_SPARK_KEEP_SESSION")
+    _sys.argv = [path] + [str(a) for a in argv]
+    os.environ["MAPCHETE_SPARK_KEEP_SESSION"] = "1"
+    buf = io.StringIO()
+    try:
+        spec.loader.exec_module(mod)
+        with contextlib.redirect_stdout(buf):
+            rc = mod.main()
+    finally:
+        _sys.argv = old_argv
+        if old_keep is None:
+            os.environ.pop("MAPCHETE_SPARK_KEEP_SESSION", None)
+        else:
+            os.environ["MAPCHETE_SPARK_KEEP_SESSION"] = old_keep
+    return rc or 0, buf.getvalue()

@@ -72,13 +72,9 @@ def test_convert_cli_smoke(spark, tmp_path, src_output):
     import sys
 
     dst = str(tmp_path / "dst_cli")
-    env = dict(os.environ)
-    res = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "jobs", "convert.py"),
-         src_output, dst, "--scale-ratio", "1.0"],
-        capture_output=True, text=True, env=env, timeout=300,
-    )
-    assert res.returncode == 0, res.stderr[-2000:]
-    out = json.loads(res.stdout.strip().splitlines()[-1])
+    from tests.conftest import run_cli_inproc
+
+    rc, out_txt = run_cli_inproc("convert", [src_output, dst, "--scale-ratio", "1.0"])
+    assert rc == 0
+    out = json.loads(out_txt.strip().splitlines()[-1])
     assert out["status"] == "done" and out["stages"]["convert_z4"] > 0

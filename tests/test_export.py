@@ -120,6 +120,15 @@ class TestSingleFile:
         c0 = int(((-180.0 + row["tile_col"] * 5.625) - side["bounds"][0]) / side["pixel_x_size"])
         window = arr[:, r0 : r0 + 256, c0 : c0 + 256]
         np.testing.assert_array_equal(window, tile_arr)
+        # round 4: the sibling single-file GeoTIFF carries the same
+        # pixels and georeferencing
+        from mapchete_spark.sources.gtiff import decode_gtiff
+
+        with open(str(tmp_path / "dem_z5.tif"), "rb") as f:
+            tif_arr, tif_bounds, epsg, _ = decode_gtiff(f.read())
+        np.testing.assert_array_equal(tif_arr, arr)
+        assert epsg == 4326
+        assert np.allclose(list(tif_bounds), side["bounds"])
 
     def test_threshold_guard(self, spark):
         import pytest
@@ -195,7 +204,7 @@ class TestCompaction:
                 zoom_levels={"min": 4, "max": 5},
                 pyramid={"grid": "geodetic"},
                 input={"source": "dem", "hole": False},
-                bounds=[0.0, 0.0, 90.0, 60.0],
+                bounds=[0.0, 20.0, 45.0, 50.0],
                 process_parameters={"scale_ratio": 1.0},
                 output={"path": out, "format": "parquet_tiles"},
             )
@@ -255,7 +264,7 @@ class TestCompaction:
                 zoom_levels={"min": 4, "max": 5},
                 pyramid={"grid": "geodetic"},
                 input={"source": "dem", "hole": False},
-                bounds=[0.0, 0.0, 90.0, 60.0],
+                bounds=[0.0, 20.0, 45.0, 50.0],
                 process_parameters={"scale_ratio": 1.0},
                 output={"path": out, "format": "parquet_tiles"},
             )

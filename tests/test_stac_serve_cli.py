@@ -3,6 +3,12 @@
 import json
 import os
 import subprocess
+
+# CLI subprocesses boot their own JVM; a lean one (6 threads, 4g)
+# starts seconds faster than the 32-thread default and the smoke
+# jobs don't need more
+_LEAN_CLI_ENV = dict(os.environ, SPARK_GRAFT_CPUS="6", SPARK_DRIVER_MEM="4g")
+
 import sys
 
 import numpy as np
@@ -50,7 +56,7 @@ class TestStac:
     def test_stac_cli(self, output):
         res = subprocess.run(
             [sys.executable, os.path.join(HERE, "jobs", "stac.py"), output],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=120,
         )
         assert res.returncode == 0, res.stderr[-1000:]
         with open(os.path.join(output, "stac_item.json")) as f:
@@ -115,7 +121,7 @@ class TestCliBreadth:
     def test_processes_cli(self):
         res = subprocess.run(
             [sys.executable, os.path.join(HERE, "jobs", "processes.py")],
-            capture_output=True, text=True, timeout=60,
+            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=60,
         )
         assert res.returncode == 0
         procs = json.loads(res.stdout)
@@ -124,7 +130,7 @@ class TestCliBreadth:
     def test_formats_cli(self):
         res = subprocess.run(
             [sys.executable, os.path.join(HERE, "jobs", "formats.py")],
-            capture_output=True, text=True, timeout=60,
+            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=60,
         )
         assert res.returncode == 0
         fmts = json.loads(res.stdout)
@@ -135,7 +141,7 @@ class TestCliBreadth:
         procp = str(tmp_path / "new_process.py")
         res = subprocess.run(
             [sys.executable, os.path.join(HERE, "jobs", "create.py"), cfgp, procp],
-            capture_output=True, text=True, timeout=60,
+            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=60,
         )
         assert res.returncode == 0, res.stderr[-500:]
         from mapchete_spark.plans.config import JobConfig
@@ -145,24 +151,22 @@ class TestCliBreadth:
         kind, fn, _ = resolve_process(cfg)
         assert kind == "raster"
 
-    def test_cp_and_rm_cli(self, output, tmp_path):
+    def test_cp_and_rm_cli(self, spark, output, tmp_path):
+        from tests.conftest import run_cli_inproc
+
         dst = str(tmp_path / "copy")
-        res = subprocess.run(
-            [sys.executable, os.path.join(HERE, "jobs", "cp.py"), output, dst,
-             "--zoom", "4", "--bounds", "0", "20", "22", "50"],
-            capture_output=True, text=True, timeout=300,
+        rc, out_txt = run_cli_inproc(
+            "cp", [output, dst, "--zoom", "4", "--bounds", "0", "20", "22", "50"]
         )
-        assert res.returncode == 0, res.stderr[-1000:]
-        n_copied = json.loads(res.stdout.strip().splitlines()[-1])["tiles_copied"]
+        assert rc == 0
+        n_copied = json.loads(out_txt.strip().splitlines()[-1])["tiles_copied"]
         assert 0 < n_copied
 
-        res = subprocess.run(
-            [sys.executable, os.path.join(HERE, "jobs", "rm.py"), dst,
-             "--zoom", "4", "--bounds", "0", "20", "11", "50"],
-            capture_output=True, text=True, timeout=300,
+        rc, out_txt = run_cli_inproc(
+            "rm", [dst, "--zoom", "4", "--bounds", "0", "20", "11", "50"]
         )
-        assert res.returncode == 0, res.stderr[-1000:]
-        stats = json.loads(res.stdout.strip().splitlines()[-1])
+        assert rc == 0
+        stats = json.loads(out_txt.strip().splitlines()[-1])
         assert stats["tiles_removed"] > 0
         assert stats["tiles_kept"] + stats["tiles_removed"] == n_copied
 
@@ -180,19 +184,19 @@ class TestExecuteIndexCli:
         res = subprocess.run(
             [sys.executable, os.path.join(HERE, "jobs", "execute.py"), cfg,
              "--mode", "overwrite", "--zoom", "4", "--out", out],
-            capture_output=True, text=True, timeout=600,
+            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=600,
         )
         assert res.returncode == 0, res.stderr[-2000:]
         stages = json.loads(res.stdout.strip().splitlines()[-1])["stages"]
         assert stages["process_z4"] > 0
 
-        res = subprocess.run(
-            [sys.executable, os.path.join(HERE, "jobs", "index.py"), out,
-             "--zoom", "4", "--dest", str(tmp_path / "idx")],
-            capture_output=True, text=True, timeout=300,
+        from tests.conftest import run_cli_inproc
+
+        rc, out_txt = run_cli_inproc(
+            "index", [out, "--zoom", "4", "--dest", str(tmp_path / "idx")]
         )
-        assert res.returncode == 0, res.stderr[-2000:]
-        assert "index rows" in res.stdout
+        assert rc == 0
+        assert "index rows" in out_txt
 
 
 class TestCompactCli:
@@ -218,20 +222,11 @@ class TestCompactCli:
         )
         run_job(spark, cfg, mode="overwrite")
         n_before = spark.read.parquet(f"{out}/tiles").count()
-        res = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(HERE, "jobs", "compact.py"),
-                out,
-                "--target-rows",
-                "8",
-            ],
-            capture_output=True,
-            text=True,
-            timeout=300,
-        )
-        assert res.returncode == 0, res.stderr[-800:]
-        stats = json.loads(res.stdout.strip().splitlines()[-1])
+        from tests.conftest import run_cli_inproc
+
+        rc, out_txt = run_cli_inproc("compact", [out, "--target-rows", "8"])
+        assert rc == 0
+        stats = json.loads(out_txt.strip().splitlines()[-1])
         assert stats["status"] == "done"
         assert stats["rows"] == n_before
         assert spark.read.parquet(f"{out}/tiles").count() == n_before
