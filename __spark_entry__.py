@@ -2033,17 +2033,12 @@ def q_png_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (same twin as the hillshade query)."""
     import tempfile
 
-    import pandas as pd
+    import numpy as np
 
-    from mapchete_spark.operators.process import process_hillshade, run_raster_process
-    from mapchete_spark.operators.rastertable import materialize_dem
     from mapchete_spark.sources.tiledir_export import decode_png_gray, write_tile_directory
-    from mapchete_spark.tilegrid import Bounds
 
     pyr, _ = _raster_ctx()
     hs = _hillshade_tiles(spark)
-    import numpy as np
-
     d = tempfile.mkdtemp(prefix="msq_png_")
     write_tile_directory(hs, d, pyr, fmt="png")
     rows = []

@@ -52,75 +52,68 @@ def _epsg_code(crs: str) -> int:
     raise ValueError(f"gtiff writer needs an EPSG code, got {crs!r}")
 
 
-def encode_gtiff(
+def _ifd_block(
     arr: np.ndarray,
     bounds: Bounds,
-    crs: str = "EPSG:4326",
-    nodata: Optional[float] = None,
+    epsg: int,
+    nodata: Optional[float],
+    base: int,
+    next_ifd: int,
+    reduced: bool = False,
 ) -> bytes:
-    """(bands, h, w) array + bounds + EPSG -> baseline GeoTIFF bytes."""
-    if arr.ndim == 2:
-        arr = arr[None, :, :]
+    """One complete IFD block (entry table + next-IFD pointer + out-of-
+    line values + pixel data) with all offsets ABSOLUTE assuming the
+    block starts at file offset ``base``. Chaining blocks via
+    ``next_ifd`` yields a multi-IFD file (the COG overview layout)."""
     bands, h, w = arr.shape
     dt = arr.dtype
     if dt not in _SAMPLE_FORMAT:
         raise ValueError(f"unsupported gtiff dtype {dt}")
     bits = dt.itemsize * 8
     fmt = _SAMPLE_FORMAT[dt]
-    epsg = _epsg_code(crs)
 
-    # pixel data: contiguous planar = (h, w, bands) interleaved
     pixels = np.ascontiguousarray(
         np.moveaxis(arr, 0, 2), dtype=dt.newbyteorder("<")
     ).tobytes()
-
     sx = (bounds.right - bounds.left) / w
     sy = (bounds.top - bounds.bottom) / h
 
     geo_keys = [
-        # KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys
         (1, 1, 0, 3),
-        # GTModelTypeGeoKey: 2 geographic / 1 projected
         (1024, 0, 1, 2 if epsg == 4326 else 1),
-        # GTRasterTypeGeoKey: 1 = PixelIsArea
         (1025, 0, 1, 1),
         (2048 if epsg == 4326 else 3072, 0, 1, epsg),
     ]
     geo_shorts = [v for row in geo_keys for v in row]
 
-    entries = []  # (tag, type, count, value_or_bytes, inline)
+    entries = []
 
     def entry(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
+    if reduced:
+        entry(254, _TYPE_LONG, 1, 1)  # NewSubfileType: reduced-resolution
     entry(256, _TYPE_LONG, 1, w)
     entry(257, _TYPE_LONG, 1, h)
     entry(258, _TYPE_SHORT, bands, [bits] * bands)
-    entry(259, _TYPE_SHORT, 1, 1)  # no compression
-    entry(262, _TYPE_SHORT, 1, 1)  # BlackIsZero
-    entry(273, _TYPE_LONG, 1, None)  # strip offset — patched below
+    entry(259, _TYPE_SHORT, 1, 1)
+    entry(262, _TYPE_SHORT, 1, 1)
+    entry(273, _TYPE_LONG, 1, None)  # patched after layout
     entry(277, _TYPE_SHORT, 1, bands)
-    entry(278, _TYPE_LONG, 1, h)  # one strip
+    entry(278, _TYPE_LONG, 1, h)
     entry(279, _TYPE_LONG, 1, len(pixels))
-    entry(284, _TYPE_SHORT, 1, 1)  # contiguous planar
+    entry(284, _TYPE_SHORT, 1, 1)
     entry(339, _TYPE_SHORT, bands, [fmt] * bands)
     entry(33550, _TYPE_DOUBLE, 3, [sx, sy, 0.0])
     entry(33922, _TYPE_DOUBLE, 6, [0.0, 0.0, 0.0, bounds.left, bounds.top, 0.0])
     entry(34735, _TYPE_SHORT, len(geo_shorts), geo_shorts)
-    nod_ascii = None
     if nodata is not None:
         nod_ascii = (repr(float(nodata)).rstrip("0").rstrip(".") or "0") + "\x00"
         entry(42113, _TYPE_ASCII, len(nod_ascii), nod_ascii)
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_offset = 8
-    data_start = ifd_offset + 2 + n * 12 + 4  # after entry table + next-IFD
-
-    # lay out out-of-line values, then pixels
-    blobs = []
-    offsets = {}
-    cursor = data_start
+    data_start = base + 2 + n * 12 + 4
 
     def _pack_value(typ, count, value) -> bytes:
         if typ == _TYPE_SHORT:
@@ -136,13 +129,14 @@ def encode_gtiff(
         raise AssertionError(typ)
 
     type_size = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}
+    blobs, offsets, cursor = [], {}, data_start
     for tag, typ, count, value in entries:
         if tag == 273:
-            continue  # patched after layout
+            continue
         nbytes = type_size[typ] * count
         if nbytes > 4:
             packed = _pack_value(typ, count, value)
-            if cursor % 2:  # word-align
+            if cursor % 2:
                 blobs.append(b"\x00")
                 cursor += 1
             offsets[tag] = cursor
@@ -154,7 +148,6 @@ def encode_gtiff(
     pixel_offset = cursor
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
     out += struct.pack("<H", n)
     for tag, typ, count, value in entries:
         if tag == 273:
@@ -166,10 +159,61 @@ def encode_gtiff(
             else:
                 value_bytes = _pack_value(typ, count, value).ljust(4, b"\x00")
         out += struct.pack("<HHI", tag, typ, count) + value_bytes
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<I", next_ifd)
     for b in blobs:
         out += b
     out += pixels
+    return bytes(out)
+
+
+def encode_gtiff(
+    arr: np.ndarray,
+    bounds: Bounds,
+    crs: str = "EPSG:4326",
+    nodata: Optional[float] = None,
+) -> bytes:
+    """(bands, h, w) array + bounds + EPSG -> baseline GeoTIFF bytes."""
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    epsg = _epsg_code(crs)
+    return (
+        struct.pack("<2sHI", b"II", 42, 8)
+        + _ifd_block(arr, bounds, epsg, nodata, base=8, next_ifd=0)
+    )
+
+
+def encode_gtiff_overviews(
+    arrs,
+    bounds: Bounds,
+    crs: str = "EPSG:4326",
+    nodata: Optional[float] = None,
+) -> bytes:
+    """Full-resolution array + reduced-resolution overview arrays ->
+    one multi-IFD GeoTIFF (the Cloud-Optimized-GeoTIFF overview
+    layout: IFD 0 is the full image, chained IFDs carry
+    NewSubfileType=1 reduced-resolution levels over the SAME bounds —
+    reference single-file COG output, formats/default/gtiff.py
+    overviews path)."""
+    arrs = [a[None, :, :] if a.ndim == 2 else a for a in arrs]
+    epsg = _epsg_code(crs)
+    head = 8
+    blocks = []
+    base = head
+    for i, a in enumerate(arrs):
+        # two passes: sizes depend only on content, so build once with
+        # next_ifd=0 to learn the length, then rebuild with the real
+        # pointer (lengths are pointer-independent)
+        probe = _ifd_block(
+            a, bounds, epsg, nodata, base=base, next_ifd=0, reduced=i > 0
+        )
+        blocks.append((base, len(probe), a, i))
+        base += len(probe)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, head))
+    for j, (b0, blen, a, i) in enumerate(blocks):
+        next_ifd = blocks[j + 1][0] if j + 1 < len(blocks) else 0
+        out += _ifd_block(
+            a, bounds, epsg, nodata, base=b0, next_ifd=next_ifd, reduced=i > 0
+        )
     return bytes(out)
 
 
@@ -183,6 +227,23 @@ def decode_gtiff(
     if buf[:4] != b"II\x2a\x00":
         raise ValueError("not a little-endian classic TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    return _decode_ifd(buf, ifd_off)[0]
+
+
+def decode_gtiff_all(buf: bytes):
+    """Every IFD of a (possibly multi-IFD / COG-overview) GeoTIFF:
+    list of (array, bounds, epsg, nodata) from IFD 0 downward."""
+    if buf[:4] != b"II\x2a\x00":
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    out = []
+    while ifd_off:
+        level, ifd_off = _decode_ifd(buf, ifd_off)
+        out.append(level)
+    return out
+
+
+def _decode_ifd(buf: bytes, ifd_off: int):
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     tags = {}
     type_size = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}
@@ -229,4 +290,5 @@ def decode_gtiff(
             nodata = float(tags[42113])
         except ValueError:
             pass
-    return arr, bounds, epsg, nodata
+    (next_ifd,) = struct.unpack_from("<I", buf, ifd_off + 2 + n * 12)
+    return (arr, bounds, epsg, nodata), next_ifd

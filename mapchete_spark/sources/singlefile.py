@@ -118,3 +118,51 @@ def write_single_artifact(
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+def write_single_cog(
+    tiles: DataFrame,
+    pyramid: TilePyramid,
+    zooms,
+    path: str,
+    threshold_bytes: int = IN_MEMORY_THRESHOLD,
+) -> dict:
+    """Single-file COG-layout GeoTIFF: the finest zoom as IFD 0 plus
+    one reduced-resolution IFD per coarser zoom (NewSubfileType=1),
+    all georeferenced over the base zoom's snapped bounds — the
+    reference's single-file overview deliverable
+    (formats/default/gtiff.py COG path). Every level is cropped to the
+    base window so readers can treat level k as a 1/2^k preview."""
+    from mapchete_spark.sources.gtiff import encode_gtiff_overviews
+
+    zooms = sorted(set(int(z) for z in zooms), reverse=True)
+    base_arr, base_bounds, nodata = assemble_single_array(
+        tiles, pyramid, zooms[0], threshold_bytes
+    )
+    arrs = [base_arr.filled(nodata)]
+    for z in zooms[1:]:
+        arr, bnds, _ = assemble_single_array(tiles, pyramid, z, threshold_bytes)
+        px, py = pyramid.pixel_x_size(z), pyramid.pixel_y_size(z)
+        c0 = int(round((base_bounds.left - bnds.left) / px))
+        r0 = int(round((bnds.top - base_bounds.top) / py))
+        h = int(round((base_bounds.top - base_bounds.bottom) / py))
+        w = int(round((base_bounds.right - base_bounds.left) / px))
+        arrs.append(arr.filled(nodata)[:, r0 : r0 + h, c0 : c0 + w])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + ".tif", "wb") as f:
+        f.write(
+            encode_gtiff_overviews(
+                arrs, base_bounds, crs=pyramid.crs, nodata=nodata
+            )
+        )
+    meta = dict(
+        zooms=zooms,
+        bounds=list(base_bounds),
+        shapes=[list(a.shape) for a in arrs],
+        dtype=str(arrs[0].dtype),
+        nodata=nodata,
+        crs=pyramid.crs,
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

@@ -318,3 +318,54 @@ def math_ceil_files(n_rows, target):
 
     # per-zoom ceil sums can exceed one global ceil by (n_zooms - 1)
     return math.ceil(n_rows / target) + 2
+
+
+class TestSingleCog:
+    def test_cog_levels_match_overview_mosaics(self, spark, tmp_path):
+        """write_single_cog: IFD 0 equals the base-zoom mosaic; each
+        chained reduced-resolution IFD equals the corresponding
+        overview zoom's mosaic window over the base bounds; all levels
+        share the base georeferencing."""
+        import numpy as np
+
+        from mapchete_spark.operators.overviews import build_overviews
+        from mapchete_spark.operators.rastertable import materialize_dem
+        from mapchete_spark.sources.gtiff import decode_gtiff_all
+        from mapchete_spark.sources.singlefile import (
+            assemble_single_array,
+            write_single_cog,
+        )
+        from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+        pyr = TilePyramid("geodetic")
+        aoi = Bounds(0.0, 20.0, 45.0, 50.0)
+        dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
+        levels = build_overviews(dem, pyr, 5, 3, resampling="average")
+        table = dem
+        for _z, df in levels:
+            if _z != 5:
+                table = table.unionByName(df)
+        meta = write_single_cog(table, pyr, [5, 4, 3], str(tmp_path / "cog"))
+        with open(str(tmp_path / "cog.tif"), "rb") as f:
+            ifds = decode_gtiff_all(f.read())
+        assert len(ifds) == 3
+        base_arr, base_bounds, nodata = assemble_single_array(table, pyr, 5)
+        np.testing.assert_array_equal(ifds[0][0], base_arr.filled(nodata))
+        assert np.allclose(list(ifds[0][1]), list(base_bounds))
+        # each overview IFD: same bounds, halved raster, values from
+        # that zoom's own mosaic
+        prev_shape = ifds[0][0].shape
+        for k, (arr, bnds, epsg, nod) in enumerate(ifds[1:], start=1):
+            assert np.allclose(list(bnds), list(base_bounds))
+            assert arr.shape[1] * 2**k == prev_shape[1]
+            z = 5 - k
+            ov_arr, ov_bounds, _ = assemble_single_array(table, pyr, z)
+            px, py = pyr.pixel_x_size(z), pyr.pixel_y_size(z)
+            c0 = int(round((base_bounds.left - ov_bounds.left) / px))
+            r0 = int(round((ov_bounds.top - base_bounds.top) / py))
+            np.testing.assert_array_equal(
+                arr,
+                ov_arr.filled(nodata)[
+                    :, r0 : r0 + arr.shape[1], c0 : c0 + arr.shape[2]
+                ],
+            )
