@@ -4057,6 +4057,31 @@ def o_compact_roundtrip() -> str:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition quality rules (Rae et al. 2021
+    A1.1): per-doc duplicate-word fraction, top-bigram fraction and
+    longest same-token run, plus the composite keep decision — ONE
+    Arrow mapInPandas pass, map-only, zero shuffle, no corpus state
+    (a posexplode+groupBy twin would shuffle the full token stream).
+    Oracle re-derives every statistic via UNNEST + window SQL."""
+    from mapchete_spark.functions.repetition import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model document scoring (CCNet/Gopher LM-filter shape):
+    corpus unigram counts (one shuffle, bounded vocab) BROADCAST to a
+    map-only Arrow scoring pass — the corpus is never shuffled for
+    scoring. Integer rarity (floor(1e9/cnt) per token) keeps the score
+    hash-exact across engines."""
+    from mapchete_spark.functions.rarity import rarity_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rarity_scores(docs).orderBy("doc_id")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
     the FIRST 50 entries only. Round-4 ordering policy: queries with no
@@ -4118,10 +4143,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": q_quality_quantiles,
         "job_multi_input": q_job_multi_input,
         "ngram_decontam": q_ngram_decontam,
+        "gtiff_export": q_gtiff_export,
+        "repetition_stats": q_repetition_stats,
+        "rarity_scores": q_rarity_scores,
+        # ---------------- driver cap boundary (position 50) ----------------
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
-        "gtiff_export": q_gtiff_export,
-        # ---------------- driver cap boundary (position 50) ----------------
         "salted_tile_digest": q_salted_tile_digest,
         "dem_tiles": q_dem_tiles,
         "dem_tiles_meta": q_dem_tiles_meta,
@@ -4496,4 +4523,8 @@ def oracle_sql() -> dict[str, str]:
     out["laea_reproject"] = laea_reproject_sql()
     out["compact_roundtrip"] = o_compact_roundtrip()
     out["gtiff_export"] = o_gtiff_export()
+    from mapchete_spark.functions.repetition import repetition_stats_sql
+    out["repetition_stats"] = repetition_stats_sql()
+    from mapchete_spark.functions.rarity import rarity_scores_sql
+    out["rarity_scores"] = rarity_scores_sql()
     return out

@@ -51,3 +51,66 @@ def test_quantiles_monotone(spark, sf_dir):
     for r in quality_quantiles(docs).collect():
         assert r["chars_p10"] <= r["chars_p50"] <= r["chars_p90"] <= r["chars_p99"]
         assert r["tokens_p10"] <= r["tokens_p50"] <= r["tokens_p90"] <= r["tokens_p99"]
+
+
+class TestRepetitionStats:
+    def test_map_only_plan(self, spark, sf_dir):
+        """repetition_stats must not shuffle: one Arrow mapInPandas
+        stage, no Exchange/Window (the per-doc statistics need no
+        corpus-wide state)."""
+        from mapchete_spark.functions.repetition import repetition_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+
+    def test_invariants_and_known_values(self, spark):
+        """Hand-checkable docs: all-same tokens, all-distinct tokens,
+        and a looped bigram."""
+        from mapchete_spark.functions.repetition import repetition_stats
+
+        rows = [
+            (1, "a a a a a a"),                  # total repetition
+            (2, "one two three four five six"),  # no repetition
+            (3, "x y x y x y x y"),              # bigram loop
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        r1 = got[1]
+        assert r1["n_tokens"] == 6 and r1["max_word_run"] == 6
+        assert abs(r1["dup_word_frac"] - (1 - 1 / 6)) < 1e-6
+        assert not r1["gopher_keep"]
+        r2 = got[2]
+        assert r2["dup_word_frac"] == 0.0 and r2["max_word_run"] == 1
+        assert r2["gopher_keep"]
+        r3 = got[3]
+        # "x y" occurs 4 times over 7 bigrams
+        assert abs(r3["top_bigram_frac"] - round(4 / 7, 6)) < 1e-9
+        assert not r3["gopher_keep"]
+
+
+class TestRarityScores:
+    def test_scoring_is_map_only_with_broadcast_model(self, spark, sf_dir):
+        """The scoring pass must not shuffle the corpus: vocabulary is
+        collected once (bounded) and broadcast; the per-doc stage is a
+        single mapInPandas."""
+        from mapchete_spark.functions.rarity import rarity_scores
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            rarity_scores(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_known_values(self, spark):
+        from mapchete_spark.functions.rarity import RARITY_SCALE, rarity_scores
+
+        rows = [(1, "a a b"), (2, "b c")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in rarity_scores(docs).collect()}
+        # counts: a=2, b=2, c=1
+        assert got[1]["rarity_q"] == 2 * (RARITY_SCALE // 2) + RARITY_SCALE // 2
+        assert got[2]["rarity_q"] == RARITY_SCALE // 2 + RARITY_SCALE
