@@ -4141,12 +4141,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "s2_cells": q_s2_cells,
         "quality_quantiles": q_quality_quantiles,
-        "job_multi_input": q_job_multi_input,
         "ngram_decontam": q_ngram_decontam,
         "gtiff_export": q_gtiff_export,
         "repetition_stats": q_repetition_stats,
         "rarity_scores": q_rarity_scores,
+        "pipeline_quality": q_pipeline_quality,
         # ---------------- driver cap boundary (position 50) ----------------
+        "job_multi_input": q_job_multi_input,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
         "salted_tile_digest": q_salted_tile_digest,
@@ -4357,6 +4358,135 @@ def o_pipeline_e2e() -> str:
     """
 
 
+def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated corpus pipeline COMPOSITION (round 4): exact dedup
+    -> Gopher repetition filter (functions/repetition, map-only) ->
+    corpus rarity scoring (broadcast model, map-only) -> per-language
+    survivor statistics with an exact integer rarity sum. Extends the
+    pipeline_e2e pattern with the two round-4 quality operators so
+    their composition (not just each operator alone) is oracle-checked.
+    Plan: dedup's groupBy and the bounded vocab build are the only
+    shuffles; both filters are map-only scans.
+
+    NOTE: rarity is computed over the FULL corpus model (the model is
+    built before filtering, like a decontamination blocklist), then
+    survivors are scored."""
+    from mapchete_spark.functions.rarity import rarity_scores
+    from mapchete_spark.functions.repetition import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = docs.join(keepers, "doc_id")
+    rep = repetition_stats(surviving).where(F.col("gopher_keep"))
+    scored = rarity_scores(docs).select("doc_id", "rarity_q")
+    kept = (
+        surviving.join(rep.select("doc_id"), "doc_id")
+        .join(scored, "doc_id")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("rarity_q").alias("sum_rarity"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col("doc_id").cast("string"))
+                    ),
+                )
+            ).alias("ids_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+def o_pipeline_quality() -> str:
+    from mapchete_spark.functions.rarity import RARITY_SCALE
+    from mapchete_spark.functions.repetition import (
+        MAX_DUP_WORD_FRAC,
+        MAX_TOP_BIGRAM_FRAC,
+        MAX_WORD_RUN,
+    )
+
+    return f"""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    surviving AS (
+        SELECT d.* FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+    ),
+    tok_all AS (
+        SELECT d.doc_id, g.i AS pos, string_split(d.text, ' ')[g.i] AS tok,
+               len(string_split(d.text, ' ')) AS n
+        FROM documents d,
+             UNNEST(generate_series(1, len(string_split(d.text, ' ')))) AS g(i)
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok_all GROUP BY tok),
+    rarity AS (
+        SELECT t.doc_id, SUM({RARITY_SCALE} // v.cnt) AS rarity_q
+        FROM tok_all t JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+    ),
+    tok AS (SELECT * FROM tok_all WHERE doc_id IN (SELECT doc_id FROM surviving)),
+    base AS (
+        SELECT doc_id, MAX(n) AS n_tokens,
+               ROUND(1.0 - COUNT(DISTINCT tok) * 1.0 / COUNT(*), 6) AS dupf
+        FROM tok GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, tok || CHR(1) || LEAD(tok) OVER w AS bigram
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bi_cnt AS (
+        SELECT doc_id, COUNT(*) AS c FROM bi
+        WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    ),
+    top_bi AS (
+        SELECT b.doc_id, ROUND(MAX(b.c) * 1.0 / (base.n_tokens - 1), 6) AS tbf
+        FROM bi_cnt b JOIN base ON base.doc_id = b.doc_id
+        WHERE base.n_tokens > 1 GROUP BY b.doc_id, base.n_tokens
+    ),
+    runs AS (
+        SELECT doc_id, tok,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        FROM tok
+    ),
+    max_run AS (
+        SELECT doc_id, MAX(run_len) AS mwr FROM (
+            SELECT doc_id, COUNT(*) AS run_len FROM runs
+            GROUP BY doc_id, tok, grp
+        ) GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT s.doc_id, s.lang, s.n_chars, r.rarity_q
+        FROM surviving s
+        JOIN base ON base.doc_id = s.doc_id
+        JOIN max_run ON max_run.doc_id = s.doc_id
+        LEFT JOIN top_bi ON top_bi.doc_id = s.doc_id
+        JOIN rarity r ON r.doc_id = s.doc_id
+        WHERE base.dupf <= {MAX_DUP_WORD_FRAC!r}
+          AND COALESCE(top_bi.tbf, 0.0) <= {MAX_TOP_BIGRAM_FRAC!r}
+          AND max_run.mwr <= {MAX_WORD_RUN}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(rarity_q) AS BIGINT) AS sum_rarity,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS ids_digest
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
 def q_job_multi_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named MULTI-INPUT job (reference examples/file_groups): jobs A
     and B write independent affine transforms of the lattice; job C
@@ -4527,4 +4657,5 @@ def oracle_sql() -> dict[str, str]:
     out["repetition_stats"] = repetition_stats_sql()
     from mapchete_spark.functions.rarity import rarity_scores_sql
     out["rarity_scores"] = rarity_scores_sql()
+    out["pipeline_quality"] = o_pipeline_quality()
     return out

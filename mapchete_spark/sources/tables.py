@@ -65,3 +65,26 @@ def load_docs(
     if with_spans_col:
         df = with_spans(df)
     return df
+
+
+def iceberg_session_conf(catalog: str = "mapchete", warehouse: str = None) -> dict:
+    """Session conf enabling a real Iceberg catalog when the
+    iceberg-spark-runtime jar is on the classpath (it is NOT in this
+    sandbox — the engine reads/writes Iceberg-STYLE parquet table paths
+    here, which is schema- and layout-compatible). On a production
+    cluster, pass this dict to ``session.get_spark(extra_conf=...)``
+    and the same DataFrames go through ``spark.table()`` /
+    ``df.writeTo(...)`` against the catalog, gaining Iceberg's snapshot
+    isolation + manifests on top of the identical physical layout
+    (partition-by-zoom, z-order-sorted row groups — compact.py is the
+    rewrite-data-files analog)."""
+    conf = {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+    if warehouse:
+        conf[f"spark.sql.catalog.{catalog}.warehouse"] = warehouse
+    return conf

@@ -467,3 +467,35 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: Optional[str] = None,
+):
+    """Streaming Gopher repetition filter: per-doc repetition stats
+    (functions/repetition.repetition_stats — map-only Arrow pass, so it
+    lifts onto a stream unchanged) computed as documents arrive; rows
+    for KEPT documents append to the survivors table through the
+    transactional file sink. Exactly-once via the source offset log; no
+    state store (every statistic is per-document)."""
+    from pyspark.sql import functions as _F
+
+    from mapchete_spark.functions.repetition import repetition_stats
+
+    schema = schema or (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    stats = repetition_stats(stream).where(_F.col("gopher_keep"))
+    return (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -347,3 +347,36 @@ class TestStreamDecontamination:
         want = sorted(tuple(r) for r in ngram_contamination(docs).collect())
         assert got == want
         docs.unpersist()
+
+
+class TestStreamingQualityFilter:
+    def test_two_batches_equal_batch_operator(self, spark, tmp_path, sf_dir):
+        """stream_quality_filter over two micro-batch arrivals produces
+        exactly the batch repetition_stats survivors, row-exact."""
+        import shutil
+
+        from mapchete_spark.functions.repetition import repetition_stats
+        from mapchete_spark.streaming.pipeline import stream_quality_filter
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = tmp_path / "qf_src"
+        src.mkdir()
+        out, ck = str(tmp_path / "qf_out"), str(tmp_path / "qf_ck")
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        q = stream_quality_filter(spark, str(src), ck, out)
+        q.awaitTermination(120)
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q = stream_quality_filter(spark, str(src), ck, out)
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in repetition_stats(docs)
+            .where(F.col("gopher_keep"))
+            .collect()
+        )
+        assert got == want and len(got) > 0
