@@ -4082,6 +4082,20 @@ def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rarity_scores(docs).orderBy("doc_id")
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained clustering (Lloyd k-means) over the embeddings table —
+    iterative ML on the MLlib shape: broadcast tiny centroids, map-only
+    assignment, one map-side-combinable groupBy per update. Integer
+    quantization + rational centroids make both Lloyd rounds hash-exact
+    (operators/clustering.py); the oracle unrolls the identical
+    iterations as CTEs, so init, tie-breaks, empty-cluster handling and
+    updates are all cross-checked."""
+    from mapchete_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb).orderBy("vec_id")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
     the FIRST 50 entries only. Round-4 ordering policy: queries with no
@@ -4141,12 +4155,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "s2_cells": q_s2_cells,
         "quality_quantiles": q_quality_quantiles,
-        "ngram_decontam": q_ngram_decontam,
         "gtiff_export": q_gtiff_export,
         "repetition_stats": q_repetition_stats,
         "rarity_scores": q_rarity_scores,
         "pipeline_quality": q_pipeline_quality,
+        "kmeans": q_kmeans,
         # ---------------- driver cap boundary (position 50) ----------------
+        "ngram_decontam": q_ngram_decontam,
         "job_multi_input": q_job_multi_input,
         "span_tile_roundtrip": q_span_tile_roundtrip,
         "tiledir_read": q_tiledir_read,
@@ -4658,4 +4673,6 @@ def oracle_sql() -> dict[str, str]:
     from mapchete_spark.functions.rarity import rarity_scores_sql
     out["rarity_scores"] = rarity_scores_sql()
     out["pipeline_quality"] = o_pipeline_quality()
+    from mapchete_spark.operators.clustering import kmeans_assign_sql
+    out["kmeans"] = kmeans_assign_sql()
     return out
