@@ -4096,6 +4096,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb).orderBy("vec_id")
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing (the corpus build's LAST stage): docs in
+    canonical order packed greedily into ~4096-token shards via the
+    DISTRIBUTED two-phase prefix sum (operators/sharding.py: range
+    partition -> per-partition sums -> broadcast exclusive offsets ->
+    map-only scan; a corpus-wide window would serialize on one
+    reducer). Oracle: the single-node window prefix sum — parity
+    verifies the decomposition reproduces it exactly."""
+    from mapchete_spark.operators.sharding import shard_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_summary(docs).orderBy("shard_id")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
     the FIRST 50 entries only. Round-4 ordering policy: queries with no
@@ -4152,7 +4166,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
-        "span_roundtrip": q_span_roundtrip,
         "s2_cells": q_s2_cells,
         "quality_quantiles": q_quality_quantiles,
         "gtiff_export": q_gtiff_export,
@@ -4160,7 +4173,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_scores": q_rarity_scores,
         "pipeline_quality": q_pipeline_quality,
         "kmeans": q_kmeans,
+        "shard_packing": q_shard_packing,
         # ---------------- driver cap boundary (position 50) ----------------
+        "span_roundtrip": q_span_roundtrip,
         "ngram_decontam": q_ngram_decontam,
         "job_multi_input": q_job_multi_input,
         "span_tile_roundtrip": q_span_tile_roundtrip,
@@ -4675,4 +4690,6 @@ def oracle_sql() -> dict[str, str]:
     out["pipeline_quality"] = o_pipeline_quality()
     from mapchete_spark.operators.clustering import kmeans_assign_sql
     out["kmeans"] = kmeans_assign_sql()
+    from mapchete_spark.operators.sharding import shard_summary_sql
+    out["shard_packing"] = shard_summary_sql()
     return out

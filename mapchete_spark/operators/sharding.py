@@ -1,0 +1,163 @@
+"""Training-shard packing — the distributed global-prefix-sum shape.
+
+The last stage of a corpus build writes tokenized documents into
+fixed-size training shards (WebDataset tars / Megatron bins / TFRecord
+shards): documents in a canonical order are packed greedily so each
+shard holds ~SHARD_TOKENS tokens. The shard id of a document is
+``floor(prefix_tokens_before_it / SHARD_TOKENS)`` — a GLOBAL ordered
+prefix sum, which naively is a single-partition window (one reducer
+over the whole corpus; dead at 10^12 docs).
+
+The scalable shape is the classic two-phase scan:
+
+1. range-partition by the canonical key so partition i holds a
+   contiguous key range (Spark's RangePartitioner samples keys);
+2. per-partition token sums (one tiny row per partition) -> collect ->
+   exclusive offsets per partition (driver-side cumsum over ~10^3
+   numbers);
+3. map-only second pass: each partition adds its broadcast offset to
+   its LOCAL running sum — no shuffle of the corpus beyond the initial
+   range exchange, no corpus-wide window.
+
+tests/test_plan_quality assert the second pass stays window-free. The
+DuckDB oracle is the straightforward window prefix sum — same math,
+single-node, so the two-phase decomposition itself is what parity
+verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHARD_TOKENS = 4096
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """Canonical per-doc token count: whitespace tokens of text."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, shard_id) with shard_id from the exact
+    global prefix sum in doc_id order."""
+    # persist: BOTH passes must see the identical physical partitioning
+    # (RangePartitioner bounds are sampled per execution — without the
+    # persist the second pass could land rows in different partitions
+    # than the offsets were computed for). sortWithinPartitions gives
+    # the scan its in-partition order without a per-batch re-sort.
+    toks = (
+        _doc_tokens(docs)
+        .repartitionByRange(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .persist()
+    )
+
+    def partial_sums(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        total = 0
+        lo = None
+        for pdf in batches:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                lo = m if lo is None else min(lo, m)
+                total += int(pdf["n_tokens"].sum())
+        yield pd.DataFrame(
+            {"pid": [pid], "lo": [lo if lo is not None else -1],
+             "total": [total]}
+        )
+
+    parts = toks.mapInPandas(
+        partial_sums, "pid int, lo long, total long"
+    ).collect()
+    # exclusive offset per partition, in RANGE order (sort by lo — the
+    # range partitioner guarantees key-disjoint partitions; empty
+    # partitions sort first and get offset contributions of 0)
+    ordered = sorted(parts, key=lambda r: (r["lo"] is None, r["lo"]))
+    offsets = {}
+    run = 0
+    for r in ordered:
+        offsets[int(r["pid"])] = run
+        run += int(r["total"])
+    bc = docs.sparkSession.sparkContext.broadcast(offsets)
+
+    def scan(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = bc.value.get(pid, 0)
+        for pdf in batches:
+            before = []
+            for n in pdf["n_tokens"]:
+                before.append(run)
+                run += int(n)
+            out = pdf.copy()
+            out["shard_id"] = [b // shard_tokens for b in before]
+            yield out[["doc_id", "lang", "n_tokens", "shard_id"]]
+
+    out = toks.mapInPandas(
+        scan, "doc_id long, lang string, n_tokens long, shard_id long"
+    )
+    # materialize before unpersisting so the cached partitioning is
+    # actually what the scan consumed
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
+
+
+def shard_summary(docs: DataFrame, shard_tokens: int = SHARD_TOKENS) -> DataFrame:
+    """Contract shape: per shard_id doc count, token sum, and an
+    order-insensitive id digest."""
+    a = assign_shards(docs, shard_tokens)
+    return a.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            )
+        ).alias("ids_digest"),
+    )
+
+
+def shard_summary_sql(shard_tokens: int = SHARD_TOKENS) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM toks
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens,
+               CAST(before // {shard_tokens} AS BIGINT) AS shard_id
+        FROM pre
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS ids_digest
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """

@@ -114,3 +114,55 @@ class TestRarityScores:
         # counts: a=2, b=2, c=1
         assert got[1]["rarity_q"] == 2 * (RARITY_SCALE // 2) + RARITY_SCALE // 2
         assert got[2]["rarity_q"] == RARITY_SCALE // 2 + RARITY_SCALE
+
+
+class TestShardPacking:
+    def test_scan_has_no_window(self, spark, sf_dir):
+        """The distributed prefix sum must not contain a corpus-wide
+        Window (the single-reducer shape it replaces); only the range
+        exchange appears."""
+        from mapchete_spark.operators.sharding import assign_shards
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = assign_shards(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_prefix_exactness_and_shard_invariants(self, spark, sf_dir):
+        """shard ids are non-decreasing in doc order, start at 0, and
+        every doc's shard equals floor(exclusive-prefix/budget) against
+        a driver-side recomputation."""
+        from mapchete_spark.operators.sharding import (
+            SHARD_TOKENS,
+            assign_shards,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = sorted(
+            (r["doc_id"], r["n_tokens"], r["shard_id"])
+            for r in assign_shards(docs).collect()
+        )
+        run = 0
+        prev_shard = 0
+        for did, n, sid in rows:
+            assert sid == run // SHARD_TOKENS, (did, sid, run)
+            assert sid >= prev_shard
+            prev_shard = sid
+            run += n
+        assert rows[0][2] == 0
+
+    def test_partition_count_invariance(self, spark, sf_dir):
+        """The decomposition is partition-count-independent: 1, 3 and 8
+        range partitions give identical assignments."""
+        from mapchete_spark.operators.sharding import assign_shards
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = sorted(
+            tuple(r) for r in assign_shards(docs, num_partitions=1).collect()
+        )
+        for np_ in (3, 8):
+            got = sorted(
+                tuple(r)
+                for r in assign_shards(docs, num_partitions=np_).collect()
+            )
+            assert got == base, np_
