@@ -93,18 +93,19 @@ def assign_shards(
     bc = docs.sparkSession.sparkContext.broadcast(offsets)
 
     def scan(batches):
-        import pandas as pd
+        import numpy as np
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         run = bc.value.get(pid, 0)
         for pdf in batches:
-            before = []
-            for n in pdf["n_tokens"]:
-                before.append(run)
-                run += int(n)
+            ns = pdf["n_tokens"].to_numpy(dtype=np.int64)
+            before = run + np.concatenate(
+                ([0], np.cumsum(ns[:-1]))
+            ) if len(ns) else np.empty(0, dtype=np.int64)
+            run += int(ns.sum())
             out = pdf.copy()
-            out["shard_id"] = [b // shard_tokens for b in before]
+            out["shard_id"] = before // shard_tokens
             yield out[["doc_id", "lang", "n_tokens", "shard_id"]]
 
     out = toks.mapInPandas(

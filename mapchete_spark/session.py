@@ -29,12 +29,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for pandas UDFs / toPandas (the raster+vector kernels).
-        # Small batches matter: raster rows carry ~260KB binary tiles;
-        # 4096-row batches (1GB allocations) trigger JVM GCLocker
-        # contention that WORSENS with core count (measured 13->7s on a
-        # 2795-tile hillshade at local[32] going 4096->64 rows/batch)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # Arrow for pandas UDFs / toPandas. Batch sizing must serve two
+        # extremes at once: raster rows carry ~260KB binary tiles
+        # (4096-row batches = 1GB allocations -> JVM GCLocker thrash,
+        # measured 13->7s on a 2795-tile hillshade going 4096->64
+        # rows), while text rows are ~100B (64-row batches = 6KB IPC
+        # messages; a 1M-doc text op paid 15k round trips per stage,
+        # measured 5x+ slowdown). The BYTES cap bounds the raster side
+        # (16MB ~ 60 raster rows) and the raised record cap lets text
+        # ops batch properly.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet scans: pushdown + pruning stay on
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
