@@ -118,6 +118,14 @@ class LambertConformalConic:
             self.n = float(
                 (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
             )
+        if abs(self.n) < 1e-9:
+            # standard parallels symmetric about the equator: the cone
+            # degenerates to a cylinder (n -> 0); that projection IS
+            # Mercator — same behavior as proj's lat_1 = -lat_2 error
+            raise ValueError(
+                "LCC is undefined for standard parallels symmetric about "
+                "the equator (cone constant n ~ 0); use +proj=merc"
+            )
         self.F = float(m1 / (self.n * t1**self.n))
         self.rho0 = float(self.a * self.F * t0**self.n)
         self.lon0 = p.lon0

@@ -287,3 +287,137 @@ def test_registered_crs_roundtrip_in_domain(crs, u, v):
     lon2, lat2 = inv(*fwd(lon, lat))
     assert abs(lon2[0] - lon[0]) * 111320 < 0.1
     assert abs(lat2[0] - lat[0]) * 111320 < 0.1
+
+
+# ---------------------------------------------------------------------------
+# round-4 modules: proj4 front-end, GeoTIFF codec, rasterized counting
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat0=st.one_of(st.floats(5.0, 60.0), st.floats(-60.0, -5.0)),
+    lon0=st.floats(-170.0, 170.0),
+    dlat=st.floats(5.0, 25.0),
+    lon=st.floats(-25.0, 25.0),
+    lat=st.floats(-25.0, 25.0),
+)
+def test_proj4_lcc_roundtrip_everywhere(lat0, lon0, dlat, lon, lat):
+    # |lat0| >= 5: parallels symmetric about the equator are a
+    # DEGENERATE cone (n=0) and the class refuses them (tested below)
+    """ANY 2SP LCC built from proj4 parameters round-trips points in
+    its area of use to sub-micro-degree (the front-end's generality,
+    not just the registered EPSG codes)."""
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    p4 = (
+        f"+proj=lcc +lat_0={lat0} +lon_0={lon0} +lat_1={lat0 - dlat / 2} "
+        f"+lat_2={lat0 + dlat / 2} +x_0=500000 +y_0=300000 +ellps=GRS80"
+    )
+    proj = projection_from_proj4(p4)
+    qlon, qlat = lon0 + lon, np.clip(lat0 + lat, -80.0, 80.0)
+    x, y = proj.forward(qlon, qlat)
+    lo, la = proj.inverse(x, y)
+    assert abs(lo - qlon) < 1e-7 and abs(la - qlat) < 1e-7
+
+
+def test_lcc_symmetric_parallels_raise():
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="symmetric"):
+        projection_from_proj4(
+            "+proj=lcc +lat_0=0 +lon_0=0 +lat_1=-2.5 +lat_2=2.5 +ellps=GRS80"
+        )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat0=st.floats(-55.0, 55.0),
+    lon0=st.floats(-170.0, 170.0),
+    lon=st.floats(-30.0, 30.0),
+    lat=st.floats(-30.0, 30.0),
+)
+def test_proj4_laea_roundtrip_everywhere(lat0, lon0, lon, lat):
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    proj = projection_from_proj4(
+        f"+proj=laea +lat_0={lat0} +lon_0={lon0} +x_0=0 +y_0=0 +ellps=GRS80"
+    )
+    qlon, qlat = lon0 + lon, np.clip(lat0 + lat, -80.0, 80.0)
+    x, y = proj.forward(qlon, qlat)
+    lo, la = proj.inverse(x, y)
+    # wrap-safe longitude compare
+    dlo = (lo - qlon + 180.0) % 360.0 - 180.0
+    assert abs(dlo) < 1e-7 and abs(la - qlat) < 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bands=st.integers(1, 4),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    dtype=st.sampled_from(["uint8", "uint16", "int16", "int32", "float32", "float64"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gtiff_roundtrip_fuzz(bands, h, w, dtype, seed):
+    """Arbitrary shapes/dtypes survive the GeoTIFF codec bit-exactly
+    with their georeferencing."""
+    from mapchete_spark.sources.gtiff import decode_gtiff, encode_gtiff
+
+    rng = np.random.RandomState(seed)
+    if dtype.startswith("float"):
+        arr = rng.randn(bands, h, w).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.randint(
+            max(info.min, -10000), min(info.max, 10000), (bands, h, w)
+        ).astype(dtype)
+    b = Bounds(-10.0, 20.0, -10.0 + w * 0.01, 20.0 + h * 0.01)
+    out, b2, epsg, _ = decode_gtiff(encode_gtiff(arr, b))
+    np.testing.assert_array_equal(out, arr)
+    assert epsg == 4326
+    assert abs(b2.left - b.left) < 1e-9 and abs(b2.top - b.top) < 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_parts=st.integers(1, 6),
+    maxzoom=st.integers(3, 6),
+)
+def test_rasterized_count_equals_quadtree_random_aois(seed, n_parts, maxzoom):
+    """Property: the scanline rasterize fallback equals the quadtree on
+    random multi-part AOIs (axis-aligned + rotated n-gons, overlapping
+    allowed) at every zoom range."""
+    from mapchete_spark.geometry.core import MultiPolygon
+    from mapchete_spark.tilegrid.cover import count_tiles, count_tiles_rasterized
+
+    rng = np.random.RandomState(seed)
+    parts = []
+    for _ in range(n_parts):
+        if rng.rand() < 0.5:
+            l = rng.uniform(-170, 140)
+            b_ = rng.uniform(-80, 50)
+            parts.append(
+                Polygon.from_bounds(
+                    Bounds(l, b_, l + rng.uniform(1, 25), b_ + rng.uniform(1, 20))
+                )
+            )
+        else:
+            parts.append(
+                Polygon.regular(
+                    rng.uniform(-150, 150),
+                    rng.uniform(-60, 60),
+                    rng.uniform(1, 12),
+                    n=rng.randint(3, 9),
+                    phase=rng.uniform(0, 3),
+                )
+            )
+    mp = MultiPolygon(tuple(parts))
+    pyr = TilePyramid("geodetic")
+    mn = max(0, maxzoom - 3)
+    assert count_tiles_rasterized(mp, pyr, mn, maxzoom) == count_tiles(
+        mp, pyr, mn, maxzoom
+    )
