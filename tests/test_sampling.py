@@ -166,3 +166,39 @@ class TestShardPacking:
                 for r in assign_shards(docs, num_partitions=np_).collect()
             )
             assert got == base, np_
+
+
+class TestCorpusCli:
+    def test_corpus_pipeline_cli(self, spark, tmp_path, sf_dir):
+        """jobs/corpus.py end to end in-process: the packed output's
+        totals reconcile with the operators run directly."""
+        import json
+
+        from tests.conftest import run_cli_inproc
+
+        out = str(tmp_path / "corpus_out")
+        rc, out_txt = run_cli_inproc(
+            "corpus", [f"{sf_dir}/documents.parquet", out]
+        )
+        assert rc == 0
+        stats = json.loads(out_txt.strip().splitlines()[-1])
+        assert stats["status"] == "done"
+        assert (
+            stats["input_docs"]
+            >= stats["after_dedup"]
+            >= stats["after_quality"]
+            >= stats["after_sample"]
+            > 0
+        )
+        chunks = spark.read.parquet(f"{out}/chunks")
+        assert chunks.count() == stats["n_chunks"]
+        # shard ids are contiguous from 0 (n_shards counts whitespace-
+        # token shards; chunk_tokens is a DIFFERENT token measure, so
+        # no budget relation between the two is asserted)
+        import pyspark.sql.functions as F
+
+        mx = chunks.agg(F.max("shard_id")).collect()[0][0]
+        assert stats["n_shards"] == mx + 1
+        # chunk rows carry the doc's shard id and reconstruct doc sets
+        docs_in_chunks = chunks.select("doc_id").distinct().count()
+        assert docs_in_chunks == stats["after_sample"]
