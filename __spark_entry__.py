@@ -4110,6 +4110,94 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_summary(docs).orderBy("shard_id")
 
 
+_TEC_ZOOM = 4
+_TEC_QUANT = 1024
+
+
+def q_tile_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal geo x vector composition: documents assigned to
+    zoom-4 tiles (the spatial partition key) joined to their embedding
+    vectors, then per-tile EXACT integer centroid numerators — the
+    shape of building per-region embedding profiles over a 10^12-doc
+    corpus (one equi-join on doc id + one map-side-combinable groupBy
+    on tile; vectors quantized floor(x*1024) so both engines agree
+    bit-for-bit). Emits per tile: vector count, the exact sum of
+    squared per-dim numerators, and an md5 over the ordered 64 sums."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = load_docs(spark, sf_dir)
+    assigned = assign_point_tiles(docs, [_TEC_ZOOM]).select(
+        "doc_id", "tile_row", "tile_col"
+    )
+    q = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(_TEC_QUANT))).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    joined = assigned.join(q, "doc_id")
+    dim_sums = [
+        F.sum(F.element_at(F.col("q"), d + 1)).alias(f"s{d}") for d in range(64)
+    ]
+    per_tile = joined.groupBy("tile_row", "tile_col").agg(
+        F.count("*").alias("n_vecs"), *dim_sums
+    )
+    s_cols = [F.col(f"s{d}") for d in range(64)]
+    sq = None
+    for d in range(64):
+        t = s_cols[d] * s_cols[d]
+        sq = t if sq is None else sq + t
+    return (
+        per_tile.select(
+            F.lit(_TEC_ZOOM).alias("zoom"),
+            "tile_row",
+            "tile_col",
+            "n_vecs",
+            sq.alias("sumsq_q"),
+            F.md5(
+                F.concat_ws(",", *[c.cast("string") for c in s_cols])
+            ).alias("dims_digest"),
+        )
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_tile_embed_centroid() -> str:
+    return (
+        _docs_geo_cte()
+        + f"""
+    , assigned AS (
+        SELECT doc_id,
+               {G.tile_row_sql("lat", str(_TEC_ZOOM))} AS tile_row,
+               {G.tile_col_sql("lon", str(_TEC_ZOOM))} AS tile_col
+        FROM docs_geo
+    ), qdim AS (
+        SELECT e.vec_id AS doc_id, g.i - 1 AS dim,
+               CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {_TEC_QUANT}) AS BIGINT) AS q
+        FROM embeddings e, UNNEST(generate_series(1, 64)) AS g(i)
+    ), sums AS (
+        SELECT a.tile_row, a.tile_col, d.dim, CAST(SUM(d.q) AS BIGINT) AS s
+        FROM assigned a JOIN qdim d ON d.doc_id = a.doc_id
+        GROUP BY a.tile_row, a.tile_col, d.dim
+    ), counts AS (
+        SELECT a.tile_row, a.tile_col, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM assigned a JOIN (SELECT DISTINCT doc_id FROM qdim) e
+             ON e.doc_id = a.doc_id
+        GROUP BY a.tile_row, a.tile_col
+    )
+    SELECT {_TEC_ZOOM} AS zoom, s.tile_row, s.tile_col, c.n_vecs,
+           CAST(SUM(s.s * s.s) AS BIGINT) AS sumsq_q,
+           md5(string_agg(CAST(s.s AS VARCHAR), ',' ORDER BY s.dim)) AS dims_digest
+    FROM sums s JOIN counts c
+         ON c.tile_row = s.tile_row AND c.tile_col = s.tile_col
+    GROUP BY s.tile_row, s.tile_col, c.n_vecs
+    ORDER BY s.tile_row, s.tile_col
+    """
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
     the FIRST 50 entries only. Round-4 ordering policy: queries with no
@@ -4166,7 +4254,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
-        "s2_cells": q_s2_cells,
         "quality_quantiles": q_quality_quantiles,
         "gtiff_export": q_gtiff_export,
         "repetition_stats": q_repetition_stats,
@@ -4174,7 +4261,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality": q_pipeline_quality,
         "kmeans": q_kmeans,
         "shard_packing": q_shard_packing,
+        "tile_embed_centroid": q_tile_embed_centroid,
         # ---------------- driver cap boundary (position 50) ----------------
+        "s2_cells": q_s2_cells,
         "span_roundtrip": q_span_roundtrip,
         "ngram_decontam": q_ngram_decontam,
         "job_multi_input": q_job_multi_input,
@@ -4692,4 +4781,5 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans"] = kmeans_assign_sql()
     from mapchete_spark.operators.sharding import shard_summary_sql
     out["shard_packing"] = shard_summary_sql()
+    out["tile_embed_centroid"] = o_tile_embed_centroid()
     return out
