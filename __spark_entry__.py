@@ -4526,7 +4526,11 @@ def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_pipeline_quality() -> str:
-    from mapchete_spark.functions.rarity import RARITY_SCALE
+    from mapchete_spark.functions.rarity import (
+        RARITY_SCALE,
+        TAIL_RARITY,
+        vocab_cte_sql,
+    )
     from mapchete_spark.functions.repetition import (
         MAX_DUP_WORD_FRAC,
         MAX_TOP_BIGRAM_FRAC,
@@ -4545,11 +4549,13 @@ def o_pipeline_quality() -> str:
                len(string_split(d.text, ' ')) AS n
         FROM documents d,
              UNNEST(generate_series(1, len(string_split(d.text, ' ')))) AS g(i)
+        WHERE d.text IS NOT NULL
     ),
-    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok_all GROUP BY tok),
+    vocab AS ({vocab_cte_sql(relation="tok_all")}),
     rarity AS (
-        SELECT t.doc_id, SUM({RARITY_SCALE} // v.cnt) AS rarity_q
-        FROM tok_all t JOIN vocab v ON v.tok = t.tok
+        SELECT t.doc_id,
+               SUM(COALESCE({RARITY_SCALE} // v.cnt, {TAIL_RARITY})) AS rarity_q
+        FROM tok_all t LEFT JOIN vocab v ON v.tok = t.tok
         GROUP BY t.doc_id
     ),
     tok AS (SELECT * FROM tok_all WHERE doc_id IN (SELECT doc_id FROM surviving)),

@@ -73,8 +73,11 @@ def s2_key_np(lon, lat, level: int = DEFAULT_LEVEL):
         np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
     )
     # np.select evaluates every branch; the divisor of the SELECTED
-    # branch is never 0 (it is the largest-|.| axis), so mask the noise
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # branch is never 0 (it is the largest-|.| axis), so mask the
+    # noise — including finite-but-tiny divisors whose quotient
+    # overflows ("overflow in divide"), which is the same
+    # unselected-branch artifact as the division-by-zero case
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y],

@@ -97,6 +97,26 @@ def _q(phi: np.ndarray, e: float = GRS80_E) -> np.ndarray:
     )
 
 
+def _authalic_inverse(qv: np.ndarray, e: float, e2: float) -> np.ndarray:
+    """Authalic -> geodetic latitude (Snyder 3-16 fixed point). On a
+    sphere (e == 0) q = 2 sin(phi), so phi = arcsin(q/2) exactly — the
+    series step divides by 2e and must be skipped (the proj4 front-end
+    advertises +a=+b spheres, e.g. the legacy US NA atlas EPSG:2163)."""
+    phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+    if e == 0.0:
+        return phi
+    for _ in range(_INV_ITERS):
+        s = np.sin(phi)
+        es = e * s
+        one = 1.0 - e2 * s * s
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            qv / (1.0 - e2)
+            - s / one
+            + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+        )
+    return phi
+
+
 class LambertConformalConic:
     """Ellipsoidal LCC with two standard parallels (Snyder ch. 15)."""
 
@@ -194,17 +214,7 @@ class AlbersEqualArea:
         qv = (self.C - (rho * self.n / self.a) ** 2) / self.n
         th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
         lon = self.lon0 + np.degrees(th / self.n)
-        # Snyder 3-16 fixed point for the authalic -> geodetic latitude
-        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
-        for _ in range(_INV_ITERS):
-            s = np.sin(phi)
-            es = self.e * s
-            one = 1.0 - self.e2 * s * s
-            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
-                qv / (1.0 - self.e2)
-                - s / one
-                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
-            )
+        phi = _authalic_inverse(qv, self.e, self.e2)
         return lon, np.degrees(phi)
 
 
@@ -257,16 +267,7 @@ class LambertAzimuthalEqualArea:
             )
             lam = np.arctan2(dx * sce, rho * cb1 * cce - dy * sb1 * sce)
         lon = self.lon0 + np.degrees(lam)
-        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
-        for _ in range(_INV_ITERS):
-            s = np.sin(phi)
-            es = self.e * s
-            one = 1.0 - self.e2 * s * s
-            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
-                qv / (1.0 - self.e2)
-                - s / one
-                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
-            )
+        phi = _authalic_inverse(qv, self.e, self.e2)
         return lon, np.degrees(phi)
 
 

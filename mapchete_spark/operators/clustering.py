@@ -66,6 +66,9 @@ def kmeans_assign(
         for r in qdf.where(F.col("vec_id") < k).collect()
     }
     centroids = [(j, init[j][0], init[j][1]) for j in sorted(init)]
+    # embedding dimension comes from the data, not the module constant
+    # (DIM only parameterizes the unrolled SQL twin's generate_series)
+    d = len(centroids[0][1])
 
     assigned = None
     for _ in range(iterations):
@@ -108,7 +111,7 @@ def kmeans_assign(
         }
         by_k = {}
         for r in sums:
-            by_k.setdefault(int(r["cluster"]), [0] * DIM)[int(r["dim"])] = int(
+            by_k.setdefault(int(r["cluster"]), [0] * d)[int(r["dim"])] = int(
                 r["s"]
             )
         centroids = [

@@ -85,11 +85,23 @@ def compact_tile_table(
         # written to tmp — swap each zoom=<z> subdirectory in place and
         # leave every other zoom's partition untouched (a whole-root
         # swap here would silently delete the unlisted zooms).
+        #
+        # The displaced partition is staged under an UNDERSCORE-prefixed
+        # name WITHOUT '=' (`_old_zoom_<z>`): Spark/Hive partition
+        # discovery hides `_`-prefixed entries ONLY when the name has
+        # no '=' (names containing '=' are parsed as partition dirs
+        # regardless — a stranded `zoom=<z>__old` or `_old_zoom=<z>`
+        # raises CONFLICTING_PARTITION_COLUMN_NAMES for the whole
+        # table). With this name, dying inside the swap window leaves
+        # the table readable: the crash window is per-zoom (between
+        # the two moves that zoom's rows live only in the staged dir);
+        # recovery is moving the staged dir back — data is never
+        # deleted until the new partition is in place.
         for zoom in sorted(counts.items()):
             zdir = f"zoom={zoom[0]}"
             src = os.path.join(tmp, zdir)
             dst = os.path.join(tiles_path, zdir)
-            old = dst + "__old"
+            old = os.path.join(tiles_path, f"_old_zoom_{zoom[0]}")
             if os.path.exists(old):
                 shutil.rmtree(old)
             if os.path.exists(dst):

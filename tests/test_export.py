@@ -304,13 +304,28 @@ class TestCompaction:
         # zoom 5: same rows, rewritten files
         assert snapshot(5) == z5_rows
         assert stats["files_after"] == parquet_file_count(tiles_path)
-        # no leftover temp/old dirs
+        # no leftover temp/old dirs (parent-level or inside the root)
         parent = os.path.dirname(tiles_path)
         leftovers = [
             p for p in os.listdir(parent)
             if "__compact" in p or "__old" in p
         ]
         assert not leftovers
+        assert not [p for p in os.listdir(tiles_path) if p.startswith("_old_")]
+
+        # Crash-window safety (round-4 ADVICE): a stranded staging dir
+        # is '_'-prefixed with NO '=' in the name, so partition
+        # discovery hides it instead of parsing it as a conflicting
+        # partition column — the table stays readable and
+        # row-identical mid-swap.
+        import shutil
+
+        shutil.copytree(
+            os.path.join(tiles_path, "zoom=5"),
+            os.path.join(tiles_path, "_old_zoom_5"),
+        )
+        assert snapshot(5) == z5_rows
+        assert snapshot(4) == z4_rows
 
 
 def math_ceil_files(n_rows, target):

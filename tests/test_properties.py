@@ -353,6 +353,52 @@ def test_proj4_laea_roundtrip_everywhere(lat0, lon0, lon, lat):
     assert abs(dlo) < 1e-7 and abs(la - qlat) < 1e-7
 
 
+def test_sphere_laea_inverse_epsg2163():
+    """EPSG:2163 (authalic-sphere US National Atlas LAEA) must
+    round-trip: the authalic inverse divides by 2e in the ellipsoidal
+    series, so spheres need the exact arcsin(q/2) fast path (ADVICE
+    round-4 — inverse used to raise ZeroDivisionError)."""
+    from mapchete_spark.geometry.projparams import (
+        EPSG_PROJ4,
+        projection_from_proj4,
+    )
+
+    proj = projection_from_proj4(EPSG_PROJ4["EPSG:2163"])
+    lo, la = proj.inverse(0.0, 0.0)
+    assert abs(lo - (-100.0)) < 1e-9 and abs(la - 45.0) < 1e-9
+    x, y = proj.forward(-87.65, 41.85)  # Chicago
+    lo, la = proj.inverse(x, y)
+    assert abs(lo - (-87.65)) < 1e-9 and abs(la - 41.85) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    family=st.sampled_from(["laea", "aea"]),
+    lat0=st.one_of(st.floats(10.0, 55.0), st.floats(-55.0, -10.0)),
+    lon0=st.floats(-170.0, 170.0),
+    lon=st.floats(-25.0, 25.0),
+    lat=st.floats(-25.0, 25.0),
+)
+def test_proj4_sphere_roundtrip(family, lat0, lon0, lon, lat):
+    """Spherical (+ellps=sphere, f=0) LAEA and AEA round-trip — both
+    equal-area inverses share the authalic fixed point, which must take
+    the e==0 branch instead of dividing by 2e."""
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    extra = (
+        f" +lat_1={lat0 - 5.0} +lat_2={lat0 + 5.0}" if family == "aea" else ""
+    )
+    proj = projection_from_proj4(
+        f"+proj={family} +lat_0={lat0} +lon_0={lon0}{extra} "
+        "+x_0=0 +y_0=0 +ellps=sphere"
+    )
+    qlon, qlat = lon0 + lon, np.clip(lat0 + lat, -80.0, 80.0)
+    x, y = proj.forward(qlon, qlat)
+    lo, la = proj.inverse(x, y)
+    dlo = (lo - qlon + 180.0) % 360.0 - 180.0
+    assert abs(dlo) < 1e-7 and abs(la - qlat) < 1e-7
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     bands=st.integers(1, 4),

@@ -75,6 +75,27 @@ class TestKMeans:
         for i in range(10):
             assert got[i] == i % 2, (i, got[i])
 
+    def test_non_default_dimension(self, spark):
+        """The Lloyd update infers D from the data (ADVICE round-4):
+        an 8-dim table must cluster, not IndexError on the module's
+        DIM=64 constant."""
+        import numpy as np
+
+        from mapchete_spark.operators.clustering import kmeans_assign
+
+        rows = []
+        rng = np.random.RandomState(7)
+        for i in range(12):
+            center = 0.9 if i % 2 else -0.9
+            v = (center + rng.uniform(-0.05, 0.05, 8)).astype("float32")
+            rows.append((i, [float(x) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=2).collect()
+        }
+        for i in range(12):
+            assert got[i] == i % 2, (i, got[i])
+
     def test_assignment_is_map_only(self, spark, sf_dir):
         """The FINAL assignment stage must not shuffle the corpus (the
         updates between iterations are the only exchanges)."""
