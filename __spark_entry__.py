@@ -3960,6 +3960,31 @@ def q_laea_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stere_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 polar-grid family (round 5): every doc's point, remapped into
+    an Antarctic AOI [-85,-62], projected to WGS 84 / Antarctic Polar
+    Stereographic (EPSG:3031 — resolved from its proj4 string through
+    geometry/projparams' +proj=stere dispatch) in PURE Column algebra
+    (Snyder ch. 21 south polar aspect / EPSG method 9829 variant B;
+    tan/pow/sin/cos stay in whole-stage codegen — map-only, zero
+    shuffle at any corpus size). The library class pins to BOTH EPSG
+    GN7-2 published worked examples (variant A UPS North and variant B
+    Australian Antarctic) in tests/test_utm.py. Reference parity:
+    mapchete/geometry/reproject.py:75-229 (pyproj handles any CRS; the
+    polar grids are the routine-use family the round-4 verdict named)."""
+    from mapchete_spark.functions.conicsql import (
+        antarctic_lat_col,
+        stere_xy_cols,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    x, y = stere_xy_cols(F.col("lon"), antarctic_lat_col(F.col("lat")))
+    return (
+        docs.select("doc_id", x.alias("stere_x"), y.alias("stere_y"))
+        .orderBy("doc_id")
+    )
+
+
 _COMPACT_TARGET_ROWS = 256
 
 
@@ -4200,69 +4225,15 @@ def o_tile_embed_centroid() -> str:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
-    the FIRST 50 entries only. Round-4 ordering policy: queries with no
-    green driver row yet (the round-3 tail at positions 51-81, plus the
-    three whose oracles had the HUGEINT cast bug, plus anything new this
-    round) come first; queries already driver-green in CORRECTNESS_r03
-    rotate to the back so every operator has a green driver row across
-    r03 ∪ r04."""
+    the FIRST 50 entries only. Round-5 ordering policy (VERDICT r4
+    "Next round" #2): the 40 queries whose driver rows were last earned
+    on round-3 code rotate INTO positions 1-50 so r04 ∪ r05 covers all
+    entries with rows earned on round-4-or-later code; round-5 additions
+    and the two queries whose ORACLES changed this round (bounded rarity
+    model) join them; the 50 that earned fresh r04 rows move behind the
+    cap."""
     return {
-        # -- never driver-checked before round 4 (r3 positions 51-81) --
-        "meta_intersect": q_meta_intersect,
-        "batch_enum": q_batch_enum,
-        "extract_prepare": q_extract_prepare,
-        "mosaic_digest": q_mosaic_digest,
-        "segmentize": q_segmentize,
-        "am_split": q_am_split,
-        "geom_type_filter": q_geom_type_filter,
-        "custom_transform": q_custom_transform,
-        "job_resume": q_job_resume,
-        "job_user_preprocess": q_job_user_preprocess,
-        "job_stage_metrics": q_job_stage_metrics,
-        "job_composition": q_job_composition,
-        "refresh_digest": q_refresh_digest,
-        "stac_item": q_stac_item,
-        "job_metadata": q_job_metadata,
-        "wkt_roundtrip": q_wkt_roundtrip,
-        "job_status": q_job_status,
-        "png_export": q_png_export,
-        "serve_lookup": q_serve_lookup,
-        "cli_execute": q_cli_execute,
-        "metric_buffer": q_metric_buffer,
-        "lcc_reproject": q_lcc_reproject,
-        "span_media_join": q_span_media_join,
-        # -- r2-green but not yet r3-checked (old tail) --
-        "vector_reproject": q_vector_reproject,
-        "utm_reproject": q_utm_reproject,
-        "events_windowed": q_events_windowed,
-        "events_sessionized": q_events_sessionized,
-        "media_features": q_media_features,
-        "revenue_by_nation": q_revenue_by_nation,
-        "neighbor_halo_counts": q_neighbor_halo_counts,
-        "spatial_knn": q_spatial_knn,
-        # -- r3 rows that were red on the oracle-cast bug, now fixed --
-        "span_chunking": q_span_chunking,
-        "stratified_sample": q_stratified_sample,
-        "pipeline_e2e": q_pipeline_e2e,
-        # -- new in round 4 --
-        "compact_roundtrip": q_compact_roundtrip,
-        "laea_reproject": q_laea_reproject,
-        "count_tiles": q_count_tiles,  # extended with fragmented-AOI case
-        # -- r3 driver-green, kept inside the cap as regression canaries --
-        "tile_assign_z8": q_tile_assign_z8,
-        "tile_assign_multizoom": q_tile_assign_multizoom,
-        "pyramid_rollup": q_pyramid_rollup,
-        "hot_tile_skew": q_hot_tile_skew,
-        "bbox_cover_z6": q_bbox_cover_z6,
-        "quality_quantiles": q_quality_quantiles,
-        "gtiff_export": q_gtiff_export,
-        "repetition_stats": q_repetition_stats,
-        "rarity_scores": q_rarity_scores,
-        "pipeline_quality": q_pipeline_quality,
-        "kmeans": q_kmeans,
-        "shard_packing": q_shard_packing,
-        "tile_embed_centroid": q_tile_embed_centroid,
-        # ---------------- driver cap boundary (position 50) ----------------
+        # -- r3-green rows to RE-EARN on current code (r4 tail, 40) --
         "s2_cells": q_s2_cells,
         "span_roundtrip": q_span_roundtrip,
         "ngram_decontam": q_ngram_decontam,
@@ -4303,6 +4274,62 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_union_dissolve": q_vector_union_dissolve,
         "grid_snap": q_grid_snap,
         "grid_affine": q_grid_affine,
+        # -- new in round 5 --
+        "stere_reproject": q_stere_reproject,
+        # -- oracles changed in round 5 (bounded rarity model) --
+        "rarity_scores": q_rarity_scores,
+        "pipeline_quality": q_pipeline_quality,
+        # -- code touched in round 5, re-checked as canaries --
+        "compact_roundtrip": q_compact_roundtrip,
+        "kmeans": q_kmeans,
+        "laea_reproject": q_laea_reproject,
+        "count_tiles": q_count_tiles,
+        "gtiff_export": q_gtiff_export,
+        "repetition_stats": q_repetition_stats,
+        "media_features": q_media_features,
+        # ---------------- driver cap boundary (position 50) ----------------
+        # everything below earned a fresh green row in CORRECTNESS_r04
+        "meta_intersect": q_meta_intersect,
+        "batch_enum": q_batch_enum,
+        "extract_prepare": q_extract_prepare,
+        "mosaic_digest": q_mosaic_digest,
+        "segmentize": q_segmentize,
+        "am_split": q_am_split,
+        "geom_type_filter": q_geom_type_filter,
+        "custom_transform": q_custom_transform,
+        "job_resume": q_job_resume,
+        "job_user_preprocess": q_job_user_preprocess,
+        "job_stage_metrics": q_job_stage_metrics,
+        "job_composition": q_job_composition,
+        "refresh_digest": q_refresh_digest,
+        "stac_item": q_stac_item,
+        "job_metadata": q_job_metadata,
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "job_status": q_job_status,
+        "png_export": q_png_export,
+        "serve_lookup": q_serve_lookup,
+        "cli_execute": q_cli_execute,
+        "metric_buffer": q_metric_buffer,
+        "lcc_reproject": q_lcc_reproject,
+        "span_media_join": q_span_media_join,
+        "vector_reproject": q_vector_reproject,
+        "utm_reproject": q_utm_reproject,
+        "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
+        "revenue_by_nation": q_revenue_by_nation,
+        "neighbor_halo_counts": q_neighbor_halo_counts,
+        "spatial_knn": q_spatial_knn,
+        "span_chunking": q_span_chunking,
+        "stratified_sample": q_stratified_sample,
+        "pipeline_e2e": q_pipeline_e2e,
+        "tile_assign_z8": q_tile_assign_z8,
+        "tile_assign_multizoom": q_tile_assign_multizoom,
+        "pyramid_rollup": q_pyramid_rollup,
+        "hot_tile_skew": q_hot_tile_skew,
+        "bbox_cover_z6": q_bbox_cover_z6,
+        "quality_quantiles": q_quality_quantiles,
+        "shard_packing": q_shard_packing,
+        "tile_embed_centroid": q_tile_embed_centroid,
     }
 
 
@@ -4776,6 +4803,8 @@ def oracle_sql() -> dict[str, str]:
     out["spatial_knn"] = o_spatial_knn()
     from mapchete_spark.functions.conicsql import laea_reproject_sql
     out["laea_reproject"] = laea_reproject_sql()
+    from mapchete_spark.functions.conicsql import stere_reproject_sql
+    out["stere_reproject"] = stere_reproject_sql()
     out["compact_roundtrip"] = o_compact_roundtrip()
     out["gtiff_export"] = o_gtiff_export()
     from mapchete_spark.functions.repetition import repetition_stats_sql

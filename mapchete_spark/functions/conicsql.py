@@ -187,3 +187,86 @@ def laea_reproject_sql() -> str:
     FROM xy
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Antarctic Polar Stereographic (EPSG:3031) — the polar-grid family
+# ---------------------------------------------------------------------------
+
+from mapchete_spark.geometry.conic import PolarStereographic
+
+# Instantiated THROUGH the proj4 front-end so the contract query vouches
+# for geometry/projparams' +proj=stere dispatch end-to-end.
+_S = projection_from_proj4(EPSG_PROJ4["EPSG:3031"])
+assert isinstance(_S, PolarStereographic) and _S.south
+STERE_RHO_PER_T = _S.rho_per_t
+STERE_E = _S.e
+STERE_LON0 = _S.lon0  # 0.0
+STERE_X0 = _S.x0  # 0.0
+STERE_Y0 = _S.y0  # 0.0
+
+#: deterministic remap of the synthetic doc latitude band [-85, 85]
+#: into the Antarctic AOI [-85, -62] (pure affine, identical algebra
+#: in the Column and SQL twins)
+ANT_LAT_SCALE = 23.0 / 170.0
+
+
+def antarctic_lat_col(lat: Column) -> Column:
+    return F.lit(-62.0) - (lat + F.lit(85.0)) * F.lit(ANT_LAT_SCALE)
+
+
+def stere_xy_cols(lon: Column, lat: Column):
+    """(x, y) Columns of the EPSG:3031 forward transform (Snyder ch. 21
+    south polar aspect, EPSG method 9829 variant B with lat_ts=-71;
+    constants precomputed by geometry/conic.PolarStereographic through
+    the proj4 front-end), cm-quantized like every reproject oracle.
+    Pure Column algebra — tan/pow/sin/cos stay in whole-stage codegen,
+    map-only, zero shuffle at any corpus size. The class itself pins to
+    the EPSG GN7-2 variant A and B published worked examples in
+    tests/test_utm.py."""
+    phi = F.radians(lat)
+    s = F.lit(STERE_E) * F.sin(phi)
+    # south aspect: t(-phi) = tan(pi/4 + phi/2) / ((1+e sin phi)/(1-e sin phi))^(e/2)
+    t = F.tan(F.lit(0.7853981633974483) + phi / F.lit(2.0)) / F.pow(
+        (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(STERE_E / 2.0)
+    )
+    rho = F.lit(STERE_RHO_PER_T) * t
+    lam = F.radians(lon - F.lit(STERE_LON0))
+    x = F.lit(STERE_X0) + rho * F.sin(lam)
+    y = F.lit(STERE_Y0) + rho * F.cos(lam)
+    q = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    return q(x), q(y)
+
+
+def stere_reproject_sql() -> str:
+    """DuckDB twin of :func:`stere_xy_cols` over the documents table
+    (same Antarctic latitude remap, same repr()-embedded constants)."""
+    from mapchete_spark.functions import geo as G
+
+    e = repr(STERE_E)
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id, {G.lon_sql("doc_id")} AS lon,
+               -62.0 - (({G.lat_sql("doc_id")}) + 85.0) * {ANT_LAT_SCALE!r} AS lat
+        FROM documents
+    ), tv AS (
+        SELECT doc_id, lon,
+               tan(0.7853981633974483 + radians(lat) / 2.0)
+                 / pow((1.0 + {e} * sin(radians(lat)))
+                       / (1.0 - {e} * sin(radians(lat))), {repr(STERE_E / 2.0)})
+               AS t
+        FROM docs_geo
+    ), xy AS (
+        SELECT doc_id,
+               {repr(STERE_X0)} + ({repr(STERE_RHO_PER_T)} * t)
+                   * sin(radians(lon - {repr(STERE_LON0)})) AS x,
+               {repr(STERE_Y0)} + ({repr(STERE_RHO_PER_T)} * t)
+                   * cos(radians(lon - {repr(STERE_LON0)})) AS y
+        FROM tv
+    )
+    SELECT doc_id,
+           FLOOR(x * 100.0 + 0.5) / 100.0 AS stere_x,
+           FLOOR(y * 100.0 + 0.5) / 100.0 AS stere_y
+    FROM xy
+    ORDER BY doc_id
+    """

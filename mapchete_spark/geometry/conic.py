@@ -271,6 +271,95 @@ class LambertAzimuthalEqualArea:
         return lon, np.degrees(phi)
 
 
+@dataclass(frozen=True)
+class PolarStereoParams:
+    lat0: float  # +90 (north aspect) or -90 (south aspect)
+    lon0: float  # central meridian (deg)
+    lat_ts: float  # standard parallel (deg); == lat0 for variant A
+    k0: float  # scale at the pole (variant A only; ignored otherwise)
+    x0: float  # false easting (m)
+    y0: float  # false northing (m)
+    a: float = GRS80_A
+    f: float = GRS80_F
+
+
+class PolarStereographic:
+    """Ellipsoidal polar stereographic, north and south aspects
+    (Snyder ch. 21 eqs. 21-33/21-34 + 15-9; EPSG method 9810 "variant
+    A" when defined by a pole scale factor k0, 9829 "variant B" when
+    defined by a standard parallel lat_ts). Covers the standard polar
+    grids: Antarctic EPSG:3031, NSIDC Arctic EPSG:3413, NSIDC South
+    EPSG:3976, and UPS EPSG:5041/5042. The reference reaches these
+    through pyproj (mapchete/geometry/reproject.py:75-229).
+
+    South aspect via the exact symmetry t_south(phi) = t(-phi) =
+    tan(pi/4 + phi/2) / ((1 + e sin phi)/(1 - e sin phi))^(e/2) with
+    x = x0 + rho sin(lam), y = y0 + rho cos(lam) — the EPSG GN7-2
+    south-polar formulation."""
+
+    def __init__(self, p: PolarStereoParams):
+        if abs(p.lat0) != 90.0:
+            raise ValueError(
+                "polar stereographic requires +lat_0=90 or -90 "
+                "(oblique stereographic is not supported)"
+            )
+        self.a = p.a
+        self.e2 = p.f * (2.0 - p.f)
+        self.e = self.e2**0.5
+        self.south = p.lat0 < 0.0
+        self.lon0 = p.lon0
+        self.x0, self.y0 = p.x0, p.y0
+        if abs(p.lat_ts) == 90.0:
+            # variant A: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+            cc = np.sqrt(
+                (1.0 + self.e) ** (1.0 + self.e)
+                * (1.0 - self.e) ** (1.0 - self.e)
+            )
+            self.rho_per_t = float(2.0 * self.a * p.k0 / cc)
+        else:
+            # variant B: rho = a m_c t / t_c at the (north-equivalent)
+            # standard parallel
+            phic = np.radians(abs(p.lat_ts))
+            self.rho_per_t = float(
+                self.a
+                * _m(np.array(phic), self.e2)
+                / _t(np.array(phic), self.e)
+            )
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        if self.south:
+            phi = -phi
+        rho = self.rho_per_t * _t(phi, self.e)
+        lam = np.radians(lon - self.lon0)
+        x = self.x0 + rho * np.sin(lam)
+        y = self.y0 + rho * np.cos(lam) if self.south else (
+            self.y0 - rho * np.cos(lam)
+        )
+        return x, y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.x0
+        dyy = np.asarray(y, dtype=np.float64) - self.y0
+        dyn = dyy if self.south else -dyy
+        rho = np.sqrt(dx * dx + dyn * dyn)
+        tp = rho / self.rho_per_t
+        lam = np.arctan2(dx, dyn)
+        # Snyder 7-9 conformal fixed point (same as the LCC inverse);
+        # rho == 0 (the pole itself) yields phi = pi/2 exactly
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(_INV_ITERS):
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                tp * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
+            )
+        lat = np.degrees(phi)
+        if self.south:
+            lat = -lat
+        return self.lon0 + np.degrees(lam), lat
+
+
 _CONIC_CLASSES.update(
     {
         "lcc": LambertConformalConic,

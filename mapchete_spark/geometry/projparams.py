@@ -95,6 +95,31 @@ EPSG_PROJ4 = {
         "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +a=6370997 "
         "+b=6370997 +units=m +no_defs"
     ),
+    # WGS 84 / Antarctic Polar Stereographic (variant B, lat_ts=-71)
+    "EPSG:3031": (
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+        "+ellps=WGS84 +units=m +no_defs"
+    ),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3413": (
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+        "+ellps=WGS84 +units=m +no_defs"
+    ),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South
+    "EPSG:3976": (
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 "
+        "+ellps=WGS84 +units=m +no_defs"
+    ),
+    # WGS 84 / UPS North (variant A, k0=0.994 at the pole)
+    "EPSG:5041": (
+        "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
+        "+x_0=2000000 +y_0=2000000 +ellps=WGS84 +units=m +no_defs"
+    ),
+    # WGS 84 / UPS South
+    "EPSG:5042": (
+        "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 "
+        "+x_0=2000000 +y_0=2000000 +ellps=WGS84 +units=m +no_defs"
+    ),
 }
 
 #: runtime registrations (register_crs)
@@ -220,6 +245,42 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
             to_wgs84=helm,
         )
 
+    if family in ("stere", "ups"):
+        _check_no_datum_shift(pp, family)
+        from mapchete_spark.geometry.conic import (
+            PolarStereographic,
+            PolarStereoParams,
+        )
+
+        if family == "ups":
+            # Universal Polar Stereographic: fixed EPSG parameters
+            lat0 = -90.0 if "south" in pp else 90.0
+            return PolarStereographic(
+                PolarStereoParams(
+                    lat0=lat0, lon0=0.0, lat_ts=lat0, k0=0.994,
+                    x0=2000000.0, y0=2000000.0, a=a, f=f,
+                )
+            )
+        lat0 = g("lat_0")
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "+proj=stere is implemented for the polar aspects only "
+                "(+lat_0=90 or -90); oblique stereographic is not "
+                "supported"
+            )
+        return PolarStereographic(
+            PolarStereoParams(
+                lat0=lat0,
+                lon0=g("lon_0"),
+                lat_ts=g("lat_ts", lat0),
+                k0=g("k", g("k_0", 1.0)),
+                x0=g("x_0"),
+                y0=g("y_0"),
+                a=a,
+                f=f,
+            )
+        )
+
     if family in ("merc", "webmerc"):
         _check_no_datum_shift(pp, family)
         from mapchete_spark.geometry import reproject as R
@@ -232,7 +293,7 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
 
     raise ValueError(
         f"+proj={family} not implemented (families: lcc aea laea tmerc "
-        "utm merc longlat)"
+        "utm merc stere ups longlat)"
     )
 
 

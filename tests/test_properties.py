@@ -353,6 +353,34 @@ def test_proj4_laea_roundtrip_everywhere(lat0, lon0, lon, lat):
     assert abs(dlo) < 1e-7 and abs(la - qlat) < 1e-7
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    south=st.booleans(),
+    lat_ts=st.one_of(st.just(90.0), st.floats(60.0, 85.0)),
+    lon0=st.floats(-170.0, 170.0),
+    k0=st.floats(0.97, 1.0),
+    lon=st.floats(-180.0, 180.0),
+    lat=st.floats(55.0, 89.9),
+)
+def test_proj4_stere_roundtrip_everywhere(south, lat_ts, lon0, k0, lon, lat):
+    """ANY polar stereographic built from proj4 parameters (variant A
+    pole-scale or variant B standard-parallel, either aspect)
+    round-trips points in its area of use to sub-nano-degree."""
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    sgn = -1.0 if south else 1.0
+    p4 = (
+        f"+proj=stere +lat_0={sgn * 90.0} +lat_ts={sgn * lat_ts} "
+        f"+lon_0={lon0} +k={k0} +x_0=300000 +y_0=700000 +ellps=WGS84"
+    )
+    proj = projection_from_proj4(p4)
+    qlon, qlat = lon, sgn * lat
+    x, y = proj.forward(qlon, qlat)
+    lo, la = proj.inverse(x, y)
+    dlo = (lo - qlon + 180.0) % 360.0 - 180.0
+    assert abs(dlo) < 1e-9 and abs(la - qlat) < 1e-9
+
+
 def test_sphere_laea_inverse_epsg2163():
     """EPSG:2163 (authalic-sphere US National Atlas LAEA) must
     round-trip: the authalic inverse divides by 2e in the ellipsoidal

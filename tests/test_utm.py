@@ -321,6 +321,98 @@ class TestLccColumnTwin:
         np.testing.assert_array_equal(out["y"].values, ey)
 
 
+class TestPolarStereographic:
+    """geometry/conic.PolarStereographic pinned to the EPSG Guidance
+    Note 7-2 published worked examples (both variants), plus the
+    Column twin parity."""
+
+    def test_epsg_gn72_variant_b_worked_example(self):
+        """Polar Stereographic variant B (EPSG method 9829), the GN7-2
+        Australian Antarctic example: lat_ts=-71, lon_0=70E,
+        FE=FN=6000000 on WGS84; 75S 120E -> E 7255380.79 N 7053389.56."""
+        from mapchete_spark.geometry.projparams import projection_from_proj4
+
+        p = projection_from_proj4(
+            "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 "
+            "+x_0=6000000 +y_0=6000000 +ellps=WGS84"
+        )
+        x, y = p.forward(120.0, -75.0)
+        assert abs(x - 7255380.79) < 0.01
+        assert abs(y - 7053389.56) < 0.01
+        lo, la = p.inverse(x, y)
+        assert abs(lo - 120.0) < 1e-9 and abs(la - (-75.0)) < 1e-9
+
+    def test_epsg_gn72_variant_a_worked_example(self):
+        """Polar Stereographic variant A (EPSG method 9810), the GN7-2
+        UPS North example (EPSG:5041): k0=0.994, FE=FN=2000000;
+        73N 44E -> E 3320416.75 N 632668.43. +proj=ups resolves to the
+        identical grid."""
+        from mapchete_spark.geometry.projparams import (
+            EPSG_PROJ4,
+            projection_from_proj4,
+        )
+
+        p = projection_from_proj4(EPSG_PROJ4["EPSG:5041"])
+        x, y = p.forward(44.0, 73.0)
+        assert abs(x - 3320416.75) < 0.01
+        assert abs(y - 632668.43) < 0.01
+        u = projection_from_proj4("+proj=ups +ellps=WGS84")
+        assert u.forward(44.0, 73.0) == (x, y)
+
+    def test_north_aspect_roundtrip_epsg3413(self):
+        from mapchete_spark.geometry.projparams import (
+            EPSG_PROJ4,
+            projection_from_proj4,
+        )
+
+        p = projection_from_proj4(EPSG_PROJ4["EPSG:3413"])
+        lons = np.linspace(-179.0, 179.0, 37)
+        lats = np.linspace(60.0, 89.9, 37)
+        x, y = p.forward(lons, lats)
+        lo, la = p.inverse(x, y)
+        dlo = (lo - lons + 180.0) % 360.0 - 180.0
+        assert np.abs(dlo).max() < 1e-9
+        assert np.abs(la - lats).max() < 1e-9
+        # the pole itself maps to the false origin and back
+        px, py = p.forward(0.0, 90.0)
+        assert (px, py) == (0.0, 0.0)
+        assert p.inverse(0.0, 0.0)[1] == 90.0
+
+    def test_oblique_stere_raises(self):
+        from mapchete_spark.geometry.projparams import projection_from_proj4
+
+        with pytest.raises(ValueError, match="polar aspects"):
+            projection_from_proj4("+proj=stere +lat_0=52 +lon_0=5")
+
+    def test_column_twin_matches_library(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as SF
+
+        from mapchete_spark.functions.conicsql import stere_xy_cols
+        from mapchete_spark.geometry.projparams import (
+            EPSG_PROJ4,
+            projection_from_proj4,
+        )
+
+        rng = np.random.RandomState(23)
+        lon = rng.uniform(-180, 180, 400)
+        lat = rng.uniform(-85, -62, 400)
+        pdf = pd.DataFrame({"i": range(400), "lon": lon, "lat": lat})
+        sdf = spark.createDataFrame(pdf)
+        x, y = stere_xy_cols(SF.col("lon"), SF.col("lat"))
+        out = (
+            sdf.select("i", x.alias("x"), y.alias("y"))
+            .orderBy("i")
+            .toPandas()
+        )
+        p = projection_from_proj4(EPSG_PROJ4["EPSG:3031"])
+        ex, ey = p.forward(lon, lat)
+        ex = np.floor(ex * 100.0 + 0.5) / 100.0
+        ey = np.floor(ey * 100.0 + 0.5) / 100.0
+        np.testing.assert_array_equal(out["x"].values, ex)
+        np.testing.assert_array_equal(out["y"].values, ey)
+
+
 class TestBritishNationalGrid:
     """General TM (geometry/tm): arbitrary ellipsoid + Helmert datum —
     EPSG:27700 on Airy 1830."""
