@@ -3295,6 +3295,140 @@ def o_vector_reproject() -> str:
     )
 
 
+_CLIP_HALF = 4.0  # half-width (deg) of the synthetic squares for crs_bounds_clip
+
+
+def q_crs_bounds_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 CRS-bounds clipping (round 5): the reference clips geometries
+    to the destination CRS's valid region BEFORE warping
+    (mapchete/geometry/reproject.py:36-68 get_crs_bounds +
+    reproject_geometry:128-174, clip_to_crs_bounds default True) so
+    out-of-domain coordinates are removed instead of garbled. Here:
+    an 8-degree square around every doc point is pushed through
+    reproject_features -> EPSG:3031 (clipped to the Antarctic Polar
+    Stereographic area of use — lat <= -60, where the synthetic corpus
+    actually lives; squares with lat > -56 are wholly outside and
+    dropped, squares straddling -60 or the antimeridian are clipped)
+    and back to geodetic; the digest is the recovered bbox + shoelace
+    area (micro-degree quantized — forward+inverse round-trip agrees
+    to ~1e-14 deg) plus a was-clipped flag. The 4-degree half-width
+    keeps clipped corners off the geographic pole (min doc lat -84.8),
+    where inverse stereographic longitude is undefined. Squares wholly
+    outside the area of use are DROPPED (the reference returns an
+    empty geometry). The oracle recomputes the clip as rectangle
+    clamps on the same synthetic squares. Map-only (two mapInPandas
+    warps), zero shuffle at any corpus size."""
+    import pandas as pd
+
+    from mapchete_spark.geometry.core import Polygon as _Poly
+    from mapchete_spark.geometry.reproject import get_crs_bounds
+    from mapchete_spark.geometry.wkb import from_wkb, to_wkb
+    from mapchete_spark.operators.vector import reproject_features
+
+    docs = load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    w, s, e, n = get_crs_bounds("EPSG:3031")
+
+    def mk(batches):
+        for pdf in batches:
+            geoms, clipped = [], []
+            for lo, la in zip(pdf["lon"].values, pdf["lat"].values):
+                x0, y0 = lo - _CLIP_HALF, la - _CLIP_HALF
+                x1, y1 = lo + _CLIP_HALF, la + _CLIP_HALF
+                geoms.append(
+                    bytearray(
+                        to_wkb(_Poly([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]))
+                    )
+                )
+                clipped.append(bool(x0 < w or x1 > e or y0 < s or y1 > n))
+            yield pd.DataFrame(
+                {
+                    "feature_id": pdf["doc_id"].astype("int64"),
+                    "geometry": geoms,
+                    "was_clipped": clipped,
+                }
+            )
+
+    feats = docs.mapInPandas(
+        mk, schema="feature_id long, geometry binary, was_clipped boolean"
+    )
+    proj = reproject_features(feats, "EPSG:4326", "EPSG:3031")
+    back = reproject_features(proj, "EPSG:3031", "EPSG:4326")
+
+    def digest(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "feature_id": [], "lon0": [], "lat0": [], "lon1": [],
+                "lat1": [], "area_q": [], "was_clipped": [],
+            }
+            for fid, wkb, wc in zip(
+                pdf["feature_id"].values,
+                pdf["geometry"].values,
+                pdf["was_clipped"].values,
+            ):
+                poly = from_wkb(wkb)
+                b = poly.bounds
+
+                def q6(v):
+                    return float(np.floor(v * 1000000.0 + 0.5) / 1000000.0)
+
+                rows["feature_id"].append(int(fid))
+                rows["lon0"].append(q6(b.left))
+                rows["lat0"].append(q6(b.bottom))
+                rows["lon1"].append(q6(b.right))
+                rows["lat1"].append(q6(b.top))
+                rows["area_q"].append(int(np.floor(poly.area * 10000.0 + 0.5)))
+                rows["was_clipped"].append(bool(wc))
+            yield pd.DataFrame(rows)
+
+    return back.mapInPandas(
+        digest,
+        schema=(
+            "feature_id long, lon0 double, lat0 double, lon1 double, "
+            "lat1 double, area_q long, was_clipped boolean"
+        ),
+    ).orderBy("feature_id")
+
+
+def o_crs_bounds_clip() -> str:
+    """Rectangle-clamp twin of the Sutherland-Hodgman clip on
+    axis-aligned squares; rows whose square misses the area of use
+    entirely are filtered (the engine's row-drop)."""
+    from mapchete_spark.geometry.reproject import get_crs_bounds
+
+    w, s, e, n = get_crs_bounds("EPSG:3031")
+    W, S, E, N = _dlit(w), _dlit(s), _dlit(e), _dlit(n)
+    h = _dlit(_CLIP_HALF)
+    return (
+        _docs_geo_cte()
+        + f"""
+    , sq AS (
+        SELECT doc_id AS feature_id,
+               lon - {h} AS x0, lat - {h} AS y0,
+               lon + {h} AS x1, lat + {h} AS y1
+        FROM docs_geo
+    ), clipped AS (
+        SELECT feature_id,
+               GREATEST(x0, {W}) AS cx0, GREATEST(y0, {S}) AS cy0,
+               LEAST(x1, {E}) AS cx1, LEAST(y1, {N}) AS cy1,
+               (x0 < {W} OR x1 > {E} OR y0 < {S} OR y1 > {N}) AS was_clipped
+        FROM sq
+    )
+    SELECT feature_id,
+           FLOOR(cx0 * 1000000.0 + 0.5) / 1000000.0 AS lon0,
+           FLOOR(cy0 * 1000000.0 + 0.5) / 1000000.0 AS lat0,
+           FLOOR(cx1 * 1000000.0 + 0.5) / 1000000.0 AS lon1,
+           FLOOR(cy1 * 1000000.0 + 0.5) / 1000000.0 AS lat1,
+           CAST(FLOOR((cx1 - cx0) * (cy1 - cy0) * 10000.0 + 0.5) AS BIGINT) AS area_q,
+           was_clipped
+    FROM clipped
+    WHERE cx1 > cx0 AND cy1 > cy0
+    ORDER BY feature_id
+    """
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / similarity / text analysis
 
@@ -4276,6 +4410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_affine": q_grid_affine,
         # -- new in round 5 --
         "stere_reproject": q_stere_reproject,
+        "crs_bounds_clip": q_crs_bounds_clip,
         # -- oracles changed in round 5 (bounded rarity model) --
         "rarity_scores": q_rarity_scores,
         "pipeline_quality": q_pipeline_quality,
@@ -4283,10 +4418,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
-        "count_tiles": q_count_tiles,
-        "gtiff_export": q_gtiff_export,
         "repetition_stats": q_repetition_stats,
         "media_features": q_media_features,
+        # reproject_features default now clips to CRS bounds — re-earn
+        "vector_reproject": q_vector_reproject,
         # ---------------- driver cap boundary (position 50) ----------------
         # everything below earned a fresh green row in CORRECTNESS_r04
         "meta_intersect": q_meta_intersect,
@@ -4312,7 +4447,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_buffer": q_metric_buffer,
         "lcc_reproject": q_lcc_reproject,
         "span_media_join": q_span_media_join,
-        "vector_reproject": q_vector_reproject,
+        "count_tiles": q_count_tiles,
+        "gtiff_export": q_gtiff_export,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -4793,6 +4929,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_features"] = media_features_sql(300)
     out["span_media_join"] = o_span_media_join()
     out["vector_reproject"] = o_vector_reproject()
+    out["crs_bounds_clip"] = o_crs_bounds_clip()
     out["utm_reproject"] = o_utm_reproject()
     from mapchete_spark.functions.conicsql import lcc_reproject_sql
     out["lcc_reproject"] = lcc_reproject_sql()

@@ -246,6 +246,65 @@ def get_transform(src: str, dst: str):
     return lambda x, y: fwd(*inv(x, y))
 
 
+# ---- CRS valid-region bounds (area of use) -----------------------------------
+#
+# The reference clips geometries to the destination CRS's valid region
+# before warping (mapchete/geometry/reproject.py:36-68 CRS_BOUNDS +
+# pyproj area_of_use fallback; reproject_geometry clip_to_crs_bounds).
+# Without a proj database the engine carries a curated table of
+# published EPSG area-of-use boxes (geodetic degrees, west/south/east/
+# north) for every CRS it registers, plus the closed-form UTM-zone rule.
+# The first three entries use the reference's own literal values so the
+# two engines clip identically on the CRSes both know.
+
+CRS_BOUNDS = {
+    "EPSG:4326": (-180.0, -90.0, 180.0, 90.0),
+    "EPSG:3857": (-180.0, -85.0511, 180.0, 85.0511),
+    "EPSG:3035": (-10.67, 34.5, 31.55, 71.05),
+    # EPSG registry area-of-use values for the hand-registered grids
+    "EPSG:2154": (-9.86, 41.15, 10.38, 51.56),  # RGF93 / Lambert-93
+    "EPSG:3812": (2.5, 49.5, 6.4, 51.51),  # Belgian Lambert 2008
+    "EPSG:5070": (-124.79, 24.41, -66.91, 49.38),  # Conus Albers
+    "EPSG:2193": (166.33, -47.4, 178.63, -34.0),  # NZTM 2000
+    "EPSG:3577": (112.85, -43.7, 153.69, -9.86),  # Australian Albers
+    "EPSG:3978": (-141.01, 38.21, -40.73, 86.46),  # Canada Atlas LCC
+    "EPSG:25832": (6.0, 38.76, 12.0, 84.33),  # ETRS89 / UTM 32N
+    "EPSG:27700": (-9.0, 49.75, 2.01, 61.01),  # OSGB British National Grid
+    # polar grids (EPSG area of use; NSIDC sea-ice coverage for 3413/3976)
+    "EPSG:3031": (-180.0, -90.0, 180.0, -60.0),
+    "EPSG:3413": (-180.0, 60.0, 180.0, 90.0),
+    "EPSG:3976": (-180.0, -90.0, 180.0, -40.0),
+    "EPSG:5041": (-180.0, 60.0, 180.0, 90.0),
+    "EPSG:5042": (-180.0, -90.0, 180.0, -60.0),
+}
+
+
+def register_crs_bounds(crs: str, bounds) -> None:
+    """Register the geodetic valid region for a runtime-registered CRS
+    (west, south, east, north in degrees)."""
+    w, s, e, n = (float(v) for v in bounds)
+    CRS_BOUNDS[crs] = (w, s, e, n)
+
+
+def get_crs_bounds(crs: str):
+    """Geodetic (west, south, east, north) valid region of ``crs``, or
+    None when unknown (callers then warp without clipping, matching the
+    reference's fallthrough when pyproj has no area_of_use)."""
+    b = CRS_BOUNDS.get(crs)
+    if b is not None:
+        return b
+    # UTM zones: EPSG area of use is the 6-degree meridian strip over
+    # the zone's hemisphere
+    if crs.startswith("EPSG:32"):
+        try:
+            lon0, south = _utm_params(crs)
+        except ValueError:
+            return None
+        return (lon0 - 3.0, -80.0 if south else 0.0, lon0 + 3.0,
+                0.0 if south else 84.0)
+    return None
+
+
 def reproject_ring(
     ring: np.ndarray, src: str, dst: str, segmentize_at=None, custom_transform=None
 ):

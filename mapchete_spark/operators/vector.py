@@ -470,13 +470,46 @@ def tile_union_rotated(docs_geo: DataFrame) -> DataFrame:
 
 
 def reproject_features(
-    features: DataFrame, src: str = "EPSG:4326", dst: str = "EPSG:3857"
+    features: DataFrame,
+    src: str = "EPSG:4326",
+    dst: str = "EPSG:3857",
+    clip_to_crs_bounds: bool = True,
+    error_on_clip: bool = False,
 ) -> DataFrame:
     """V5: reproject feature geometries (closed-form geodetic<->mercator,
-    densified before warp like the reference's segmentize-then-transform)."""
+    densified before warp like the reference's segmentize-then-transform).
+
+    ``clip_to_crs_bounds`` mirrors the reference's reproject_geometry
+    (mapchete/geometry/reproject.py:128-174): when the destination CRS
+    has a known valid region (geometry/reproject.CRS_BOUNDS — the
+    area-of-use table; reference falls back to pyproj area_of_use),
+    geometries are first taken to geodetic and intersected with that
+    region BEFORE warping, so out-of-domain coordinates are clipped
+    away instead of producing garbage projected values. Unknown
+    destination bounds, or dst EPSG:4326, warp unclipped (the
+    reference's fallthrough). Features clipped to nothing are dropped
+    (the reference returns an empty geometry; a row-drop is the
+    DataFrame rendering of empty). ``error_on_clip`` raises instead of
+    clipping, like the reference flag."""
+    from mapchete_spark.geometry.core import clip_ring_to_rect
+    from mapchete_spark.geometry.reproject import get_crs_bounds, get_transform
+
+    bounds = (
+        get_crs_bounds(dst)
+        if clip_to_crs_bounds and dst != "EPSG:4326"
+        else None
+    )
+    to_geodetic = (
+        get_transform(src, "EPSG:4326")
+        if bounds is not None and src != "EPSG:4326"
+        else None
+    )
+    warp_src = "EPSG:4326" if bounds is not None else src
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             geoms = []
+            keep = []
             for g in pdf["geometry"]:
                 geom = from_wkb(g)
                 polys = (
@@ -484,14 +517,38 @@ def reproject_features(
                 )
                 outp = []
                 for poly in polys:
-                    ring = reproject_ring(poly.exterior, src, dst)
-                    outp.append(Polygon(ring))
+                    ring = np.asarray(poly.exterior, dtype=np.float64)
+                    if bounds is not None:
+                        if to_geodetic is not None:
+                            lon, lat = to_geodetic(ring[:, 0], ring[:, 1])
+                            ring = np.column_stack([lon, lat])
+                        w, s, e, n = bounds
+                        inside = (
+                            (ring[:, 0] >= w)
+                            & (ring[:, 0] <= e)
+                            & (ring[:, 1] >= s)
+                            & (ring[:, 1] <= n)
+                        )
+                        if not inside.all():
+                            if error_on_clip:
+                                raise RuntimeError(
+                                    f"geometry outside {dst} CRS bounds"
+                                )
+                            ring = clip_ring_to_rect(ring, w, s, e, n)
+                            if len(ring) < 3:
+                                continue  # fully outside the valid region
+                    outp.append(Polygon(reproject_ring(ring, warp_src, dst)))
+                if not outp:
+                    keep.append(False)
+                    geoms.append(None)
+                    continue
+                keep.append(True)
                 geoms.append(
                     bytearray(to_wkb(outp[0] if len(outp) == 1 else MultiPolygon(tuple(outp))))
                 )
             res = pdf.copy()
             res["geometry"] = geoms
-            yield res
+            yield res[pd.Series(keep, index=res.index)]
 
     return features.mapInPandas(gen, schema=features.schema)
 

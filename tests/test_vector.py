@@ -90,8 +90,13 @@ def test_union_mask_area(spark, land):
 
 
 def test_reproject_roundtrip(spark, land):
+    # clip off for the pure-warp roundtrip: the fixture includes
+    # features past lon 180 / lat 85 which the (reference-default)
+    # CRS-bounds clip would legitimately cut (see test below)
     sample = land.limit(5)
-    merc = reproject_features(sample, "EPSG:4326", "EPSG:3857")
+    merc = reproject_features(
+        sample, "EPSG:4326", "EPSG:3857", clip_to_crs_bounds=False
+    )
     back = reproject_features(merc, "EPSG:3857", "EPSG:4326")
     for orig, rt in zip(sample.collect(), back.collect()):
         p0 = from_wkb(orig["geometry"])
@@ -99,6 +104,61 @@ def test_reproject_roundtrip(spark, land):
         # roundtrip preserves shape (densified, so compare bounds)
         for a, b in zip(p0.bounds, p1.bounds):
             assert a == pytest.approx(b, abs=1e-6)
+
+
+def _square_feature_df(spark, fid, x0, y0, x1, y1):
+    wkb = to_wkb(Polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]))
+    return spark.createDataFrame(
+        [(fid, bytearray(wkb), "Polygon")],
+        "feature_id string, geometry binary, geom_type string",
+    )
+
+
+def test_reproject_clips_to_crs_bounds(spark):
+    """V5 CRS-bounds parity (reference reproject_geometry:128-174):
+    out-of-domain coordinates are clipped in geodetic space BEFORE the
+    warp, not garbled."""
+    from mapchete_spark.geometry.reproject import get_transform
+
+    # square straddling the east edge of EPSG:3035's area of use
+    df = _square_feature_df(spark, "f", 28.0, 40.0, 40.0, 50.0)
+    out = reproject_features(df, "EPSG:4326", "EPSG:3035").collect()
+    assert len(out) == 1
+    inv = get_transform("EPSG:3035", "EPSG:4326")
+    ring = np.asarray(from_wkb(out[0]["geometry"]).exterior, dtype=np.float64)
+    lon, lat = inv(ring[:, 0], ring[:, 1])
+    assert lon.max() == pytest.approx(31.55, abs=1e-6)  # clipped at east
+    assert lon.min() == pytest.approx(28.0, abs=1e-6)
+    assert lat.min() == pytest.approx(40.0, abs=1e-6)
+    assert lat.max() == pytest.approx(50.0, abs=1e-6)
+
+
+def test_reproject_drops_fully_outside(spark):
+    df = _square_feature_df(spark, "f", -170.0, -20.0, -160.0, -10.0)
+    assert reproject_features(df, "EPSG:4326", "EPSG:3035").count() == 0
+
+
+def test_reproject_inside_untouched_and_error_on_clip(spark):
+    inside = _square_feature_df(spark, "f", 10.0, 45.0, 12.0, 47.0)
+    out = reproject_features(inside, "EPSG:4326", "EPSG:3035")
+    no_clip = reproject_features(
+        inside, "EPSG:4326", "EPSG:3035", clip_to_crs_bounds=False
+    )
+    assert [r["geometry"] for r in out.collect()] == [
+        r["geometry"] for r in no_clip.collect()
+    ]
+    # error_on_clip raises only for geometries that need clipping
+    assert (
+        reproject_features(
+            inside, "EPSG:4326", "EPSG:3035", error_on_clip=True
+        ).count()
+        == 1
+    )
+    crossing = _square_feature_df(spark, "g", 28.0, 40.0, 40.0, 50.0)
+    with pytest.raises(Exception, match="CRS bounds"):
+        reproject_features(
+            crossing, "EPSG:4326", "EPSG:3035", error_on_clip=True
+        ).count()
 
 
 def test_type_filter(spark, land):
