@@ -3824,6 +3824,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_ref")
 
 
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path on REAL image bytes (round 5): image payloads
+    are PNG files (repo's own full-spec codec, sources/png_codec —
+    the reference reads images via rasterio/PIL,
+    mapchete/formats/default/png.py:93-118), decoded by
+    png_image_decoder registered through the decoders= hook; the
+    features must match the raw-pixel oracle bit-for-bit (lossless
+    round-trip) while n_bytes becomes the encoded file size. Audio/
+    video stay on the documented stub. Map-only Arrow pass, zero
+    shuffle."""
+    from mapchete_spark.operators.multimodal import (
+        extract_media_features,
+        png_image_decoder,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 300)
+    return extract_media_features(
+        media, decoders={"image": png_image_decoder}
+    ).orderBy("media_ref")
+
+
 def q_span_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal JOIN (north rule: 'matching join output rows'): the
     interleaved docs' media spans join a media dimension keyed by
@@ -4419,7 +4441,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
         "repetition_stats": q_repetition_stats,
-        "media_features": q_media_features,
+        # real-PNG media path (round 5) supersets media_features'
+        # operator coverage; the raw variant keeps its fresh r04 row
+        "media_features_png": q_media_features_png,
         # reproject_features default now clips to CRS bounds — re-earn
         "vector_reproject": q_vector_reproject,
         # ---------------- driver cap boundary (position 50) ----------------
@@ -4449,6 +4473,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_media_join": q_span_media_join,
         "count_tiles": q_count_tiles,
         "gtiff_export": q_gtiff_export,
+        "media_features": q_media_features,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -4927,6 +4952,8 @@ def oracle_sql() -> dict[str, str]:
     from mapchete_spark.operators.multimodal import media_features_sql
 
     out["media_features"] = media_features_sql(300)
+    from mapchete_spark.operators.multimodal import media_features_png_sql
+    out["media_features_png"] = media_features_png_sql(300)
     out["span_media_join"] = o_span_media_join()
     out["vector_reproject"] = o_vector_reproject()
     out["crs_bounds_clip"] = o_crs_bounds_clip()

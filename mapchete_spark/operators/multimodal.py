@@ -78,6 +78,78 @@ def synthetic_media(spark: SparkSession, n: int = 200) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Like ``synthetic_media`` but image payloads are REAL PNG bytes
+    (color type 2, the repo's own codec): the same deterministic
+    md5-chain pixels, encoded. Audio/video stay raw (no public
+    pure-python codec fits this container for those)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapchete_spark.sources.png_codec import encode_png_rgb
+
+        for pdf in batches:
+            rows = {"media_ref": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf["id"].values:
+                i = int(i)
+                d = media_dims(i)
+                ref = f"media://{i}"
+                payload = seeded_bytes(ref, d["n_bytes"])
+                if d["kind"] == "image":
+                    m = d["meta"]
+                    pixels = np.frombuffer(payload, dtype=np.uint8).reshape(
+                        m["height"], m["width"], m["channels"]
+                    )
+                    payload = encode_png_rgb(pixels)
+                rows["media_ref"].append(ref)
+                rows["kind"].append(d["kind"])
+                rows["payload"].append(payload)
+                rows["meta"].append(json.dumps(d["meta"], sort_keys=True))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def png_image_decoder(kind: str, payload: bytes, meta: dict) -> np.ndarray:
+    """REAL image decoder (register via ``register_media_decoder`` or
+    the ``decoders=`` override): full-spec PNG decode from
+    sources/png_codec (bit depth 8, gray/RGB/gray+alpha/RGBA, all five
+    filters). Grayscale expands to (h, w, 1) to keep the HxWxC
+    contract."""
+    if kind != "image":
+        raise NotImplementedError("png_image_decoder handles kind='image' only")
+    from mapchete_spark.sources.png_codec import decode_png
+
+    arr = decode_png(bytes(payload))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if "height" in meta and arr.shape[:2] != (meta["height"], meta["width"]):
+        raise ValueError(
+            f"decoded PNG {arr.shape[:2]} != meta "
+            f"({meta['height']}, {meta['width']})"
+        )
+    return arr
+
+
+def media_features_png_sql(n: int) -> str:
+    """Oracle twin of extract_media_features(synthetic_png_media(n),
+    decoders={'image': png_image_decoder}): feature values equal the
+    raw-bytes twin (PNG round-trip is lossless) but image n_bytes is
+    the encoded PNG size, computed here by running the same encoder at
+    SQL-generation time."""
+    from mapchete_spark.sources.png_codec import encode_png_rgb
+
+    def payload_len(i: int, d: dict) -> int:
+        if d["kind"] != "image":
+            return d["n_bytes"]
+        m = d["meta"]
+        pixels = np.frombuffer(
+            seeded_bytes(f"media://{i}", d["n_bytes"]), dtype=np.uint8
+        ).reshape(m["height"], m["width"], m["channels"])
+        return len(encode_png_rgb(pixels))
+
+    return media_features_sql(n, payload_len=payload_len)
+
+
 def _fake_decode(kind: str, payload: bytes, meta: dict) -> np.ndarray:
     """STUB decode: interpret the payload per the meta header.
     Replace with PIL.Image.open / soundfile / pyav in a real deployment
@@ -180,18 +252,25 @@ def extract_media_features(media: DataFrame, decoders=None) -> DataFrame:
 # ---- DuckDB SQL twin -----------------------------------------------------------
 
 
-def media_features_sql(n: int) -> str:
+def media_features_sql(n: int, payload_len=None) -> str:
     """Recompute extract_media_features(synthetic_media(n)) in DuckDB:
     the md5-chain payload bytes are re-derived per index (hex-pair ->
     value), then every feature (means, stds, thumbnail signature,
     zero crossings, frame means) is re-aggregated from them. Generated
-    from the same media_dims() the table generator uses."""
+    from the same media_dims() the table generator uses.
+
+    ``payload_len(i, dims) -> int`` overrides the emitted n_bytes
+    column per row (the feature math still runs over the raw byte
+    chain): the PNG-payload variant stores len(encode_png(pixels)) as
+    the on-disk payload size while features come from the decoded
+    pixels."""
     rows = []
     for i in range(n):
         d = media_dims(i)
         m = d["meta"]
+        out_b = d["n_bytes"] if payload_len is None else payload_len(i, d)
         rows.append(
-            f"('media://{i}', '{d['kind']}', {d['n_bytes']}, "
+            f"('media://{i}', '{d['kind']}', {d['n_bytes']}, {out_b}, "
             f"{m.get('width', 0)}, {m.get('height', 0)}, {m.get('n_frames', 0)})"
         )
     vals = ",\n        ".join(rows)
@@ -205,15 +284,15 @@ def media_features_sql(n: int) -> str:
     WITH media AS (
         SELECT * FROM (VALUES
         {vals}
-        ) AS m(media_ref, kind, n_bytes, w, h, n_frames)
+        ) AS m(media_ref, kind, n_bytes, out_bytes, w, h, n_frames)
     ),
     bytes AS (
         SELECT media_ref, kind, n_bytes, w, h, k, {val} AS v
         FROM (
-            SELECT media_ref, kind, n_bytes, w, h, k,
+            SELECT media_ref, kind, out_bytes AS n_bytes, w, h, k,
                    md5(media_ref || ':' || CAST(k // 16 AS VARCHAR)) AS hx
             FROM (
-                SELECT media_ref, kind, n_bytes, w, h,
+                SELECT media_ref, kind, n_bytes, out_bytes, w, h,
                        UNNEST(generate_series(0, n_bytes - 1)) AS k
                 FROM media
             )

@@ -160,6 +160,102 @@ class TestMultimodal:
         joined = join_spans_to_media(flat, media)
         assert joined.count() == flat.where(F.col("kind") != "text").count()
 
+    def test_png_codec_roundtrip_all_types_and_filters(self):
+        import struct
+        import zlib
+
+        from mapchete_spark.sources.png_codec import (
+            _MAGIC,
+            decode_png,
+            encode_png_rgb,
+        )
+        from mapchete_spark.sources.tiledir_export import encode_png
+
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(gray)), gray)
+        ga = rng.integers(0, 256, (9, 5, 2), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(ga)), ga)
+        rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+        rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png_rgb(rgb)), rgb)
+
+        # foreign PNGs use Sub/Up/Average/Paeth filters our encoder
+        # never emits — forward-filter by hand, decoder must invert
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        arr = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+        h, w, c = arr.shape
+        lines = arr.reshape(h, -1).astype(int)
+        prev = np.zeros(w * c, dtype=int)
+        stream = b""
+        for y in range(h):
+            ft = (y % 5)
+            cur = lines[y]
+            out = []
+            for x in range(w * c):
+                left = cur[x - c] if x >= c else 0
+                ul = prev[x - c] if x >= c else 0
+                if ft == 0:
+                    v = cur[x]
+                elif ft == 1:
+                    v = cur[x] - left
+                elif ft == 2:
+                    v = cur[x] - prev[x]
+                elif ft == 3:
+                    v = cur[x] - ((left + prev[x]) >> 1)
+                else:
+                    v = cur[x] - paeth(left, prev[x], ul)
+                out.append(v & 0xFF)
+            stream += bytes([ft]) + bytes(out)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        buf = (
+            _MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(buf), arr)
+
+    def test_png_media_features_match_stub_pixels(self, spark):
+        """The PNG round-trip is lossless, so features over real PNG
+        payloads equal the stub path's raw-pixel features (n_bytes is
+        the one column that differs: file size vs pixel count)."""
+        from mapchete_spark.operators.multimodal import (
+            extract_media_features,
+            png_image_decoder,
+            synthetic_png_media,
+        )
+
+        raw = extract_media_features(synthetic_media(spark, 30)).collect()
+        png = extract_media_features(
+            synthetic_png_media(spark, 30),
+            decoders={"image": png_image_decoder},
+        ).collect()
+        raw_by = {r["media_ref"]: r for r in raw}
+        assert len(png) == 30
+        saw_image = False
+        for r in png:
+            b = raw_by[r["media_ref"]]
+            assert (r["feat_mean"], r["feat_std"], r["signature"]) == (
+                b["feat_mean"], b["feat_std"], b["signature"]
+            )
+            if r["kind"] == "image":
+                saw_image = True
+                assert r["n_bytes"] != b["n_bytes"]  # file size, not pixels
+            else:
+                assert r["n_bytes"] == b["n_bytes"]
+        assert saw_image
+
 
 class TestStatefulDedup:
     def test_first_seen_dedup_across_batches(self, spark, tmp_path):
