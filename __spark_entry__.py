@@ -2143,6 +2143,72 @@ def o_gtiff_export() -> str:
     """
 
 
+def q_fgb_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 FlatGeobuf vector output (round 5): contour LineStrings are
+    written as a {z}/{row}/{col}.fgb tree through the repo's own
+    spec-implemented FlatGeobuf codec (sources/fgb.py — flatbuffers +
+    packed Hilbert R-tree; the reference uses fiona/GDAL,
+    formats/default/flatgeobuf.py), read BACK with the repo's reader,
+    and re-digested: the decoded geometries and properties must
+    reproduce the marching-squares contour oracle exactly — the same
+    oracle the in-memory contours query uses, so the whole
+    encode->file->decode path is what's under test. Header integrity
+    (feature counts, CRS, geometry type) is asserted in-line; a
+    mismatch raises rather than returning rows."""
+    import json as _json
+    import tempfile
+
+    from mapchete_spark.geometry.wkb import to_wkb
+    from mapchete_spark.operators.digests import contour_digests
+    from mapchete_spark.operators.process import (
+        process_contours,
+        run_vector_process,
+    )
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.fgb import read_fgb
+    from mapchete_spark.sources.tiledir_export import write_vector_tile_directory
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    feats = run_vector_process(dem, pyr, process_contours, params={"interval": 200})
+    d = tempfile.mkdtemp(prefix="msq_fgb_")
+    write_vector_tile_directory(feats, d, pyr, schema=[("elev", "double")])
+    rows = []
+    zdir = os.path.join(d, str(_RASTER_ZOOM))
+    for rdir in sorted(os.listdir(zdir)):
+        for fname in sorted(os.listdir(os.path.join(zdir, rdir))):
+            with open(os.path.join(zdir, rdir, fname), "rb") as f:
+                header, decoded = read_fgb(f.read())
+            if header["features_count"] != len(decoded):
+                raise AssertionError("FGB header feature count mismatch")
+            if header["crs_code"] != 4326:
+                raise AssertionError("FGB header CRS mismatch")
+            if header["geometry_type"] not in ("LineString", "Unknown"):
+                raise AssertionError(header["geometry_type"])
+            for feat in decoded:
+                rows.append(
+                    (
+                        _RASTER_ZOOM,
+                        int(rdir),
+                        int(fname.split(".")[0]),
+                        bytearray(to_wkb(feat["geometry"])),
+                        _json.dumps(feat["properties"], sort_keys=True),
+                    )
+                )
+    back = spark.createDataFrame(
+        rows,
+        "zoom int, tile_row long, tile_col long, geometry binary, "
+        "properties string",
+    )
+    return contour_digests(back).orderBy("tile_row", "tile_col", "level")
+
+
+def o_fgb_export() -> str:
+    """The in-memory contours oracle verbatim: the FGB tree must be a
+    lossless rendering of the same features."""
+    return o_contours()
+
+
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: marching-squares contours from the DEM, digested per
     (tile, level): segment count + quantized total length."""
@@ -4433,6 +4499,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "stere_reproject": q_stere_reproject,
         "crs_bounds_clip": q_crs_bounds_clip,
+        "fgb_export": q_fgb_export,
         # -- oracles changed in round 5 (bounded rarity model) --
         "rarity_scores": q_rarity_scores,
         "pipeline_quality": q_pipeline_quality,
@@ -4440,7 +4507,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
-        "repetition_stats": q_repetition_stats,
         # real-PNG media path (round 5) supersets media_features'
         # operator coverage; the raw variant keeps its fresh r04 row
         "media_features_png": q_media_features_png,
@@ -4474,6 +4540,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_tiles": q_count_tiles,
         "gtiff_export": q_gtiff_export,
         "media_features": q_media_features,
+        "repetition_stats": q_repetition_stats,
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -4916,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
     out["singlefile_mosaic"] = o_singlefile_mosaic()
     out["hillshade"] = o_hillshade()
     out["contours"] = o_contours()
+    out["fgb_export"] = o_fgb_export()
     out["overviews"] = o_overviews()
     out["upsample"] = o_upsample()
     out["tile_index"] = o_tile_index()

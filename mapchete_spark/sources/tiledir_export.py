@@ -165,6 +165,79 @@ def write_tile_directory(
     return n
 
 
+def write_vector_tile_directory(
+    features: DataFrame,
+    path: str,
+    pyramid: TilePyramid,
+    schema,
+    name: str = "layer",
+    max_tiles: int = 100_000,
+    node_size: int = 16,
+) -> int:
+    """S9: export a vector feature table (run_vector_process rows:
+    zoom/tile_row/tile_col/tile_key + WKB geometry + JSON properties)
+    to a ``{zoom}/{row}/{col}.fgb`` FlatGeobuf tree — the reference's
+    FlatGeobuf output driver (formats/default/flatgeobuf.py +
+    _fiona_base.py:18-60) without fiona, via the repo's own
+    spec-implemented codec (sources/fgb.py). ``schema`` is the ordered
+    [(property_name, column_type)] list, like the reference's
+    output ``schema.properties`` config. Returns the tile (file)
+    count.
+
+    Scale shape: one repartition on tile_key co-locates each tile's
+    features, then every executor writes its own tiles' files
+    (foreachPartition, no driver collect); per-task memory is bounded
+    by its largest single tile."""
+    n_tiles = features.select("tile_key").distinct().count()
+    if n_tiles > max_tiles:
+        raise ValueError(
+            f"refusing to write {n_tiles} tile files (> {max_tiles}); "
+            "export a bounded extract or raise max_tiles"
+        )
+    os.makedirs(path, exist_ok=True)
+    meta = dict(
+        pyramid=pyramid.to_dict(),
+        driver=dict(
+            format="tile_directory_fgb",
+            schema={"properties": dict(schema)},
+        ),
+    )
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+    schema_local = list(schema)
+    crs = getattr(pyramid, "crs", None) or "EPSG:4326"
+    crs_code = int(str(crs).split(":")[-1])
+
+    def write_partition(rows):
+        from mapchete_spark.geometry.wkb import from_wkb
+        from mapchete_spark.sources.fgb import write_fgb
+
+        groups = {}
+        for r in rows:
+            key = (int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"]))
+            groups.setdefault(key, []).append(
+                {
+                    "geometry": from_wkb(bytes(r["geometry"])),
+                    "properties": json.loads(r["properties"]),
+                }
+            )
+        for (z, trow, tcol), feats in groups.items():
+            gtypes = {f["geometry"].geom_type for f in feats}
+            gt = gtypes.pop() if len(gtypes) == 1 else "Unknown"
+            buf = write_fgb(
+                feats, schema_local, geometry_type=gt, name=name,
+                crs_code=crs_code, node_size=node_size,
+            )
+            d = os.path.join(path, str(z), str(trow))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{tcol}.fgb"), "wb") as f:
+                f.write(buf)
+
+    features.repartition("tile_key").foreachPartition(write_partition)
+    return n_tiles
+
+
 def tile_index_geojson(index_df: DataFrame, path: str) -> int:
     """J8: write a GeoJSON FeatureCollection of tile footprints from a
     tile_index query result (small per-zoom driver-side write, like the

@@ -11,10 +11,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from mapchete_spark.session import get_spark
 
-    # local[8]: the job tests push 262KB tile rows through several
-    # shuffle stages each — 8 threads roughly halves the suite's
-    # Spark-job wall time vs local[4] on this 32-core box while keeping
-    # per-test parallelism low enough to not fight the whole machine
+    # local[16]: the job tests push 262KB tile rows through several
+    # shuffle stages each — measured on this 32-core box (steal <1%):
+    # test_config_job 89s (local[8]) -> 70s, test_checkpoint 72s -> 42s.
+    # The oracle-parity replay also fans 12 concurrent query threads
+    # into the session, which local[16] absorbs. Override with
+    # SPARK_GRAFT_TEST_MASTER when sharing the machine.
     extra = {}
     if not os.environ.get("SPARK_GRAFT_TEST_CODEGEN"):
         # Janino whole-stage compilation costs 100-300ms per UNIQUE
@@ -25,8 +27,9 @@ def spark():
         # (what the plan tests assert) are unchanged. The driver's
         # correctness gate and bench.py keep codegen ON.
         extra["spark.sql.codegen.wholeStage"] = "false"
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[16]")
     s = get_spark(
-        "mapchete_spark_tests", master="local[8]", shuffle_partitions=8,
+        "mapchete_spark_tests", master=master, shuffle_partitions=8,
         extra_conf=extra,
     )
     yield s

@@ -354,17 +354,22 @@ class TestSingleCog:
 
         pyr = TilePyramid("geodetic")
         aoi = Bounds(0.0, 20.0, 45.0, 50.0)
-        dem = materialize_dem(spark, 5, pyr, bounds=aoi, hole=False)
-        levels = build_overviews(dem, pyr, 5, 3, resampling="average")
+        # base zoom 4 (12 tiles) exercises the same 3-IFD chained
+        # halving as zoom 5 (48 tiles) at a quarter of the work
+        dem = materialize_dem(spark, 4, pyr, bounds=aoi, hole=False)
+        levels = build_overviews(dem, pyr, 4, 2, resampling="average")
         table = dem
         for _z, df in levels:
-            if _z != 5:
+            if _z != 4:
                 table = table.unionByName(df)
-        meta = write_single_cog(table, pyr, [5, 4, 3], str(tmp_path / "cog"))
+        # the COG write plus three assemble_single_array reads below
+        # would each recompute the synthetic-DEM + overview chain
+        table = table.cache()
+        meta = write_single_cog(table, pyr, [4, 3, 2], str(tmp_path / "cog"))
         with open(str(tmp_path / "cog.tif"), "rb") as f:
             ifds = decode_gtiff_all(f.read())
         assert len(ifds) == 3
-        base_arr, base_bounds, nodata = assemble_single_array(table, pyr, 5)
+        base_arr, base_bounds, nodata = assemble_single_array(table, pyr, 4)
         np.testing.assert_array_equal(ifds[0][0], base_arr.filled(nodata))
         assert np.allclose(list(ifds[0][1]), list(base_bounds))
         # each overview IFD: same bounds, halved raster, values from
@@ -373,7 +378,7 @@ class TestSingleCog:
         for k, (arr, bnds, epsg, nod) in enumerate(ifds[1:], start=1):
             assert np.allclose(list(bnds), list(base_bounds))
             assert arr.shape[1] * 2**k == prev_shape[1]
-            z = 5 - k
+            z = 4 - k
             ov_arr, ov_bounds, _ = assemble_single_array(table, pyr, z)
             px, py = pyr.pixel_x_size(z), pyr.pixel_y_size(z)
             c0 = int(round((base_bounds.left - ov_bounds.left) / px))

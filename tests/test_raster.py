@@ -377,8 +377,14 @@ class TestCubicResampling:
         from mapchete_spark.plans.job import execute
 
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        from mapchete_spark.tilegrid import Bounds
+
         cfg = JobConfig.from_file(os.path.join(here, "configs", "baselevels.mapchete"))
         cfg.baselevels.lower = "cubic"
+        # quarter of the config AOI: this test only checks the cubic
+        # kernel flows through config->execute->overview; the full-AOI
+        # baselevels pipeline is covered by test_config_job
+        cfg.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
         cfg.output["path"] = str(tmp_path / "bl_cubic")
         counts = execute(spark, cfg, mode="overwrite")
         assert counts["overview_z4"] > 0

@@ -172,25 +172,27 @@ class TestCliBreadth:
 
 
 class TestExecuteIndexCli:
-    def test_execute_then_index_cli(self, tmp_path):
-        """J9 end-to-end through the actual spark-submit entry points:
-        execute a config, then index the output — both as subprocesses."""
+    def test_execute_then_index_cli(self, spark, tmp_path):
+        """J9 end-to-end: execute a config, then index the output.
+        Runs IN-PROCESS on the shared session — the true spark-submit
+        subprocess path is covered once, canonically, by the
+        cli_execute contract query (a second ~25s JVM boot here bought
+        no extra coverage)."""
         import shutil
+
+        from tests.conftest import run_cli_inproc
 
         cfg_src = os.path.join(HERE, "configs", "hillshade.mapchete")
         cfg = str(tmp_path / "job.mapchete")
         shutil.copy(cfg_src, cfg)
         out = str(tmp_path / "out")
-        res = subprocess.run(
-            [sys.executable, os.path.join(HERE, "jobs", "execute.py"), cfg,
-             "--mode", "overwrite", "--zoom", "4", "--out", out],
-            capture_output=True, text=True, env=_LEAN_CLI_ENV, timeout=600,
+        rc, out_txt = run_cli_inproc(
+            "execute", [cfg, "--mode", "overwrite", "--zoom", "4",
+                        "--out", out]
         )
-        assert res.returncode == 0, res.stderr[-2000:]
-        stages = json.loads(res.stdout.strip().splitlines()[-1])["stages"]
+        assert rc == 0
+        stages = json.loads(out_txt.strip().splitlines()[-1])["stages"]
         assert stages["process_z4"] > 0
-
-        from tests.conftest import run_cli_inproc
 
         rc, out_txt = run_cli_inproc(
             "index", [out, "--zoom", "4", "--dest", str(tmp_path / "idx")]
