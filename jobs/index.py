@@ -17,6 +17,16 @@ def main():
     ap.add_argument("out_path")
     ap.add_argument("--zoom", type=int, required=True)
     ap.add_argument("--dest", default=None, help="write index parquet here")
+    ap.add_argument(
+        "--geojson", action="store_true",
+        help="also write a {zoom}.geojson footprint index (reference: "
+        "mapchete index --geojson)",
+    )
+    ap.add_argument(
+        "--gpkg", action="store_true",
+        help="also write a {zoom}.gpkg footprint index (reference: "
+        "mapchete index --gpkg, index.py:60-100)",
+    )
     args = ap.parse_args()
 
     from mapchete_spark.plans.job import tile_index
@@ -29,6 +39,23 @@ def main():
         print(f"wrote {idx.count()} index rows to {args.dest}")
     else:
         idx.show(50, truncate=False)
+    if args.geojson or args.gpkg:
+        idx_rows = idx.collect()
+        out_dir = args.dest or args.out_path
+        os.makedirs(out_dir, exist_ok=True)
+        if args.geojson:
+            from mapchete_spark.sources.tiledir_export import tile_index_geojson
+
+            gj = os.path.join(out_dir, f"{args.zoom}.geojson")
+            tile_index_geojson(idx, gj)
+            print(f"wrote {gj}")
+        if args.gpkg:
+            from mapchete_spark.sources.gpkg import write_gpkg_tile_index
+
+            path = write_gpkg_tile_index(
+                [r.asDict() for r in idx_rows], out_dir, args.zoom
+            )
+            print(f"wrote {path}")
     stop_unless_kept(spark)
     return 0
 

@@ -12,6 +12,9 @@ instantiates the already-general projection machinery:
 - ``+proj=tmerc`` -> geometry/tm.TransverseMercatorGrid (Krüger n^6)
 - ``+proj=utm``   -> tmerc with the zone's central meridian
 - ``+proj=merc``  -> spherical web-mercator path (reproject)
+- ``+proj=stere``/``ups`` -> geometry/conic.PolarStereographic (polar aspects)
+- ``+proj=sinu``  -> geometry/pseudocyl.Sinusoidal (MODIS grid et al.)
+- ``+proj=eqearth`` -> geometry/pseudocyl.EqualEarth (EPSG:8857)
 - ``+proj=longlat`` -> identity (geodetic)
 
 Ellipsoids come from ``+ellps=`` (the standard proj names) or explicit
@@ -119,6 +122,22 @@ EPSG_PROJ4 = {
     "EPSG:5042": (
         "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 "
         "+x_0=2000000 +y_0=2000000 +ellps=WGS84 +units=m +no_defs"
+    ),
+    # WGS 84 / Equal Earth Greenwich (Šavrič-Patterson-Jenny 2018)
+    "EPSG:8857": (
+        "+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m "
+        "+no_defs"
+    ),
+    # NASA MODIS sinusoidal grid (sphere R=6371007.181; no EPSG code
+    # exists — the community spatialreference.org alias is used)
+    "SR-ORG:6974": (
+        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +a=6371007.181 "
+        "+b=6371007.181 +units=m +no_defs"
+    ),
+    # World Sinusoidal on the WGS84 ellipsoid (ESRI registry)
+    "ESRI:54008": (
+        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m "
+        "+no_defs"
     ),
 }
 
@@ -281,6 +300,21 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
             )
         )
 
+    if family in ("sinu", "eqearth"):
+        _check_no_datum_shift(pp, family)
+        from mapchete_spark.geometry.pseudocyl import (
+            EqualEarth,
+            PseudocylParams,
+            Sinusoidal,
+        )
+
+        cls = Sinusoidal if family == "sinu" else EqualEarth
+        return cls(
+            PseudocylParams(
+                lon0=g("lon_0"), x0=g("x_0"), y0=g("y_0"), a=a, f=f
+            )
+        )
+
     if family in ("merc", "webmerc"):
         _check_no_datum_shift(pp, family)
         from mapchete_spark.geometry import reproject as R
@@ -293,7 +327,7 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
 
     raise ValueError(
         f"+proj={family} not implemented (families: lcc aea laea tmerc "
-        "utm merc stere ups longlat)"
+        "utm merc stere ups sinu eqearth longlat)"
     )
 
 

@@ -616,3 +616,77 @@ def ngram_contamination_sql() -> str:
     GROUP BY c.doc_id
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (boilerplate removal) — round 5
+# ---------------------------------------------------------------------------
+
+#: a line must appear in at least this many distinct docs to count as
+#: boilerplate (RefinedWeb uses doc-frequency thresholds of this shape)
+LINE_DEDUP_MIN_DF = 8
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_doc_frequency: int = LINE_DEDUP_MIN_DF,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line deduplication: drop every line that occurs in
+    >= ``min_doc_frequency`` distinct documents (navigation bars,
+    cookie banners, license footers — the boilerplate class CCNet's
+    paragraph-hash dedup and RefinedWeb's line-level filters remove
+    from web corpora). Returns one row per input doc: the rebuilt
+    text (kept lines joined in original order), kept/removed counts.
+
+    Scale shape (100 TB): the document-frequency aggregation groups on
+    a 64-bit line hash (map-side combinable count over (hash, doc)
+    pre-distinct), and the boilerplate set joins back by HASH — never
+    the line text — so shuffle width is 8 bytes/line either side. The
+    boilerplate table is df-filtered (|boilerplate| <= total_lines /
+    min_df) and usually tiny, but the join is left as an equi-join for
+    AQE to broadcast WHEN small rather than hard-coding a driver
+    collect (the rarity-model lesson, functions/rarity.py). Rebuild is
+    one groupBy(doc_id) — a single shuffle of the kept lines.
+    """
+    # \Q..\E: the separator is LITERAL (F.split takes a Java regex, but
+    # array_join rejoins verbatim — they must agree on '|', '.', etc.)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
+    ).withColumn("line_h", F.xxhash64("line"))
+    boiler = (
+        lines.select("line_h", id_col)
+        .distinct()
+        .groupBy("line_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= F.lit(min_doc_frequency))
+        .select("line_h")
+    )
+    kept = lines.join(boiler, "line_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

@@ -292,3 +292,70 @@ class TestContaminationAndChunking:
         ).count()
         assert overfull == 0
         chunks.unpersist()
+
+
+class TestLineDedup:
+    """dedup_lines (round 5): corpus-level boilerplate-line removal."""
+
+    def _docs(self, spark):
+        rows = [
+            (0, "COOKIE BANNER\nunique zero\nFOOTER"),
+            (1, "COOKIE BANNER\nunique one\nFOOTER"),
+            (2, "COOKIE BANNER\nunique two a\nunique two b\nFOOTER"),
+            (3, "COOKIE BANNER\nFOOTER"),  # nothing survives
+            (4, "all original content\nno shared lines here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_removed_order_kept(self, spark):
+        from mapchete_spark.operators.dedup import dedup_lines
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup_lines(self._docs(spark), min_doc_frequency=3).collect()
+        }
+        assert out[0]["clean_text"] == "unique zero"
+        assert out[2]["clean_text"] == "unique two a\nunique two b"
+        assert out[2]["n_lines_kept"] == 2
+        assert out[2]["n_lines_removed"] == 2
+        # doc made entirely of boilerplate still yields a row
+        assert out[3]["clean_text"] == ""
+        assert out[3]["n_lines_kept"] == 0
+        assert out[3]["n_lines_removed"] == 2
+        # untouched doc round-trips verbatim
+        assert out[4]["clean_text"] == "all original content\nno shared lines here"
+        assert out[4]["n_lines_removed"] == 0
+
+    def test_df_counts_distinct_docs_not_occurrences(self, spark):
+        from mapchete_spark.operators.dedup import dedup_lines
+
+        # "echo" appears 4 times but only in 2 docs -> below min_df=3
+        docs = spark.createDataFrame(
+            [(0, "echo\necho\nx"), (1, "echo\necho\ny"), (2, "z")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(docs, min_doc_frequency=3).collect()
+        }
+        assert out[0] == "echo\necho\nx"
+
+    def test_custom_separator(self, spark):
+        from mapchete_spark.operators.dedup import dedup_lines
+
+        docs = spark.createDataFrame(
+            [(0, "spam|keep zero"), (1, "spam|keep one"), (2, "spam|keep two")],
+            "doc_id long, text string",
+        )
+        out = dedup_lines(docs, min_doc_frequency=3, sep="|").collect()
+        # regex metacharacters are treated literally (\Q..\E quoting)
+        assert sorted(r["n_lines_removed"] for r in out) == [1, 1, 1]
+        kept = {r["doc_id"]: r["clean_text"] for r in out}
+        assert kept[0] == "keep zero"
+
+    def test_no_cartesian_in_plan(self, spark):
+        from mapchete_spark.operators.dedup import dedup_lines
+
+        plan = dedup_lines(self._docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
