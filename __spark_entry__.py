@@ -3833,6 +3833,80 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (round 5; functions/pii.py — the
+    CCNet/Dolma scrub stage): the synthetic corpus has no PII, so a
+    deterministic doc_id-keyed sprinkle adds emails (every 7th doc),
+    SSN-shaped ids (every 11th), IPv4s (every 13th) and phone numbers
+    (every 5th) identically in both engines; the operator then counts
+    per class in chain order and redacts. Map-only Column regexps —
+    zero shuffle, whole-stage codegen at any corpus size; the value
+    compare covers the fully redacted strings."""
+    from mapchete_spark.functions.pii import pii_count_cols, redact_col
+
+    docs = load_docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0,
+                   F.concat(F.lit(" mail user"), ds, F.lit("@example.com")))
+             .otherwise(F.lit("")),
+            F.when(d % 11 == 0,
+                   F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((d % 10000).cast("string"), 4, "0")))
+             .otherwise(F.lit("")),
+            F.when(d % 13 == 0,
+                   F.concat(F.lit(" host 10.0."), (d % 256).cast("string"),
+                            F.lit(".1")))
+             .otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.concat(F.lit(" call 555-01"),
+                            F.lpad((d % 10).cast("string"), 1, "0"),
+                            F.lit("-"),
+                            F.lpad((d % 10000).cast("string"), 4, "0")))
+             .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_count_cols(F.col("text"))
+    return salted.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        redact_col(F.col("text")).alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
+def o_pii_scrub() -> str:
+    from mapchete_spark.functions.pii import pii_count_sql, redact_sql
+
+    salt = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' mail user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' ||"
+        " lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0') || '-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    counts = pii_count_sql("text")
+    cols = ",\n           ".join(f"{v} AS {k}" for k, v in counts.items())
+    return f"""
+    WITH salted AS (
+        SELECT doc_id, {salt} AS text FROM documents
+    )
+    SELECT doc_id,
+           {cols},
+           {redact_sql("text")} AS redacted_text
+    FROM salted
+    ORDER BY doc_id
+    """
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapchete_spark.functions import text as T
     from mapchete_spark.sources.tables import load_table
@@ -4682,10 +4756,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reproject_features default now clips to CRS bounds — re-earn
         "vector_reproject": q_vector_reproject,
         # ---------------- driver cap boundary (position 50) ----------------
-        # everything below earned a fresh green row in CORRECTNESS_r04.
+        # everything below earned a fresh green row in CORRECTNESS_r04,
+        # EXCEPT pii_scrub (new in round 5 — the window was already full
+        # of never-re-earned r03 rows, which take precedence; pii_scrub
+        # is first in line for the round-6 window and is replay-checked
+        # type-strict every pytest run meanwhile).
         # compact_roundtrip/kmeans/laea_reproject were round-5 canaries
-        # displaced below the cap by the three new round-5 queries; the
+        # displaced below the cap by the new round-5 queries; the
         # type-strict pytest replay still covers them every run.
+        "pii_scrub": q_pii_scrub,
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
@@ -5162,6 +5241,7 @@ def oracle_sql() -> dict[str, str]:
     out["gpkg_index"] = o_gpkg_index()
     out["eqearth_sinu_reproject"] = o_eqearth_sinu_reproject()
     out["line_dedup"] = o_line_dedup()
+    out["pii_scrub"] = o_pii_scrub()
     out["overviews"] = o_overviews()
     out["upsample"] = o_upsample()
     out["tile_index"] = o_tile_index()
