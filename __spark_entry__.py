@@ -455,6 +455,134 @@ def o_dem_tiles() -> str:
     return R.dem_tiles_sql(_RASTER_ZOOM, *_raster_ranges(), hole=True)
 
 
+def q_raster_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 raster FILE input (round 5; sources/fileinput.py): the DEM
+    tile table is mosaicked to ONE real GeoTIFF on disk
+    (sources/singlefile.py -> sources/gtiff.py codec), then re-ingested
+    from that file — decode, broadcast, window + nearest-resample per
+    tile (the reference's raster_file input driver + read_raster_window,
+    formats/default/raster_file.py) — and digested: the file round trip
+    must reproduce the dem_tiles oracle bit-exactly (nearest resampling
+    on an identically-aligned grid is the identity, nodata included)."""
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.fileinput import raster_table_from_file
+    from mapchete_spark.sources.singlefile import write_single_artifact
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi)
+    d = tempfile.mkdtemp(prefix="msq_rfi_")
+    write_single_artifact(dem, pyr, _RASTER_ZOOM, os.path.join(d, "dem"))
+    back = raster_table_from_file(
+        spark, os.path.join(d, "dem.tif"), _RASTER_ZOOM, pyr
+    )
+    return tile_value_digests(back).orderBy("tile_row", "tile_col")
+
+
+def o_raster_file_input() -> str:
+    """The dem_tiles oracle verbatim: the GeoTIFF round trip is
+    content-identity."""
+    return o_dem_tiles()
+
+
+def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 vector FILE input (round 5; sources/fileinput.py): the
+    contour features are written to THREE single-file formats —
+    GeoJSON, GeoPackage (stdlib-sqlite3 codec) and FlatGeobuf
+    (from-spec codec) — re-ingested through vector_table_from_file
+    (the reference's vector_file input driver,
+    formats/default/vector_file.py:43), and digested. All three
+    decoded digests must agree pairwise (asserted in-line) and match
+    the marching-squares contours oracle exactly."""
+    import json as _json
+    import tempfile
+
+    from mapchete_spark.geometry.wkb import from_wkb
+    from mapchete_spark.geometry.wkt import to_geo_interface
+    from mapchete_spark.operators.digests import contour_digests
+    from mapchete_spark.operators.process import (
+        process_contours,
+        run_vector_process,
+    )
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.fgb import write_fgb
+    from mapchete_spark.sources.fileinput import vector_table_from_file
+    from mapchete_spark.sources.gpkg import write_gpkg
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    feats_df = run_vector_process(
+        dem, pyr, process_contours, params={"interval": 200}
+    )
+    rows = feats_df.collect()  # bounded: sf-scale contour set
+    feats = []
+    for r in rows:
+        props = _json.loads(r["properties"])
+        props.update(
+            zoom=int(r["zoom"]), row=int(r["tile_row"]),
+            col=int(r["tile_col"]),
+        )
+        feats.append(
+            {"geometry": from_wkb(bytes(r["geometry"])), "properties": props}
+        )
+    schema = [("elev", "double"), ("zoom", "int"), ("row", "int"),
+              ("col", "int")]
+    d = tempfile.mkdtemp(prefix="msq_vfi_")
+    paths = {}
+    paths["geojson"] = os.path.join(d, "c.geojson")
+    with open(paths["geojson"], "w") as f:
+        _json.dump(
+            {
+                "type": "FeatureCollection",
+                "features": [
+                    {
+                        "type": "Feature",
+                        "geometry": to_geo_interface(ft["geometry"]),
+                        "properties": ft["properties"],
+                    }
+                    for ft in feats
+                ],
+            },
+            f,
+        )
+    paths["gpkg"] = os.path.join(d, "c.gpkg")
+    write_gpkg(paths["gpkg"], feats, schema=schema, layer="contours")
+    paths["fgb"] = os.path.join(d, "c.fgb")
+    with open(paths["fgb"], "wb") as f:
+        f.write(write_fgb(feats, schema=schema, geometry_type="LineString"))
+
+    digests = {}
+    for fmt, path in paths.items():
+        back = vector_table_from_file(spark, path)
+        lifted = back.select(
+            F.get_json_object("properties", "$.zoom").cast("int").alias("zoom"),
+            F.get_json_object("properties", "$.row").cast("long").alias("tile_row"),
+            F.get_json_object("properties", "$.col").cast("long").alias("tile_col"),
+            "geometry",
+            "properties",
+        )
+        digests[fmt] = (
+            contour_digests(lifted)
+            .orderBy("tile_row", "tile_col", "level")
+            .collect()
+        )
+    if not (digests["geojson"] == digests["gpkg"] == digests["fgb"]):
+        raise AssertionError("vector file formats decoded differently")
+    return spark.createDataFrame(
+        digests["geojson"],
+        "zoom int, tile_row long, tile_col long, level double, "
+        "n_segments long, len_q_sum long",
+    ).orderBy("tile_row", "tile_col", "level")
+
+
+def o_vector_file_input() -> str:
+    """The contours oracle verbatim: every file format must be a
+    lossless rendering of the same features."""
+    return o_contours()
+
+
 def q_dem_tiles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metatiling path (G-layer): the same AOI materialized on a
     metatiling=2 pyramid (512px metatiles) and digested — the oracle
@@ -4765,6 +4893,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced below the cap by the new round-5 queries; the
         # type-strict pytest replay still covers them every run.
         "pii_scrub": q_pii_scrub,
+        "raster_file_input": q_raster_file_input,
+        "vector_file_input": q_vector_file_input,
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
@@ -5242,6 +5372,8 @@ def oracle_sql() -> dict[str, str]:
     out["eqearth_sinu_reproject"] = o_eqearth_sinu_reproject()
     out["line_dedup"] = o_line_dedup()
     out["pii_scrub"] = o_pii_scrub()
+    out["raster_file_input"] = o_raster_file_input()
+    out["vector_file_input"] = o_vector_file_input()
     out["overviews"] = o_overviews()
     out["upsample"] = o_upsample()
     out["tile_index"] = o_tile_index()

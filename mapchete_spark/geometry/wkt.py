@@ -130,6 +130,49 @@ def _from_geo_interface(gi: dict):
     raise ValueError(f"unsupported __geo_interface__ type: {t}")
 
 
+def to_geo_interface(geom) -> dict:
+    """GeoJSON-structured dict from an engine geometry — the exact
+    inverse of :func:`_from_geo_interface` (the reference gets this as
+    shapely's ``mapping()``/``__geo_interface__``). Coordinates emit as
+    plain float lists so ``json.dumps`` round-trips bit-exact float64
+    via repr."""
+    t = geom.geom_type
+    if t == "Point":
+        return {"type": t, "coordinates": [float(geom.x), float(geom.y)]}
+    if t == "LineString":
+        return {
+            "type": t,
+            "coordinates": np.asarray(geom.coords, dtype=np.float64).tolist(),
+        }
+    if t == "MultiLineString":
+        return {
+            "type": t,
+            "coordinates": [
+                np.asarray(l.coords, dtype=np.float64).tolist()
+                for l in geom.lines
+            ],
+        }
+    if t == "Polygon":
+        return {
+            "type": t,
+            "coordinates": [
+                np.asarray(geom.exterior, dtype=np.float64).tolist()
+            ]
+            + [np.asarray(h, dtype=np.float64).tolist() for h in geom.interiors],
+        }
+    if t == "MultiPolygon":
+        return {
+            "type": t,
+            "coordinates": [
+                [np.asarray(p.exterior, dtype=np.float64).tolist()]
+                + [np.asarray(h, dtype=np.float64).tolist()
+                   for h in p.interiors]
+                for p in geom.polygons
+            ],
+        }
+    raise ValueError(f"unsupported geometry type: {t}")
+
+
 def guess_geometry(obj) -> Tuple[object, None]:
     """Coerce WKT strings, WKB bytes, GeoJSON-structured dicts, objects
     with ``__geo_interface__``, bounds 4-tuples/Bounds, and native

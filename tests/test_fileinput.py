@@ -1,0 +1,92 @@
+"""File-based raster/vector inputs (sources/fileinput.py). The full
+codec round-trips run in the oracle-parity replay (raster_file_input /
+vector_file_input); these cover the guards and the GeoJSON emitter."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mapchete_spark.geometry.core import (
+    LineString,
+    MultiLineString,
+    MultiPolygon,
+    Point,
+    Polygon,
+)
+from mapchete_spark.geometry.wkt import guess_geometry, to_geo_interface
+from mapchete_spark.sources.fileinput import (
+    raster_table_from_file,
+    vector_table_from_file,
+)
+from mapchete_spark.sources.gtiff import encode_gtiff
+from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+
+@pytest.mark.parametrize("geom", [
+    Point(1.5, -2.25),
+    LineString(np.array([[0, 0], [1, 2], [3, 1]], float)),
+    MultiLineString((LineString(np.array([[0, 0], [1, 1]], float)),
+                     LineString(np.array([[2, 2], [3, 3]], float)))),
+    Polygon(np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+            (np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float),)),
+])
+def test_geo_interface_roundtrip(geom):
+    back, _ = guess_geometry(to_geo_interface(geom))
+    assert back.geom_type == geom.geom_type
+    assert tuple(back.bounds) == tuple(geom.bounds)
+    # full JSON round trip too (what the .geojson file does)
+    back2, _ = guess_geometry(json.loads(json.dumps(to_geo_interface(geom))))
+    assert tuple(back2.bounds) == tuple(geom.bounds)
+
+
+def test_multipolygon_geo_interface():
+    mp = MultiPolygon((
+        Polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)),
+        Polygon(np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)),
+    ))
+    gi = to_geo_interface(mp)
+    assert gi["type"] == "MultiPolygon" and len(gi["coordinates"]) == 2
+    back, _ = guess_geometry(gi)
+    assert tuple(back.bounds) == tuple(mp.bounds)
+
+
+def test_raster_rejects_crs_mismatch(spark, tmp_path):
+    arr = np.ones((1, 8, 8), dtype=np.float32)
+    buf = encode_gtiff(arr, Bounds(0, 0, 8, 8), crs="EPSG:3857")
+    p = os.path.join(tmp_path, "m.tif")
+    with open(p, "wb") as f:
+        f.write(buf)
+    with pytest.raises(ValueError, match="EPSG:3857"):
+        raster_table_from_file(spark, p, 3, TilePyramid("geodetic"))
+
+
+def test_raster_size_guard(spark, tmp_path):
+    arr = np.zeros((1, 64, 64), dtype=np.float32)
+    p = os.path.join(tmp_path, "big.tif")
+    with open(p, "wb") as f:
+        f.write(encode_gtiff(arr, Bounds(0, 0, 1, 1), crs="EPSG:4326"))
+    with pytest.raises(ValueError, match="parquet tile table"):
+        raster_table_from_file(spark, p, 3, max_source_bytes=1024)
+
+
+def test_vector_rejects_unknown_extension(spark, tmp_path):
+    p = os.path.join(tmp_path, "x.shp")
+    open(p, "wb").close()
+    with pytest.raises(ValueError, match="unsupported vector extension"):
+        vector_table_from_file(spark, p)
+
+
+def test_vector_geojson_reads_bare_geometry(spark, tmp_path):
+    p = os.path.join(tmp_path, "g.geojson")
+    with open(p, "w") as f:
+        json.dump({"type": "Point", "coordinates": [3.0, 4.0]}, f)
+    df = vector_table_from_file(spark, p)
+    rows = df.collect()
+    assert len(rows) == 1
+    from mapchete_spark.geometry.wkb import from_wkb
+
+    g = from_wkb(bytes(rows[0]["geometry"]))
+    assert (g.x, g.y) == (3.0, 4.0)
+    assert json.loads(rows[0]["properties"]) == {}
