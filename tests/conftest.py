@@ -27,6 +27,11 @@ def spark():
         # (what the plan tests assert) are unchanged. The driver's
         # correctness gate and bench.py keep codegen ON.
         extra["spark.sql.codegen.wholeStage"] = "false"
+        # AQE re-plans every exchange from runtime stats — pure
+        # overhead for this suite's thousands of KB-sized queries
+        # (the driver's gate and bench.py keep AQE on, where it
+        # earns its keep)
+        extra["spark.sql.adaptive.enabled"] = "false"
     master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[16]")
     s = get_spark(
         "mapchete_spark_tests", master=master, shuffle_partitions=8,
@@ -91,3 +96,28 @@ def run_cli_inproc(script: str, argv):
         else:
             os.environ["MAPCHETE_SPARK_KEEP_SESSION"] = old_keep
     return rc or 0, buf.getvalue()
+
+
+def run_concurrently(thunks: dict, max_workers: int = 6) -> dict:
+    """Run independent test-scenario thunks CONCURRENTLY on the shared
+    Spark session (the oracle-parity pool pattern — Spark schedules
+    jobs from many threads). Returns {key: ("ok", value) | ("err",
+    traceback_text)}; pair with assert_ok so failures stay per-test."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(item):
+        key, fn = item
+        try:
+            return key, ("ok", fn())
+        except Exception:
+            return key, ("err", traceback.format_exc())
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(run, thunks.items()))
+
+
+def assert_ok(results: dict, key: str):
+    status, payload = results[key]
+    assert status == "ok", f"{key} scenario raised:\n{payload}"
+    return payload

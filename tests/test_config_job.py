@@ -96,33 +96,140 @@ class TestConfigParse:
             )
 
 
-class TestExecute:
-    def test_hillshade_job(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
-        cfg.output["path"] = str(tmp_path / "hs")
-        counts = execute(spark, cfg, mode="overwrite")
-        assert all(counts[f"process_z{z}"] > 0 for z in (3, 4, 5, 6))
-        out = spark.read.parquet(str(tmp_path / "hs" / "tiles"))
-        assert set(r["zoom"] for r in out.select("zoom").distinct().collect()) == {3, 4, 5, 6}
-        assert out.where(F.col("dtype") != "uint8").count() == 0
-        assert os.path.exists(str(tmp_path / "hs" / "metadata.json"))
+@pytest.fixture(scope="module")
+def executed_jobs(spark, tmp_path_factory):
+    """The module's nine end-to-end config jobs are INDEPENDENT Spark
+    jobs on the shared session, so they run CONCURRENTLY here (the
+    oracle-parity pool pattern); each test asserts on its own
+    precomputed result. Failures stay per-test: a thunk's exception is
+    stored and re-raised by the owning test only."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
 
-    def test_continue_mode_skips(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
-        cfg.output["path"] = str(tmp_path / "hs2")
-        cfg.zoom_levels = [4]
+    base = tmp_path_factory.mktemp("cfgjobs")
+
+    def from_file(name, sub, **over):
+        cfg = JobConfig.from_file(os.path.join(CONFIGS, name))
+        cfg.output["path"] = str(base / sub)
+        for k, v in over.items():
+            setattr(cfg, k, v)
+        return cfg
+
+    def hillshade():
+        cfg = from_file("hillshade.mapchete", "hs")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def continue2():
+        cfg = from_file("hillshade.mapchete", "hs2", zoom_levels=[4])
         c1 = execute(spark, cfg, mode="continue")
         c2 = execute(spark, cfg, mode="continue")
+        return cfg, (c1, c2)
+
+    def baselevels():
+        cfg = from_file("baselevels.mapchete", "bl")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def zoom_dependent():
+        cfg = from_file("zoom_dependent.mapchete", "zd")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def tidx():
+        cfg = from_file("hillshade.mapchete", "hs3", zoom_levels=[4])
+        execute(spark, cfg, mode="overwrite")
+        return cfg, tile_index(spark, cfg.output["path"], 4).collect()
+
+    def custom_grid():
+        cfg = from_file("custom_grid.mapchete", "cg")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def split():
+        cfg = JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels=4,
+                pyramid=dict(grid="geodetic", metatiling=4),
+                input="dem",
+                output=dict(
+                    path=str(base / "split"),
+                    dtype="float32",
+                    nodata=-9999.0,
+                    metatiling=1,
+                ),
+                bounds=[0.0, 20.0, 45.0, 50.0],
+            )
+        )
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def utm_grid():
+        cfg = from_file("custom_grid_utm.mapchete", "cgu")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def ts1000():
+        cfg = JobConfig.from_dict(
+            {
+                "process": "convert",
+                "zoom_levels": {"min": 1, "max": 1},
+                "pyramid": {"grid": "geodetic", "tile_size": 1000},
+                "bounds": [0.0, 0.0, 90.0, 90.0],
+                "input": "dem",
+                "output": {
+                    "format": "parquet_tiles",
+                    "dtype": "float32",
+                    "nodata": -9999.0,
+                    "path": str(base / "ts1000"),
+                },
+                "process_parameters": {"scale_ratio": 1.0},
+            }
+        )
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    def file_groups():
+        cfg = from_file("file_groups.mapchete", "fg")
+        return cfg, execute(spark, cfg, mode="overwrite")
+
+    thunks = dict(
+        hillshade=hillshade, continue2=continue2, baselevels=baselevels,
+        zoom_dependent=zoom_dependent, tidx=tidx, custom_grid=custom_grid,
+        split=split, utm_grid=utm_grid, ts1000=ts1000,
+        file_groups=file_groups,
+    )
+
+    def run(item):
+        key, fn = item
+        try:
+            return key, ("ok",) + fn()
+        except Exception:
+            return key, ("err", traceback.format_exc())
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(pool.map(run, thunks.items()))
+
+
+def _job(executed_jobs, key):
+    res = executed_jobs[key]
+    assert res[0] == "ok", f"{key} job raised:\n{res[1]}"
+    return res[1], res[2]
+
+
+class TestExecute:
+    def test_hillshade_job(self, spark, executed_jobs):
+        cfg, counts = _job(executed_jobs, "hillshade")
+        assert all(counts[f"process_z{z}"] > 0 for z in (3, 4, 5, 6))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
+        assert set(r["zoom"] for r in out.select("zoom").distinct().collect()) == {3, 4, 5, 6}
+        assert out.where(F.col("dtype") != "uint8").count() == 0
+        assert os.path.exists(os.path.join(cfg.output["path"], "metadata.json"))
+
+    def test_continue_mode_skips(self, spark, executed_jobs):
+        _, (c1, c2) = _job(executed_jobs, "continue2")
         assert c1["process_z4"] > 0
         assert c2["process_z4"] == 0
 
-    def test_baselevels_job(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "baselevels.mapchete"))
-        cfg.output["path"] = str(tmp_path / "bl")
-        counts = execute(spark, cfg, mode="overwrite")
+    def test_baselevels_job(self, spark, executed_jobs):
+        cfg, counts = _job(executed_jobs, "baselevels")
         assert counts["process_z6"] > 0 and counts["process_z5"] > 0
         assert counts["overview_z4"] > 0 and counts["overview_z3"] > 0
-        out = spark.read.parquet(str(tmp_path / "bl" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         zooms = {r["zoom"] for r in out.select("zoom").distinct().collect()}
         assert zooms == {3, 4, 5, 6}
         # overview z4 content: average of z5 children (spot check row count)
@@ -130,11 +237,9 @@ class TestExecute:
         n5 = out.where(F.col("zoom") == 5).count()
         assert 0 < n4 <= n5
 
-    def test_zoom_dependent_job(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "zoom_dependent.mapchete"))
-        cfg.output["path"] = str(tmp_path / "zd")
-        execute(spark, cfg, mode="overwrite")
-        out = spark.read.parquet(str(tmp_path / "zd" / "tiles"))
+    def test_zoom_dependent_job(self, spark, executed_jobs):
+        cfg, _counts = _job(executed_jobs, "zoom_dependent")
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         from mapchete_spark.operators.rastertable import row_to_array
 
         r5 = out.where(F.col("zoom") == 5).limit(1).collect()[0]
@@ -150,24 +255,18 @@ class TestExecute:
         m6 = float(np.ma.median(a6))
         assert m6 < m5
 
-    def test_tile_index(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "hillshade.mapchete"))
-        cfg.output["path"] = str(tmp_path / "hs3")
-        cfg.zoom_levels = [4]
-        execute(spark, cfg, mode="overwrite")
-        idx = tile_index(spark, str(tmp_path / "hs3"), 4).collect()
+    def test_tile_index(self, spark, executed_jobs):
+        _, idx = _job(executed_jobs, "tidx")
         assert idx
         for r in idx:
             assert r["left"] < r["right"] and r["bottom"] < r["top"]
 
 
 class TestCustomGridAndSplit:
-    def test_custom_grid_job(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "custom_grid.mapchete"))
-        cfg.output["path"] = str(tmp_path / "cg")
-        counts = execute(spark, cfg, mode="overwrite")
+    def test_custom_grid_job(self, spark, executed_jobs):
+        cfg, counts = _job(executed_jobs, "custom_grid")
         assert all(counts[f"process_z{z}"] > 0 for z in (2, 3, 4))
-        out = spark.read.parquet(str(tmp_path / "cg" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         # non-global 1x1 grid: zoom 2 has a 4x4 matrix
         z2 = out.where(F.col("zoom") == 2)
         assert z2.count() == 16
@@ -189,24 +288,9 @@ class TestCustomGridAndSplit:
             atol=1e-2,
         )
 
-    def test_output_metatiling_split_in_job(self, spark, tmp_path):
-        cfg = JobConfig.from_dict(
-            dict(
-                process="convert",
-                zoom_levels=4,
-                pyramid=dict(grid="geodetic", metatiling=4),
-                input="dem",
-                output=dict(
-                    path=str(tmp_path / "split"),
-                    dtype="float32",
-                    nodata=-9999.0,
-                    metatiling=1,
-                ),
-                bounds=[0.0, 20.0, 45.0, 50.0],
-            )
-        )
-        execute(spark, cfg, mode="overwrite")
-        out = spark.read.parquet(str(tmp_path / "split" / "tiles"))
+    def test_output_metatiling_split_in_job(self, spark, executed_jobs):
+        cfg, _counts = _job(executed_jobs, "split")
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         r = out.limit(1).collect()[0]
         # output rows are BASE tiles (256x256), not 1024px metatiles
         assert (r["height"], r["width"]) == (256, 256)
@@ -214,7 +298,7 @@ class TestCustomGridAndSplit:
 
 
 class TestProjStringGridJob:
-    def test_utm_proj_grid_job(self, spark, tmp_path):
+    def test_utm_proj_grid_job(self, spark, executed_jobs):
         """End-to-end convert job on the reference's UTM-32 proj-string
         custom grid (examples/custom_grid), AOI-restricted."""
         import numpy as np
@@ -222,14 +306,10 @@ class TestProjStringGridJob:
         from mapchete_spark.operators.rastertable import row_to_array
         from mapchete_spark.raster.dem import dem_tile
 
-        cfg = JobConfig.from_file(
-            os.path.join(CONFIGS, "custom_grid_utm.mapchete")
-        )
-        cfg.output["path"] = str(tmp_path / "cgu")
+        cfg, counts = _job(executed_jobs, "utm_grid")
         assert cfg.pyramid.grid.srs == "EPSG:32632"
-        counts = execute(spark, cfg, mode="overwrite")
         assert counts["process_z0"] > 0 and counts["process_z1"] > 0
-        out = spark.read.parquet(str(tmp_path / "cgu" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         # tile count == closed-form cover of the AOI on the meter grid
         for z in (0, 1):
             want = sum(
@@ -250,7 +330,7 @@ class TestProjStringGridJob:
 
 
 class TestCustomTileSize:
-    def test_tile_size_1000_job(self, spark, tmp_path):
+    def test_tile_size_1000_job(self, spark, executed_jobs):
         """The reference's examples/custom_tile_size shape: geodetic
         grid with 1000-px tiles. Pixel size scales by 256/1000 and the
         convert job produces 1000x1000 payloads that match the analytic
@@ -261,28 +341,12 @@ class TestCustomTileSize:
         from mapchete_spark.raster.dem import dem_tile
         from mapchete_spark.tilegrid import TilePyramid
 
-        cfg = JobConfig.from_dict(
-            {
-                "process": "convert",
-                "zoom_levels": {"min": 1, "max": 1},
-                "pyramid": {"grid": "geodetic", "tile_size": 1000},
-                "bounds": [0.0, 0.0, 90.0, 90.0],
-                "input": "dem",
-                "output": {
-                    "format": "parquet_tiles",
-                    "dtype": "float32",
-                    "nodata": -9999.0,
-                    "path": str(tmp_path / "ts1000"),
-                },
-                "process_parameters": {"scale_ratio": 1.0},
-            }
-        )
+        cfg, counts = _job(executed_jobs, "ts1000")
         assert cfg.pyramid.tile_size == 1000
         # pixel size: 90 deg tile / 1000 px
         assert cfg.pyramid.pixel_x_size(1) == pytest.approx(0.09)
-        counts = execute(spark, cfg, mode="overwrite")
         assert counts["process_z1"] == 1  # one tile covers the AOI
-        out = spark.read.parquet(str(tmp_path / "ts1000" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         r = out.collect()[0]
         got = row_to_array(r.asDict())
         assert got.shape[-2:] == (1000, 1000)
@@ -295,7 +359,7 @@ class TestCustomTileSize:
 
 
 class TestFileGroups:
-    def test_named_and_grouped_inputs(self, spark, tmp_path):
+    def test_named_and_grouped_inputs(self, spark, executed_jobs):
         """Reference examples/file_groups semantics: a group of two DEM
         variants plus a plain named input, combined by a user process
         receiving (member, array) tuples; output equals the hand-built
@@ -305,11 +369,9 @@ class TestFileGroups:
         from mapchete_spark.operators.rastertable import row_to_array
         from mapchete_spark.raster.dem import dem_tile
 
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "file_groups.mapchete"))
-        cfg.output["path"] = str(tmp_path / "fg")
-        counts = execute(spark, cfg, mode="overwrite")
+        cfg, counts = _job(executed_jobs, "file_groups")
         assert counts["process_z3"] > 0
-        out = spark.read.parquet(str(tmp_path / "fg" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         r = out.limit(1).collect()[0]
         t = cfg.pyramid.tile(3, r["tile_row"], r["tile_col"])
         got = np.squeeze(row_to_array(r.asDict()).filled(-9999.0))

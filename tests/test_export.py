@@ -64,7 +64,45 @@ def test_float_tiles_export_npy(spark, tmp_path):
     assert arr.dtype == np.float32
 
 
-def test_tile_index_geojson(spark, tmp_path):
+
+@pytest.fixture(scope="module")
+def export_runs(spark, tmp_path_factory):
+    """The module's five heavy export scenarios (index job, single-file
+    artifact, two compaction jobs, COG) are independent — run them
+    CONCURRENTLY on the shared session; assertions run inside the
+    thunks, failures re-raise per-test (conftest.run_concurrently)."""
+    from tests.conftest import run_concurrently
+
+    base = tmp_path_factory.mktemp("export")
+
+    def tidx_geojson():
+        d = base / "tidx"; d.mkdir()
+        _run_tile_index_geojson(spark, d)
+
+    def single_artifact():
+        d = base / "single"; d.mkdir()
+        _run_single_artifact(spark, d)
+
+    def compact_serves():
+        d = base / "cmp1"; d.mkdir()
+        _run_compact_preserves(spark, d)
+
+    def compact_zoom_subset():
+        d = base / "cmp2"; d.mkdir()
+        _run_compact_zoom_subset(spark, d)
+
+    def cog():
+        d = base / "cog"; d.mkdir()
+        _run_cog(spark, d)
+
+    return run_concurrently(dict(
+        tidx_geojson=tidx_geojson, single_artifact=single_artifact,
+        compact_serves=compact_serves,
+        compact_zoom_subset=compact_zoom_subset, cog=cog,
+    ), max_workers=5)
+
+
+def _run_tile_index_geojson(spark, tmp_path):
     from mapchete_spark.plans.config import JobConfig
     from mapchete_spark.plans.job import execute, tile_index
 
@@ -89,10 +127,13 @@ def test_tile_index_geojson(spark, tmp_path):
     assert len(ring) == 5 and ring[0] == ring[-1]
 
 
-class TestSingleFile:
-    """S6 single-file output analog (reference gtiff.py:390-509)."""
+def test_tile_index_geojson(export_runs):
+    from tests.conftest import assert_ok
 
-    def test_write_single_artifact_matches_tiles(self, spark, tmp_path):
+    assert_ok(export_runs, "tidx_geojson")
+
+
+def _run_single_artifact(spark, tmp_path):
         import json
 
         import numpy as np
@@ -129,6 +170,14 @@ class TestSingleFile:
         np.testing.assert_array_equal(tif_arr, arr)
         assert epsg == 4326
         assert np.allclose(list(tif_bounds), side["bounds"])
+
+class TestSingleFile:
+    """S6 single-file output analog (reference gtiff.py:390-509)."""
+
+    def test_write_single_artifact_matches_tiles(self, export_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(export_runs, "single_artifact")
 
     def test_threshold_guard(self, spark):
         import pytest
@@ -183,8 +232,7 @@ def test_png_gray_alpha_roundtrip():
     np.testing.assert_array_equal(got, la)
 
 
-class TestCompaction:
-    def test_compact_preserves_rows_and_serves(self, spark, tmp_path):
+def _run_compact_preserves(spark, tmp_path):
         """Compaction shrinks the file count to the target bound, the
         row multiset is bit-identical, and the z-order serve point
         lookup still works on the rewritten layout."""
@@ -241,7 +289,7 @@ class TestCompaction:
         )
         assert arr is not None and arr.size > 0
 
-    def test_compact_zoom_subset_keeps_other_zooms(self, spark, tmp_path):
+def _run_compact_zoom_subset(spark, tmp_path):
         """Regression (round-4 ADVICE): compacting only zoom 5 must
         rewrite zoom 5's partition in place and leave zoom 4's files
         and rows completely untouched — the round-3 whole-root swap
@@ -328,6 +376,18 @@ class TestCompaction:
         assert snapshot(4) == z4_rows
 
 
+class TestCompaction:
+    def test_compact_preserves_rows_and_serves(self, export_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(export_runs, "compact_serves")
+
+    def test_compact_zoom_subset_keeps_other_zooms(self, export_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(export_runs, "compact_zoom_subset")
+
+
 def math_ceil_files(n_rows, target):
     import math
 
@@ -335,8 +395,7 @@ def math_ceil_files(n_rows, target):
     return math.ceil(n_rows / target) + 2
 
 
-class TestSingleCog:
-    def test_cog_levels_match_overview_mosaics(self, spark, tmp_path):
+def _run_cog(spark, tmp_path):
         """write_single_cog: IFD 0 equals the base-zoom mosaic; each
         chained reduced-resolution IFD equals the corresponding
         overview zoom's mosaic window over the base bounds; all levels
@@ -389,3 +448,10 @@ class TestSingleCog:
                     :, r0 : r0 + arr.shape[1], c0 : c0 + arr.shape[2]
                 ],
             )
+
+
+class TestSingleCog:
+    def test_cog_levels_match_overview_mosaics(self, export_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(export_runs, "cog")

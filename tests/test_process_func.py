@@ -65,13 +65,76 @@ class TestProcessFunc:
         assert pf.filter_parameters({"a": 2, "b": 3}) == {"a": 2}
 
 
+@pytest.fixture(scope="module")
+def func_jobs(spark, tmp_path_factory):
+    """The module's two end-to-end jobs (user process file, preprocessing
+    task) run CONCURRENTLY on the shared session (parity-pool pattern);
+    exceptions are stored per-key and re-raised by the owning test."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mapchete_spark.plans.job import execute as run_job
+    from mapchete_spark.plans.job import register_process
+
+    base = tmp_path_factory.mktemp("funcjobs")
+
+    def user_process():
+        cfg = JobConfig.from_file(
+            os.path.join(CONFIGS, "user_process.mapchete")
+        )
+        cfg.output["path"] = str(base / "up")
+        return cfg, run_job(spark, cfg, mode="overwrite")
+
+    def preprocessing():
+        task = base / "prep.py"
+        task.write_text(
+            "def execute(spark, cfg, delta=0.0):\n"
+            "    return 100.0 + delta\n"
+        )
+
+        def add_offset(ctx):
+            return ctx.array + ctx.params["preprocessing"]["offset"]
+
+        register_process("add_offset", "raster", add_offset, 0)
+        cfg = JobConfig.from_dict(
+            dict(
+                process="add_offset",
+                zoom_levels=[4],
+                pyramid={"grid": "geodetic"},
+                bounds=[0.0, 20.0, 45.0, 50.0],
+                input={"source": "dem", "hole": False},
+                preprocessing={
+                    "offset": {"process": str(task), "args": {"delta": 11.0}}
+                },
+                output={"path": str(base / "o"), "format": "parquet_tiles"},
+            )
+        )
+        return cfg, run_job(spark, cfg, mode="overwrite")
+
+    thunks = dict(user_process=user_process, preprocessing=preprocessing)
+
+    def run(item):
+        key, fn = item
+        try:
+            return key, ("ok",) + fn()
+        except Exception:
+            return key, ("err", traceback.format_exc())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return dict(pool.map(run, thunks.items()))
+
+
+def _fjob(func_jobs, key):
+    res = func_jobs[key]
+    assert res[0] == "ok", f"{key} job raised:\n{res[1]}"
+    return res[1], res[2]
+
+
 class TestUserProcessJob:
-    def test_config_driven_user_process(self, spark, tmp_path):
-        cfg = JobConfig.from_file(os.path.join(CONFIGS, "user_process.mapchete"))
-        cfg.output["path"] = str(tmp_path / "up")
+    def test_config_driven_user_process(self, spark, func_jobs):
+        cfg, counts = _fjob(func_jobs, "user_process")
         kind, fn, min_pb = resolve_process(cfg)
         assert kind == "raster"
-        counts = execute(spark, cfg, mode="overwrite")
         assert counts["process_z4"] > 0
 
         # golden: output == dem * 2 + 10 on a sample tile
@@ -83,7 +146,7 @@ class TestUserProcessJob:
         )
         from mapchete_spark.tilegrid import Bounds, TilePyramid
 
-        out = spark.read.parquet(str(tmp_path / "up" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         row = out.orderBy("tile_row", "tile_col").limit(1).collect()[0]
         dem = materialize_dem(
             spark, 4, TilePyramid("geodetic"),
@@ -116,7 +179,7 @@ class TestPreprocessingTasks:
     """J3: driver-side tasks run once, results injected into process
     params (reference preprocessing-task flow)."""
 
-    def test_task_result_reaches_process(self, spark, tmp_path):
+    def test_task_result_reaches_process(self, spark, func_jobs):
         import numpy as np
         from pyspark.sql import functions as F
 
@@ -124,35 +187,11 @@ class TestPreprocessingTasks:
             materialize_dem,
             row_to_array,
         )
-        from mapchete_spark.plans.job import execute, register_process
         from mapchete_spark.tilegrid import Bounds, TilePyramid
 
-        task = tmp_path / "prep.py"
-        task.write_text(
-            "def execute(spark, cfg, delta=0.0):\n"
-            "    return 100.0 + delta\n"
-        )
-
-        def add_offset(ctx):
-            return ctx.array + ctx.params["preprocessing"]["offset"]
-
-        register_process("add_offset", "raster", add_offset, 0)
-        cfg = JobConfig.from_dict(
-            dict(
-                process="add_offset",
-                zoom_levels=[4],
-                pyramid={"grid": "geodetic"},
-                bounds=[0.0, 20.0, 45.0, 50.0],
-                input={"source": "dem", "hole": False},
-                preprocessing={
-                    "offset": {"process": str(task), "args": {"delta": 11.0}}
-                },
-                output={"path": str(tmp_path / "o"), "format": "parquet_tiles"},
-            )
-        )
-        counts = execute(spark, cfg, mode="overwrite")
+        cfg, counts = _fjob(func_jobs, "preprocessing")
         assert counts["process_z4"] > 0
-        out = spark.read.parquet(str(tmp_path / "o" / "tiles"))
+        out = spark.read.parquet(os.path.join(cfg.output["path"], "tiles"))
         row = out.orderBy("tile_row", "tile_col").limit(1).collect()[0].asDict()
         dem = materialize_dem(
             spark, 4, TilePyramid("geodetic"),

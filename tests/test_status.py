@@ -32,19 +32,32 @@ def _states(spark, tmp_path):
     return [r["state"] for r in rows]
 
 
-class TestStatusLifecycle:
-    def test_success_sequence(self, spark, tmp_path):
+@pytest.fixture(scope="module")
+def lifecycle_runs(spark, tmp_path_factory):
+    """The success and deliberately-failing jobs are independent;
+    run them CONCURRENTLY on the shared session (parity-pool pattern).
+    Each returns (observer_events, persisted_states) or an error
+    traceback re-raised by the owning test."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = tmp_path_factory.mktemp("status")
+
+    def success():
+        d = base / "ok"
+        d.mkdir()
         seen = []
 
         def obs(state, detail, run_id):
             seen.append(state)
 
-        execute(spark, _conf(tmp_path), mode="overwrite", observers=[obs])
-        want = ["pending", "parsing", "initializing", "running", "done"]
-        assert seen == want
-        assert _states(spark, tmp_path) == want
+        execute(spark, _conf(d), mode="overwrite", observers=[obs])
+        return seen, _states(spark, d)
 
-    def test_failing_process_records_failed(self, spark, tmp_path):
+    def failing():
+        d = base / "boom"
+        d.mkdir()
+
         def boom(ctx):
             raise RuntimeError("kaputt")
 
@@ -57,11 +70,36 @@ class TestStatusLifecycle:
         with pytest.raises(Exception):
             execute(
                 spark,
-                _conf(tmp_path, process="boom", process_parameters={}),
+                _conf(d, process="boom", process_parameters={}),
                 mode="overwrite",
                 observers=[obs],
             )
-        states = _states(spark, tmp_path)
+        return seen, _states(spark, d)
+
+    def run(item):
+        key, fn = item
+        try:
+            return key, ("ok",) + fn()
+        except Exception:
+            return key, ("err", traceback.format_exc())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return dict(pool.map(run, dict(success=success, failing=failing).items()))
+
+
+class TestStatusLifecycle:
+    def test_success_sequence(self, lifecycle_runs):
+        res = lifecycle_runs["success"]
+        assert res[0] == "ok", f"success job raised:\n{res[1]}"
+        seen, states = res[1], res[2]
+        want = ["pending", "parsing", "initializing", "running", "done"]
+        assert seen == want
+        assert states == want
+
+    def test_failing_process_records_failed(self, lifecycle_runs):
+        res = lifecycle_runs["failing"]
+        assert res[0] == "ok", f"failing job raised:\n{res[1]}"
+        seen, states = res[1], res[2]
         assert states[:4] == ["pending", "parsing", "initializing", "running"]
         assert states[-1] == "failed"
         assert seen[-1][0] == "failed" and "process_z4" in seen[-1][1]

@@ -21,8 +21,39 @@ from mapchete_spark.streaming.pipeline import (
 SF = "/root/testdata/sf0.001"
 
 
-class TestStreaming:
-    def test_windowed_agg_stream_equals_batch(self, spark, tmp_path):
+
+@pytest.fixture(scope="module")
+def stream_runs(spark, tmp_path_factory):
+    """The seven heavy streaming scenarios own their source/checkpoint/
+    output dirs and are independent — run them CONCURRENTLY on the
+    shared session (conftest.run_concurrently); assertions run inside
+    the thunks, failures re-raise per-test."""
+    from tests.conftest import run_concurrently
+
+    base = tmp_path_factory.mktemp("streams")
+
+    def mk(key, fn):
+        def thunk():
+            d = base / key
+            d.mkdir()
+            fn(spark, d)
+        return thunk
+
+    return run_concurrently(
+        {k: mk(k, fn) for k, fn in dict(
+            windowed=_run_windowed,
+            resume=_run_resume,
+            stateful_dedup=_run_stateful_dedup,
+            pyramid=_run_pyramid,
+            chunking=_run_chunking,
+            decontam=_run_decontam,
+            quality=_run_quality,
+        ).items()},
+        max_workers=7,
+    )
+
+
+def _run_windowed(spark, tmp_path):
         # the file stream source requires a directory
         src = tmp_path / "events_dir"
         src.mkdir()
@@ -50,7 +81,7 @@ class TestStreaming:
             # all missing windows sit within the 2h watermark of the end
             assert (max_end - horizon_start).total_seconds() <= 3 * 3600
 
-    def test_stream_docs_checkpoint_resume(self, spark, tmp_path):
+def _run_resume(spark, tmp_path):
         src = tmp_path / "docs_src"
         src.mkdir()
         docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -90,6 +121,18 @@ class TestStreaming:
         a = sorted(tuple(r) for r in out.select("doc_id", "tile_row", "tile_col").collect())
         b = sorted(tuple(r) for r in batch.collect())
         assert a == b
+
+
+class TestStreaming:
+    def test_windowed_agg_stream_equals_batch(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "windowed")
+
+    def test_stream_docs_checkpoint_resume(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "resume")
 
 
 class TestMultimodal:
@@ -257,8 +300,7 @@ class TestMultimodal:
         assert saw_image
 
 
-class TestStatefulDedup:
-    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+def _run_stateful_dedup(spark, tmp_path):
         from mapchete_spark.streaming.pipeline import stream_dedup_first_seen
         import pyspark.sql.functions as F
 
@@ -295,8 +337,14 @@ class TestStatefulDedup:
         assert out2.where(F.col("doc_id") >= 1000).count() == 0
 
 
-class TestStreamingPyramid:
-    def test_incremental_overviews_match_batch(self, spark, tmp_path):
+class TestStatefulDedup:
+    def test_first_seen_dedup_across_batches(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "stateful_dedup")
+
+
+def _run_pyramid(spark, tmp_path):
         """Two micro-batches of base tiles through
         stream_pyramid_maintenance == a from-scratch batch overview
         build of the full base level (Z2 on Structured Streaming)."""
@@ -347,6 +395,13 @@ class TestStreamingPyramid:
         dem.unpersist()
 
 
+class TestStreamingPyramid:
+    def test_incremental_overviews_match_batch(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "pyramid")
+
+
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
         import datetime as dt
@@ -384,8 +439,7 @@ class TestSessionize:
         assert a == b
 
 
-class TestStreamChunking:
-    def test_stream_chunks_equal_batch(self, spark, tmp_path, sf_dir):
+def _run_chunking(spark, tmp_path, sf_dir=None):
         """chunk_spans lifted onto a stream (map-only, so unchanged):
         two micro-batch deliveries produce exactly the batch result."""
         import shutil
@@ -393,7 +447,7 @@ class TestStreamChunking:
         from mapchete_spark.functions.chunking import chunk_spans
         from mapchete_spark.streaming.pipeline import stream_chunk_spans
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
         half1 = docs.where(F.col("doc_id") % 2 == 0)
         half2 = docs.where(F.col("doc_id") % 2 == 1)
         in_dir = str(tmp_path / "docs_in")
@@ -413,14 +467,20 @@ class TestStreamChunking:
         docs.unpersist()
 
 
-class TestStreamDecontamination:
-    def test_stream_static_join_equals_batch(self, spark, tmp_path, sf_dir):
+class TestStreamChunking:
+    def test_stream_chunks_equal_batch(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "chunking")
+
+
+def _run_decontam(spark, tmp_path, sf_dir=None):
         """Streaming decontamination (stream-static broadcast join) over
         two micro-batch deliveries reproduces the batch operator."""
         from mapchete_spark.operators.dedup import ngram_contamination
         from mapchete_spark.streaming.pipeline import stream_decontaminate
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
         in_dir = str(tmp_path / "docs_in")
         out_dir = str(tmp_path / "flags_out")
         ckpt = str(tmp_path / "ckpt")
@@ -445,8 +505,14 @@ class TestStreamDecontamination:
         docs.unpersist()
 
 
-class TestStreamingQualityFilter:
-    def test_two_batches_equal_batch_operator(self, spark, tmp_path, sf_dir):
+class TestStreamDecontamination:
+    def test_stream_static_join_equals_batch(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "decontam")
+
+
+def _run_quality(spark, tmp_path, sf_dir=None):
         """stream_quality_filter over two micro-batch arrivals produces
         exactly the batch repetition_stats survivors, row-exact."""
         import shutil
@@ -454,7 +520,7 @@ class TestStreamingQualityFilter:
         from mapchete_spark.functions.repetition import repetition_stats
         from mapchete_spark.streaming.pipeline import stream_quality_filter
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
         src = tmp_path / "qf_src"
         src.mkdir()
         out, ck = str(tmp_path / "qf_out"), str(tmp_path / "qf_ck")
@@ -476,3 +542,10 @@ class TestStreamingQualityFilter:
             .collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestStreamingQualityFilter:
+    def test_two_batches_equal_batch_operator(self, stream_runs):
+        from tests.conftest import assert_ok
+
+        assert_ok(stream_runs, "quality")
