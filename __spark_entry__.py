@@ -2356,6 +2356,43 @@ def o_contours() -> str:
     return R.contours_sql(_RASTER_ZOOM, *_raster_ranges(), interval=200.0)
 
 
+def q_banded_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3 fine-grained inter-zoom pipelining (round 5;
+    operators/pipeline_blocks.py): the same zoom 5->3 average pyramid
+    as `overviews`, built through CONCURRENT independent row-band
+    chains (the Spark-idiomatic rendering of the reference's
+    child->parent task graph, processing/tasks.py:570-617 — a
+    straggler band no longer holds the zoom barrier). Banding must be
+    a pure reordering of WHEN parents compute: the digests reproduce
+    the barrier build's multi-level oracle bit-exactly."""
+    import tempfile
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.pipeline_blocks import (
+        pipelined_pyramid,
+        read_banded,
+    )
+    from mapchete_spark.operators.rastertable import materialize_dem
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi, hole=False)
+    d = tempfile.mkdtemp(prefix="msq_banded_")
+    pipelined_pyramid(
+        spark, dem, pyr, _RASTER_ZOOM, 3, d, n_bands=4,
+        resampling="average",
+    )
+    out = None
+    for z in range(_RASTER_ZOOM - 1, 2, -1):
+        lvl = tile_value_digests(read_banded(spark, d, z), with_dims=False)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.orderBy(F.desc("zoom"), "tile_row", "tile_col")
+
+
+def o_banded_pyramid() -> str:
+    """The barrier build's oracle verbatim: banding is row-identity."""
+    return o_overviews()
+
+
 def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z1: pyramid overview reduction zoom 5 -> 3 (average), per-tile
     exact digests of every overview level."""
@@ -4895,6 +4932,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
+        "banded_pyramid": q_banded_pyramid,
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
@@ -5374,6 +5412,7 @@ def oracle_sql() -> dict[str, str]:
     out["pii_scrub"] = o_pii_scrub()
     out["raster_file_input"] = o_raster_file_input()
     out["vector_file_input"] = o_vector_file_input()
+    out["banded_pyramid"] = o_banded_pyramid()
     out["overviews"] = o_overviews()
     out["upsample"] = o_upsample()
     out["tile_index"] = o_tile_index()

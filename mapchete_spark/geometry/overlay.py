@@ -109,7 +109,10 @@ def _pairwise_intersection_xs(x0, y0, x1, y1) -> np.ndarray:
     dx1, dy1 = bx - ax, by - ay
     dx2, dy2 = dx - cx, dy - cy
     den = dx1 * dy2 - dy1 * dx2
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over= too: near-parallel segments make den denormal and t/u
+    # overflow before the den != 0 mask drops them (property-test
+    # finding; values are masked, the warning was noise)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = ((cx - ax) * dy2 - (cy - ay) * dx2) / den
         u = ((cx - ax) * dy1 - (cy - ay) * dx1) / den
         ok = (den != 0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)

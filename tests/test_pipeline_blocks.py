@@ -1,0 +1,99 @@
+"""Banded pyramid pipelining (operators/pipeline_blocks.py): row-band
+alignment math, bit-identity with the barrier build, and a
+DETERMINISTIC proof that bands progress through zooms independently
+(no inter-zoom barrier)."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_spark.operators.overviews import build_overviews
+from mapchete_spark.operators.pipeline_blocks import (
+    band_bounds,
+    pipelined_pyramid,
+    read_banded,
+)
+from mapchete_spark.operators.rastertable import materialize_dem
+from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+GEO = TilePyramid("geodetic")
+AOI = Bounds(0.0, 20.0, 45.0, 50.0)
+
+
+class TestBandBounds:
+    @pytest.mark.parametrize("h,levels,n", [
+        (32, 2, 4), (32, 3, 4), (17, 2, 4), (64, 1, 3), (8, 3, 16),
+        (1, 1, 4),
+    ])
+    def test_alignment_coverage_disjoint(self, h, levels, n):
+        bands = band_bounds(h, levels, n)
+        align = 1 << levels
+        # full disjoint coverage in order
+        assert bands[0][0] == 0 and bands[-1][1] == h
+        for (a0, a1), (b0, b1) in zip(bands, bands[1:]):
+            assert a1 == b0
+        # every INTERIOR boundary aligned so each halving keeps the
+        # parent's children inside one band
+        for a, b in bands:
+            assert a % align == 0
+        assert len(bands) <= n
+
+    def test_single_band_degenerates_to_barrier(self):
+        assert band_bounds(32, 2, 1) == [(0, 32)]
+
+
+def test_banded_equals_barrier(spark, tmp_path):
+    dem = materialize_dem(spark, 5, GEO, bounds=AOI, hole=False)
+    out = str(tmp_path / "banded")
+    totals = pipelined_pyramid(
+        spark, dem, GEO, 5, 3, out, n_bands=4, resampling="average"
+    )
+    want_levels = build_overviews(dem, GEO, 5, 3, resampling="average")
+    for z, df in want_levels:
+        want = {
+            r["tile_key"]: r["h"]
+            for r in df.select("tile_key", F.md5("data").alias("h")).collect()
+        }
+        got = {
+            r["tile_key"]: r["h"]
+            for r in read_banded(spark, out, z)
+            .select("tile_key", F.md5("data").alias("h"))
+            .collect()
+        }
+        assert got == want, f"zoom {z} differs from barrier build"
+        assert totals[f"overview_z{z}"] == len(want)
+
+
+def test_bands_pipeline_independently(spark, tmp_path):
+    """Deterministic no-barrier proof: band 1 is GATED so its first
+    reduce cannot start until band 0 has finished its LAST (min_zoom)
+    level. Under a zoom barrier this deadlocks (zoom z-1 would need
+    every band's zoom-z output); with independent band chains band 0
+    runs straight to the top and the build completes."""
+    dem = materialize_dem(spark, 5, GEO, bounds=AOI, hole=False)
+    band0_done = threading.Event()
+    events = []
+    lock = threading.Lock()
+
+    def on_stage(band, zoom, ev):
+        if band == 0 and zoom == 3 and ev == "done":
+            band0_done.set()
+        if band == 1 and ev == "start" and not band0_done.is_set():
+            assert band0_done.wait(180), "band 0 never finished: barrier?"
+        with lock:
+            events.append((band, zoom, ev))
+
+    out = str(tmp_path / "gated")
+    pipelined_pyramid(
+        spark, dem, GEO, 5, 3, out, n_bands=2, resampling="average",
+        on_stage=on_stage,
+    )
+    # band 0 finished zoom 3 before band 1 did anything at zoom 4
+    i_b0_top = events.index((0, 3, "done"))
+    i_b1_first = events.index((1, 4, "done"))
+    assert i_b0_top < i_b1_first
+    # and the gated build still matches the barrier result at the top
+    want = build_overviews(dem, GEO, 5, 3, resampling="average")[-1][1]
+    got_n = read_banded(spark, out, 3).count()
+    assert got_n == want.count() > 0
