@@ -32,6 +32,13 @@ def spark():
         # (the driver's gate and bench.py keep AQE on, where it
         # earns its keep)
         extra["spark.sql.adaptive.enabled"] = "false"
+    if not os.environ.get("SPARK_DRIVER_MEM"):
+        # the local[16] test session defaults to an 8g heap
+        # (session.py scales heap to THREADS, not to this suite's
+        # concurrency): the 20-thread parity pool plus the raster jobs
+        # thrash G1 at 8g — measured: the config-baselevels cubic job
+        # 41s -> 6.6s and the parity fixture 170s -> 135s at 16g
+        extra["spark.driver.memory"] = "16g"
     master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[16]")
     s = get_spark(
         "mapchete_spark_tests", master=master, shuffle_partitions=8,
