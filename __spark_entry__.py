@@ -3998,6 +3998,37 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (round 5; functions/dsir.py — Xie et
+    al. 2023 importance resampling): hashed-n-gram unigram models for
+    a doc_id-residue target split, integer-quantized log-ratio model
+    (BOUNDED at N_BUCKETS rows by construction — the rarity-model
+    lesson baked in), per-doc importance log-weights as exact integer
+    sums (order-independent, hash-exact vs the oracle). Fit is one
+    map-side-combinable groupBy(bucket); scoring is a broadcast join
+    plus one per-doc sum. The Gumbel-top-k resampling layer is pinned
+    by pytest goldens (cross-engine float ulp; see module docstring)."""
+    from mapchete_spark.functions.dsir import (
+        TARGET_MOD,
+        TARGET_RESIDUE,
+        dsir_logweights,
+        fit_dsir_model,
+    )
+
+    from mapchete_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (F.col("doc_id") % TARGET_MOD) == TARGET_RESIDUE
+    model = fit_dsir_model(docs, target)
+    return dsir_logweights(docs, model).orderBy("doc_id")
+
+
+def o_dsir_weights() -> str:
+    from mapchete_spark.functions.dsir import dsir_sql
+
+    return dsir_sql()
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (round 5; functions/pii.py — the
     CCNet/Dolma scrub stage): the synthetic corpus has no PII, so a
@@ -4933,6 +4964,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
         "banded_pyramid": q_banded_pyramid,
+        "dsir_weights": q_dsir_weights,
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
@@ -5413,6 +5445,7 @@ def oracle_sql() -> dict[str, str]:
     out["raster_file_input"] = o_raster_file_input()
     out["vector_file_input"] = o_vector_file_input()
     out["banded_pyramid"] = o_banded_pyramid()
+    out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()
     out["upsample"] = o_upsample()
     out["tile_index"] = o_tile_index()
