@@ -397,7 +397,44 @@ def execute(
         level_above = spark.read.parquet(tiles_path).where(
             F.col("zoom") == cfg.baselevels.min
         )
-        for zoom in cfg.overview_zooms_lower():
+        lower_zooms = cfg.overview_zooms_lower()
+        if (
+            getattr(cfg.baselevels, "pipeline", "barrier") == "banded"
+            and lower_zooms
+        ):
+            # Round 5 fine-grained pipelining: the whole lower chain is
+            # BUILT concurrently over independent row bands (no zoom
+            # barrier; operators/pipeline_blocks.py), then each level
+            # commits through the normal stage machinery (checkpoint,
+            # metrics, z-order layout) — commit is IO, not the
+            # straggler-bound compute
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            from mapchete_spark.operators.pipeline_blocks import (
+                pipelined_pyramid,
+                read_banded,
+            )
+
+            banded_dir = _tempfile.mkdtemp(prefix="msq_banded_", dir=out_path)
+            pipelined_pyramid(
+                spark,
+                level_above,
+                cfg.pyramid,
+                cfg.baselevels.min,
+                min(lower_zooms),
+                banded_dir,
+                n_bands=getattr(cfg.baselevels, "bands", 4),
+                resampling=cfg.baselevels.lower,
+            )
+            for zoom in lower_zooms:
+                stage(
+                    f"overview_z{zoom}",
+                    lambda z=zoom: read_banded(spark, banded_dir, z),
+                )
+            _shutil.rmtree(banded_dir, ignore_errors=True)
+            lower_zooms = []
+        for zoom in lower_zooms:
             src = level_above
             if mode == "continue":
                 # compute skip: drop children whose PARENT is already

@@ -97,3 +97,52 @@ def test_bands_pipeline_independently(spark, tmp_path):
     want = build_overviews(dem, GEO, 5, 3, resampling="average")[-1][1]
     got_n = read_banded(spark, out, 3).count()
     assert got_n == want.count() > 0
+
+
+def test_config_banded_equals_barrier_job(spark, tmp_path):
+    """baselevels.pipeline: banded through the full execute() path —
+    counts and tile payloads identical to the default barrier job."""
+    import os
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for mode_name in ("barrier", "banded"):
+        cfg = JobConfig.from_file(
+            os.path.join(here, "configs", "baselevels.mapchete")
+        )
+        cfg.baselevels.pipeline = mode_name
+        cfg.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
+        cfg.output["path"] = str(tmp_path / mode_name)
+        counts = execute(spark, cfg, mode="overwrite")
+        tiles = spark.read.parquet(str(tmp_path / mode_name / "tiles"))
+        outs[mode_name] = (
+            counts,
+            sorted(
+                (r["zoom"], r["tile_key"], r["h"])
+                for r in tiles.select(
+                    "zoom", "tile_key", F.md5("data").alias("h")
+                ).collect()
+            ),
+        )
+    assert outs["barrier"][0] == outs["banded"][0]
+    assert outs["barrier"][1] == outs["banded"][1]
+
+
+def test_config_rejects_unknown_pipeline(tmp_path):
+    import pytest as _pytest
+
+    from mapchete_spark.plans.config import ConfigError, JobConfig
+
+    with _pytest.raises(ConfigError, match="barrier|banded"):
+        JobConfig.from_dict(
+            dict(
+                process="convert",
+                zoom_levels=dict(min=3, max=5),
+                pyramid=dict(grid="geodetic"),
+                output=dict(path=str(tmp_path / "x")),
+                baselevels=dict(min=4, max=5, pipeline="chaotic"),
+            )
+        )
