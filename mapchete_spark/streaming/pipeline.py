@@ -499,3 +499,39 @@ def stream_quality_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_pii_scrub(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: Optional[str] = None,
+):
+    """Streaming PII scrub (round 5): per-doc detection counts +
+    redacted text (functions/pii — pure Column regexps, map-only, so
+    the batch operator lifts onto a stream unchanged) computed as
+    documents arrive. Exactly-once via the source offset log; no state
+    store (redaction is per-document)."""
+    from pyspark.sql import functions as _F
+
+    from mapchete_spark.functions.pii import pii_count_cols, redact_col
+
+    schema = schema or (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    counts = pii_count_cols(_F.col("text"))
+    scrubbed = stream.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        redact_col(_F.col("text")).alias("redacted_text"),
+    )
+    return (
+        scrubbed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

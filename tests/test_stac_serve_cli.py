@@ -195,10 +195,23 @@ class TestExecuteIndexCli:
         assert stages["process_z4"] > 0
 
         rc, out_txt = run_cli_inproc(
-            "index", [out, "--zoom", "4", "--dest", str(tmp_path / "idx")]
+            "index",
+            [out, "--zoom", "4", "--dest", str(tmp_path / "idx"),
+             "--geojson", "--gpkg"],
         )
         assert rc == 0
         assert "index rows" in out_txt
+        # round 5: footprint index sidecars (reference: mapchete index
+        # --geojson/--gpkg writes {zoom}.geojson / {zoom}.gpkg)
+        gj = json.load(open(os.path.join(str(tmp_path / "idx"), "4.geojson")))
+        assert gj["type"] == "FeatureCollection" and gj["features"]
+        from mapchete_spark.sources.gpkg import read_gpkg
+
+        header, feats = read_gpkg(
+            os.path.join(str(tmp_path / "idx"), "4.gpkg")
+        )
+        assert header["geometry_type"] == "POLYGON"
+        assert header["features_count"] == len(gj["features"]) == len(feats)
 
 
 class TestCompactCli:

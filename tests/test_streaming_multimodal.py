@@ -549,3 +549,52 @@ class TestStreamingQualityFilter:
         from tests.conftest import assert_ok
 
         assert_ok(stream_runs, "quality")
+
+
+def _run_pii(spark, tmp_path, sf_dir=None):
+        """stream_pii_scrub over two micro-batch arrivals produces
+        exactly the batch operator's redactions, row-exact."""
+        from mapchete_spark.functions.pii import pii_count_cols, redact_col
+        from mapchete_spark.streaming.pipeline import stream_pii_scrub
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        # sprinkle deterministic PII so the scrub has work to do
+        salted = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.lit(" mail x@example.com or 555-123-4567"))
+                 .otherwise(F.lit("")),
+            ),
+        )
+        src = tmp_path / "pii_src"
+        src.mkdir()
+        out, ck = str(tmp_path / "pii_out"), str(tmp_path / "pii_ck")
+        salted.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        q = stream_pii_scrub(spark, str(src), ck, out)
+        q.awaitTermination(120)
+        salted.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q = stream_pii_scrub(spark, str(src), ck, out)
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        counts = pii_count_cols(F.col("text"))
+        want = sorted(
+            tuple(r)
+            for r in salted.select(
+                "doc_id",
+                *[v.alias(k) for k, v in counts.items()],
+                redact_col(F.col("text")).alias("redacted_text"),
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        assert any(t[1] > 0 for t in got)  # emails actually found
+
+
+class TestStreamingPiiScrub:
+    def test_two_batches_equal_batch_operator(self, spark, tmp_path):
+        _run_pii(spark, tmp_path)
