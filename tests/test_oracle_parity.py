@@ -28,7 +28,7 @@ import pytest
 # stay sequential, which measures clean.
 _SEQUENTIAL = {"job_stage_metrics", "cli_execute"}
 
-_POOL_WORKERS = 20
+_POOL_WORKERS = 28
 
 # longest-first scheduling: the job/export/streaming queries run many
 # Spark stages (5-15s each) — starting them first keeps the pool's

@@ -43,7 +43,33 @@ class TestBandBounds:
         assert band_bounds(32, 2, 1) == [(0, 32)]
 
 
-def test_banded_equals_barrier(spark, tmp_path):
+@pytest.fixture(scope="module")
+def pb_runs(spark, tmp_path_factory):
+    """The three heavy scenarios (equality, gated pipelining proof,
+    config wiring) are independent — run them concurrently
+    (conftest.run_concurrently)."""
+    from tests.conftest import run_concurrently
+
+    base = tmp_path_factory.mktemp("pblocks")
+
+    def mk(key, fn):
+        def thunk():
+            d = base / key
+            d.mkdir()
+            fn(spark, d)
+        return thunk
+
+    return run_concurrently(
+        {k: mk(k, fn) for k, fn in dict(
+            equality=_run_equality,
+            gated=_run_gated,
+            config=_run_config_banded,
+        ).items()},
+        max_workers=3,
+    )
+
+
+def _run_equality(spark, tmp_path):
     dem = materialize_dem(spark, 5, GEO, bounds=AOI, hole=False)
     out = str(tmp_path / "banded")
     totals = pipelined_pyramid(
@@ -65,7 +91,7 @@ def test_banded_equals_barrier(spark, tmp_path):
         assert totals[f"overview_z{z}"] == len(want)
 
 
-def test_bands_pipeline_independently(spark, tmp_path):
+def _run_gated(spark, tmp_path):
     """Deterministic no-barrier proof: band 1 is GATED so its first
     reduce cannot start until band 0 has finished its LAST (min_zoom)
     level. Under a zoom barrier this deadlocks (zoom z-1 would need
@@ -99,7 +125,7 @@ def test_bands_pipeline_independently(spark, tmp_path):
     assert got_n == want.count() > 0
 
 
-def test_config_banded_equals_barrier_job(spark, tmp_path):
+def _run_config_banded(spark, tmp_path):
     """baselevels.pipeline: banded through the full execute() path —
     counts and tile payloads identical to the default barrier job."""
     import os
@@ -146,3 +172,21 @@ def test_config_rejects_unknown_pipeline(tmp_path):
                 baselevels=dict(min=4, max=5, pipeline="chaotic"),
             )
         )
+
+
+def test_banded_equals_barrier(pb_runs):
+    from tests.conftest import assert_ok
+
+    assert_ok(pb_runs, "equality")
+
+
+def test_bands_pipeline_independently(pb_runs):
+    from tests.conftest import assert_ok
+
+    assert_ok(pb_runs, "gated")
+
+
+def test_config_banded_equals_barrier_job(pb_runs):
+    from tests.conftest import assert_ok
+
+    assert_ok(pb_runs, "config")
