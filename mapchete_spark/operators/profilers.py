@@ -93,18 +93,36 @@ class StageMetricsProfiler:
 
     # -- driver-side API ----------------------------------------------
 
+    #: one listener per SparkContext, registered once and NEVER removed.
+    #: Two reasons (round-5 finding): (a) removal is impossible anyway —
+    #: the JVM bus removes by .equals(), and a py4j proxy's equals routes
+    #: back to Python, where this class answered a hard False, so every
+    #: removeSparkListener silently no-opped and each execute() LEAKED a
+    #: callback listener (every task/stage/job event then crossed the
+    #: py4j socket once per leaked listener — the whole-session
+    #: progressive slowdown, ~5x on late suite modules); (b) a singleton
+    #: is the correct shape regardless: groups are keyed by run_id-
+    #: prefixed job group, so concurrent execute() calls share one
+    #: listener and read only their own groups.
+    _SINGLETON: Dict[int, "StageMetricsProfiler"] = {}
+
     @classmethod
     def attach(cls, spark) -> Optional["StageMetricsProfiler"]:
-        """Register on the listener bus; returns None if the py4j
-        callback server cannot start (never fails the job over
-        profiling)."""
+        """Return the per-context singleton, registering it on the
+        listener bus on first use; None if the py4j callback server
+        cannot start (never fails the job over profiling)."""
         try:
             from pyspark.java_gateway import ensure_callback_server_started
 
             sc = spark.sparkContext
+            key = id(sc._jsc)
+            prof = cls._SINGLETON.get(key)
+            if prof is not None:
+                return prof
             ensure_callback_server_started(sc._gateway)
             prof = cls(spark)
             sc._jsc.sc().addSparkListener(prof)
+            cls._SINGLETON[key] = prof
             return prof
         except Exception:
             return None
@@ -130,8 +148,18 @@ class StageMetricsProfiler:
         self.flush()
         return dict(self.groups.get(group) or _empty_profile())
 
-    def detach(self) -> None:
-        try:
-            self._spark.sparkContext._jsc.sc().removeSparkListener(self)
-        except Exception:
-            pass
+    def detach(self, run_prefix: Optional[str] = None) -> None:
+        """Release one run's bookkeeping. The listener itself stays on
+        the bus (singleton; see attach). With a ``run_prefix`` only
+        that run's groups are pruned — concurrent runs' data survives;
+        without one, nothing is pruned (safe default)."""
+        if not run_prefix:
+            return
+        for g in [k for k in list(self.groups) if k and k.startswith(run_prefix)]:
+            self.groups.pop(g, None)
+        drop = [
+            sid for sid, grp in list(self._stage_to_group.items())
+            if grp and grp.startswith(run_prefix)
+        ]
+        for sid in drop:
+            self._stage_to_group.pop(sid, None)

@@ -305,7 +305,7 @@ def execute(
                 df.unpersist()
         except Exception as exc:  # J7: surface the failing stage
             if profiler is not None:
-                profiler.detach()
+                profiler.detach(store.run_id)
             notify("failed", f"{name}: {type(exc).__name__}")
             raise
         profile = (
@@ -481,7 +481,7 @@ def execute(
         with open(os.path.join(out_path, "metadata.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
     if profiler is not None:
-        profiler.detach()
+        profiler.detach(store.run_id)
     notify("done")
     return counts
 
