@@ -182,14 +182,34 @@ def _materialize_input(spark, cfg: JobConfig, zoom: int, inp) -> DataFrame:
             area=cfg.area,
         )
     elif isinstance(inp, dict) and "path" in inp:
-        df = spark.read.parquet(inp["path"]).where(F.col("zoom") == zoom)
+        df = _read_path_input(spark, cfg, zoom, inp["path"], inp)
     elif isinstance(inp, str) and inp not in ("dem",):
-        df = spark.read.parquet(inp).where(F.col("zoom") == zoom)
+        df = _read_path_input(spark, cfg, zoom, inp, {})
     else:
         raise ValueError(f"unsupported input spec: {inp!r}")
     if cfg.area is not None:
         df = _filter_tiles_to_area(df, cfg.pyramid, cfg.area)
     return df
+
+
+def _read_path_input(spark, cfg: JobConfig, zoom: int, path: str, spec: dict):
+    """Path inputs: a parquet tile table (the scale shape) OR — round 5,
+    through the in-tree codecs (sources/fileinput.py) — a single
+    GeoTIFF raster file resampled onto the job grid, exactly the
+    reference's raster_file input driver
+    (formats/default/raster_file.py). Dispatch is by extension."""
+    low = str(path).lower()
+    if low.endswith((".tif", ".tiff")):
+        from mapchete_spark.sources.fileinput import raster_table_from_file
+
+        return raster_table_from_file(
+            spark,
+            path,
+            zoom,
+            cfg.pyramid,
+            resampling=spec.get("resampling", "nearest"),
+        )
+    return spark.read.parquet(path).where(F.col("zoom") == zoom)
 
 
 def run_preprocessing_tasks(spark: SparkSession, cfg: JobConfig) -> Dict[str, object]:

@@ -90,3 +90,51 @@ def test_vector_geojson_reads_bare_geometry(spark, tmp_path):
     g = from_wkb(bytes(rows[0]["geometry"]))
     assert (g.x, g.y) == (3.0, 4.0)
     assert json.loads(rows[0]["properties"]) == {}
+
+
+def test_config_job_over_tif_input(spark, tmp_path):
+    """End-to-end: a .mapchete-style config whose input is a REAL
+    GeoTIFF file path runs the convert process over it — the
+    reference's raster_file workflow. Output payloads equal the
+    source pixels (scale_ratio 1, nearest on the identical grid)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.rastertable import (
+        materialize_dem,
+        row_to_array,
+    )
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.singlefile import write_single_artifact
+
+    pyr = TilePyramid("geodetic")
+    aoi = Bounds(0.0, 20.0, 45.0, 50.0)
+    dem = materialize_dem(spark, 4, pyr, bounds=aoi, hole=False)
+    write_single_artifact(dem, pyr, 4, str(tmp_path / "src"))
+
+    cfg = JobConfig.from_dict(
+        dict(
+            process="convert",
+            zoom_levels=[4],
+            pyramid={"grid": "geodetic"},
+            input={"path": str(tmp_path / "src.tif")},
+            bounds=list(aoi),
+            process_parameters={"scale_ratio": 1.0},
+            output={"path": str(tmp_path / "out"),
+                    "format": "parquet_tiles"},
+        )
+    )
+    counts = execute(spark, cfg, mode="overwrite")
+    assert counts["process_z4"] > 0
+    out = spark.read.parquet(str(tmp_path / "out" / "tiles"))
+    row = out.orderBy("tile_row", "tile_col").limit(1).collect()[0]
+    src = dem.where(
+        (F.col("tile_row") == row["tile_row"])
+        & (F.col("tile_col") == row["tile_col"])
+    ).collect()[0]
+    np.testing.assert_allclose(
+        np.asarray(row_to_array(row.asDict())),
+        np.asarray(row_to_array(src.asDict())),
+        rtol=1e-6,
+    )
