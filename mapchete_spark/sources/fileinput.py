@@ -123,10 +123,37 @@ def raster_table_from_file(
             )}
             for z, r, c in zip(pdf["zoom"], pdf["tile_row"], pdf["tile_col"]):
                 t = Tile(p, int(z), int(r), int(c))
+                tb = t.bounds()
                 tile_arr = resample_from_array(
-                    src, sb, t.bounds(), t.shape(), resampling=resampling,
+                    src, sb, tb, t.shape(), resampling=resampling,
                     nodata=nd_,
                 )
+                # partial overlap: the resample kernels CLAMP source
+                # indexes at the border (correct inside the source),
+                # which would smear border pixels across the uncovered
+                # region — the reference's read_raster_window fills
+                # out-of-source area with nodata instead. Mask target
+                # pixels whose centers fall outside the source bounds.
+                if not (
+                    tb.left >= sb.left - 1e-12
+                    and tb.right <= sb.right + 1e-12
+                    and tb.bottom >= sb.bottom - 1e-12
+                    and tb.top <= sb.top + 1e-12
+                ):
+                    th, tw = tile_arr.shape[-2:]
+                    pxx = (tb.right - tb.left) / tw
+                    pxy = (tb.top - tb.bottom) / th
+                    xs = tb.left + (np.arange(tw) + 0.5) * pxx
+                    ys = tb.top - (np.arange(th) + 0.5) * pxy
+                    outside = np.zeros((th, tw), dtype=bool)
+                    outside[:, (xs < sb.left) | (xs > sb.right)] = True
+                    outside[(ys > sb.top) | (ys < sb.bottom), :] = True
+                    tile_arr = np.ma.MaskedArray(
+                        np.ma.filled(tile_arr, nd_),
+                        mask=np.ma.getmaskarray(tile_arr)
+                        | np.broadcast_to(outside, tile_arr.shape),
+                    )
+                    tile_arr.set_fill_value(nd_)
                 data, dtype, bands, h, w = encode_array(tile_arr, nd_)
                 out["zoom"].append(int(z))
                 out["tile_row"].append(int(r))

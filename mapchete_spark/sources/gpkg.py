@@ -171,6 +171,16 @@ def write_gpkg(
     Returns the feature count."""
     if not features:
         raise ValueError("refusing to write an empty GPKG layer")
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", layer):
+        raise ValueError(
+            f"invalid layer name {layer!r} (identifier required — the "
+            "name is interpolated into DDL)"
+        )
+    for name, _t in schema:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(name)):
+            raise ValueError(f"invalid property column name {name!r}")
     gtypes = {f["geometry"].geom_type for f in features}
     gt = geometry_type or (gtypes.pop().upper() if len(gtypes) == 1 else "GEOMETRY")
     cols = ", ".join(

@@ -138,3 +138,32 @@ def test_config_job_over_tif_input(spark, tmp_path):
         np.asarray(row_to_array(src.asDict())),
         rtol=1e-6,
     )
+
+
+def test_partial_overlap_masks_not_smears(spark, tmp_path):
+    """A source covering only part of a tile must yield nodata in the
+    uncovered region — NOT the border-pixel smear the clamping resample
+    kernels would produce (the reference's read_raster_window fills
+    out-of-source with nodata)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.rastertable import row_to_array
+
+    # zoom-3 geodetic tile is 22.5 deg; source covers only its WEST half
+    arr = np.full((1, 64, 64), 7.0, dtype=np.float32)
+    src_bounds = Bounds(0.0, 45.0, 11.25, 67.5)
+    p = os.path.join(tmp_path, "half.tif")
+    with open(p, "wb") as f:
+        f.write(encode_gtiff(arr, src_bounds, crs="EPSG:4326", nodata=-1.0))
+    tiles = raster_table_from_file(spark, p, 3, TilePyramid("geodetic"))
+    rows = tiles.where(
+        (F.col("tile_row") == 1) & (F.col("tile_col") == 8)
+    ).collect()
+    assert len(rows) == 1
+    got = row_to_array(rows[0].asDict())
+    h, w = got.shape[-2:]
+    west = np.asarray(got[..., : w // 2])
+    east_mask = np.ma.getmaskarray(got)[..., w // 2:]
+    assert np.all(west == 7.0)
+    assert east_mask.all(), "uncovered half must be nodata, not smeared"
