@@ -17,6 +17,7 @@ events regardless of executor count.
 
 from __future__ import annotations
 
+import threading
 from collections import defaultdict
 from typing import Dict, Optional
 
@@ -51,31 +52,41 @@ class StageMetricsProfiler:
         self.groups: Dict[Optional[str], Dict[str, int]] = defaultdict(
             _empty_profile
         )
+        # Guards every read/write of _stage_to_group and groups: the
+        # py4j callback thread mutates them (onJobStart /
+        # onStageCompleted) while job threads iterate them (detach /
+        # profile_for); dict resize under concurrent iteration raises
+        # RuntimeError.
+        self._lock = threading.Lock()
 
     # -- SparkListenerInterface callbacks (called from the JVM) --------
 
     def onJobStart(self, job_start):
         group = job_start.properties().get("spark.jobGroup.id")
         infos = job_start.stageInfos()
-        for i in range(infos.size()):
-            self._stage_to_group[infos.apply(i).stageId()] = group
+        stage_ids = [infos.apply(i).stageId() for i in range(infos.size())]
+        with self._lock:
+            for sid in stage_ids:
+                self._stage_to_group[sid] = group
 
     def onStageCompleted(self, stage_completed):
         si = stage_completed.stageInfo()
-        group = self._stage_to_group.get(si.stageId())
         m = si.taskMetrics()
-        agg = self.groups[group]
-        agg["task_run_ms"] += int(m.executorRunTime())
-        agg["peak_mem_bytes"] = max(
-            agg["peak_mem_bytes"], int(m.peakExecutionMemory())
-        )
-        agg["shuffle_read_bytes"] += int(
-            m.shuffleReadMetrics().totalBytesRead()
-        )
-        agg["shuffle_write_bytes"] += int(
-            m.shuffleWriteMetrics().bytesWritten()
-        )
-        agg["spilled_bytes"] += int(m.memoryBytesSpilled())
+        # Pull the JVM-side numbers before taking the lock: py4j round
+        # trips are slow and must not serialize against job threads.
+        run_ms = int(m.executorRunTime())
+        peak = int(m.peakExecutionMemory())
+        sh_read = int(m.shuffleReadMetrics().totalBytesRead())
+        sh_write = int(m.shuffleWriteMetrics().bytesWritten())
+        spilled = int(m.memoryBytesSpilled())
+        with self._lock:
+            group = self._stage_to_group.get(si.stageId())
+            agg = self.groups[group]
+            agg["task_run_ms"] += run_ms
+            agg["peak_mem_bytes"] = max(agg["peak_mem_bytes"], peak)
+            agg["shuffle_read_bytes"] += sh_read
+            agg["shuffle_write_bytes"] += sh_write
+            agg["spilled_bytes"] += spilled
 
     # py4j proxies dispatch by attribute lookup: every other listener
     # callback (onTaskEnd, onExecutorAdded, ...) no-ops through here
@@ -105,6 +116,10 @@ class StageMetricsProfiler:
     #: prefixed job group, so concurrent execute() calls share one
     #: listener and read only their own groups.
     _SINGLETON: Dict[int, "StageMetricsProfiler"] = {}
+    #: serializes the check-then-act in attach(): without it two threads
+    #: racing through `get is None` both addSparkListener and every
+    #: event double-counts forever.
+    _SINGLETON_LOCK = threading.Lock()
 
     @classmethod
     def attach(cls, spark) -> Optional["StageMetricsProfiler"]:
@@ -116,14 +131,15 @@ class StageMetricsProfiler:
 
             sc = spark.sparkContext
             key = id(sc._jsc)
-            prof = cls._SINGLETON.get(key)
-            if prof is not None:
+            with cls._SINGLETON_LOCK:
+                prof = cls._SINGLETON.get(key)
+                if prof is not None:
+                    return prof
+                ensure_callback_server_started(sc._gateway)
+                prof = cls(spark)
+                sc._jsc.sc().addSparkListener(prof)
+                cls._SINGLETON[key] = prof
                 return prof
-            ensure_callback_server_started(sc._gateway)
-            prof = cls(spark)
-            sc._jsc.sc().addSparkListener(prof)
-            cls._SINGLETON[key] = prof
-            return prof
         except Exception:
             return None
 
@@ -146,7 +162,8 @@ class StageMetricsProfiler:
 
     def profile_for(self, group: str) -> Dict[str, int]:
         self.flush()
-        return dict(self.groups.get(group) or _empty_profile())
+        with self._lock:
+            return dict(self.groups.get(group) or _empty_profile())
 
     def detach(self, run_prefix: Optional[str] = None) -> None:
         """Release one run's bookkeeping. The listener itself stays on
@@ -155,11 +172,14 @@ class StageMetricsProfiler:
         without one, nothing is pruned (safe default)."""
         if not run_prefix:
             return
-        for g in [k for k in list(self.groups) if k and k.startswith(run_prefix)]:
-            self.groups.pop(g, None)
-        drop = [
-            sid for sid, grp in list(self._stage_to_group.items())
-            if grp and grp.startswith(run_prefix)
-        ]
-        for sid in drop:
-            self._stage_to_group.pop(sid, None)
+        with self._lock:
+            for g in [
+                k for k in self.groups if k and k.startswith(run_prefix)
+            ]:
+                self.groups.pop(g, None)
+            drop = [
+                sid for sid, grp in self._stage_to_group.items()
+                if grp and grp.startswith(run_prefix)
+            ]
+            for sid in drop:
+                self._stage_to_group.pop(sid, None)
