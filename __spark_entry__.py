@@ -4887,15 +4887,79 @@ def o_tile_embed_centroid() -> str:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
-    the FIRST 50 entries only. Round-5 ordering policy (VERDICT r4
-    "Next round" #2): the 40 queries whose driver rows were last earned
-    on round-3 code rotate INTO positions 1-50 so r04 ∪ r05 covers all
-    entries with rows earned on round-4-or-later code; round-5 additions
-    and the two queries whose ORACLES changed this round (bounded rarity
-    model) join them; the 50 that earned fresh r04 rows move behind the
-    cap."""
+    the FIRST 50 entries only. Round-6 ordering policy (VERDICT r5
+    "Next round" #2): the 5 round-5 queries with no driver row
+    (pii_scrub, raster_file_input, vector_file_input, banded_pyramid,
+    dsir_weights) and the 3 displaced canaries rotate INTO positions
+    1-50, followed by the queries whose newest driver rows date from
+    round 4; the 50 queries that earned fresh r05 rows move behind the
+    cap. r05 ∪ r06 then covers 100/102 with driver rows on
+    round-5-or-later code (wkt_roundtrip and revenue_by_nation keep
+    their r04 rows, disclosed below)."""
     return {
-        # -- r3-green rows to RE-EARN on current code (r4 tail, 40) --
+        # -- round-6 window: the 5 round-5 additions with NO driver row
+        #    yet (replay-checked only) + the 3 canaries displaced from
+        #    the round-5 window (VERDICT r5 "Next round" #2) --
+        "pii_scrub": q_pii_scrub,
+        "raster_file_input": q_raster_file_input,
+        "vector_file_input": q_vector_file_input,
+        "banded_pyramid": q_banded_pyramid,
+        "dsir_weights": q_dsir_weights,
+        "compact_roundtrip": q_compact_roundtrip,
+        "kmeans": q_kmeans,
+        "laea_reproject": q_laea_reproject,
+        # -- queries whose newest driver row is r04: re-earn on round-6
+        #    code --
+        "meta_intersect": q_meta_intersect,
+        "batch_enum": q_batch_enum,
+        "extract_prepare": q_extract_prepare,
+        "mosaic_digest": q_mosaic_digest,
+        "segmentize": q_segmentize,
+        "am_split": q_am_split,
+        "geom_type_filter": q_geom_type_filter,
+        "custom_transform": q_custom_transform,
+        "job_resume": q_job_resume,
+        "job_user_preprocess": q_job_user_preprocess,
+        "job_stage_metrics": q_job_stage_metrics,
+        "job_composition": q_job_composition,
+        "refresh_digest": q_refresh_digest,
+        "stac_item": q_stac_item,
+        "job_metadata": q_job_metadata,
+        "job_status": q_job_status,
+        "png_export": q_png_export,
+        "serve_lookup": q_serve_lookup,
+        "cli_execute": q_cli_execute,
+        "metric_buffer": q_metric_buffer,
+        "lcc_reproject": q_lcc_reproject,
+        "span_media_join": q_span_media_join,
+        "count_tiles": q_count_tiles,
+        "gtiff_export": q_gtiff_export,
+        "media_features": q_media_features,
+        "repetition_stats": q_repetition_stats,
+        "utm_reproject": q_utm_reproject,
+        "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
+        "neighbor_halo_counts": q_neighbor_halo_counts,
+        "spatial_knn": q_spatial_knn,
+        "span_chunking": q_span_chunking,
+        "stratified_sample": q_stratified_sample,
+        "pipeline_e2e": q_pipeline_e2e,
+        "tile_assign_z8": q_tile_assign_z8,
+        "tile_assign_multizoom": q_tile_assign_multizoom,
+        "pyramid_rollup": q_pyramid_rollup,
+        "hot_tile_skew": q_hot_tile_skew,
+        "bbox_cover_z6": q_bbox_cover_z6,
+        "quality_quantiles": q_quality_quantiles,
+        "shard_packing": q_shard_packing,
+        "tile_embed_centroid": q_tile_embed_centroid,
+        # ---------------- driver cap boundary (position 50) ----------------
+        # everything below earned a fresh green row in CORRECTNESS_r05
+        # (the round-5 window), except wkt_roundtrip/revenue_by_nation
+        # whose newest rows are r04 — both trivial/stable and covered by
+        # the type-strict sf0.001 replay every pytest run; they rotate
+        # back next round.
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "revenue_by_nation": q_revenue_by_nation,
         "s2_cells": q_s2_cells,
         "span_roundtrip": q_span_roundtrip,
         "ngram_decontam": q_ngram_decontam,
@@ -4936,82 +5000,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_union_dissolve": q_vector_union_dissolve,
         "grid_snap": q_grid_snap,
         "grid_affine": q_grid_affine,
-        # -- new in round 5 --
         "stere_reproject": q_stere_reproject,
         "crs_bounds_clip": q_crs_bounds_clip,
         "fgb_export": q_fgb_export,
         "gpkg_index": q_gpkg_index,
         "eqearth_sinu_reproject": q_eqearth_sinu_reproject,
         "line_dedup": q_line_dedup,
-        # -- oracles changed in round 5 (bounded rarity model) --
         "rarity_scores": q_rarity_scores,
         "pipeline_quality": q_pipeline_quality,
-        # real-PNG media path (round 5) supersets media_features'
-        # operator coverage; the raw variant keeps its fresh r04 row
         "media_features_png": q_media_features_png,
-        # reproject_features default now clips to CRS bounds — re-earn
         "vector_reproject": q_vector_reproject,
-        # ---------------- driver cap boundary (position 50) ----------------
-        # everything below earned a fresh green row in CORRECTNESS_r04,
-        # EXCEPT pii_scrub (new in round 5 — the window was already full
-        # of never-re-earned r03 rows, which take precedence; pii_scrub
-        # is first in line for the round-6 window and is replay-checked
-        # type-strict every pytest run meanwhile).
-        # compact_roundtrip/kmeans/laea_reproject were round-5 canaries
-        # displaced below the cap by the new round-5 queries; the
-        # type-strict pytest replay still covers them every run.
-        "pii_scrub": q_pii_scrub,
-        "raster_file_input": q_raster_file_input,
-        "vector_file_input": q_vector_file_input,
-        "banded_pyramid": q_banded_pyramid,
-        "dsir_weights": q_dsir_weights,
-        "compact_roundtrip": q_compact_roundtrip,
-        "kmeans": q_kmeans,
-        "laea_reproject": q_laea_reproject,
-        "meta_intersect": q_meta_intersect,
-        "batch_enum": q_batch_enum,
-        "extract_prepare": q_extract_prepare,
-        "mosaic_digest": q_mosaic_digest,
-        "segmentize": q_segmentize,
-        "am_split": q_am_split,
-        "geom_type_filter": q_geom_type_filter,
-        "custom_transform": q_custom_transform,
-        "job_resume": q_job_resume,
-        "job_user_preprocess": q_job_user_preprocess,
-        "job_stage_metrics": q_job_stage_metrics,
-        "job_composition": q_job_composition,
-        "refresh_digest": q_refresh_digest,
-        "stac_item": q_stac_item,
-        "job_metadata": q_job_metadata,
-        "wkt_roundtrip": q_wkt_roundtrip,
-        "job_status": q_job_status,
-        "png_export": q_png_export,
-        "serve_lookup": q_serve_lookup,
-        "cli_execute": q_cli_execute,
-        "metric_buffer": q_metric_buffer,
-        "lcc_reproject": q_lcc_reproject,
-        "span_media_join": q_span_media_join,
-        "count_tiles": q_count_tiles,
-        "gtiff_export": q_gtiff_export,
-        "media_features": q_media_features,
-        "repetition_stats": q_repetition_stats,
-        "utm_reproject": q_utm_reproject,
-        "events_windowed": q_events_windowed,
-        "events_sessionized": q_events_sessionized,
-        "revenue_by_nation": q_revenue_by_nation,
-        "neighbor_halo_counts": q_neighbor_halo_counts,
-        "spatial_knn": q_spatial_knn,
-        "span_chunking": q_span_chunking,
-        "stratified_sample": q_stratified_sample,
-        "pipeline_e2e": q_pipeline_e2e,
-        "tile_assign_z8": q_tile_assign_z8,
-        "tile_assign_multizoom": q_tile_assign_multizoom,
-        "pyramid_rollup": q_pyramid_rollup,
-        "hot_tile_skew": q_hot_tile_skew,
-        "bbox_cover_z6": q_bbox_cover_z6,
-        "quality_quantiles": q_quality_quantiles,
-        "shard_packing": q_shard_packing,
-        "tile_embed_centroid": q_tile_embed_centroid,
     }
 
 
