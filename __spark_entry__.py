@@ -583,6 +583,118 @@ def o_vector_file_input() -> str:
     return o_contours()
 
 
+_VFC_HALF = 2.0  # half-width (deg) of the synthetic squares
+_VFC_LAT_MAX = 84.0  # keep clamped squares off the mercator singularity
+
+
+def q_vector_file_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 source-CRS handling (round 6; VERDICT r5 'What's wrong' #2 /
+    'Next round' #3): a GeoPackage whose layer is in EPSG:3857 must be
+    REPROJECTED to the pyramid CRS on ingest using the header srs_id —
+    the reference reads the source CRS through fiona and warps each
+    feature to the process CRS (mapchete/io/vector/read.py:212-261);
+    the repo previously discarded the header and silently treated
+    metre coordinates as degrees.
+
+    Engine path: 4-degree squares around every doc point (lat clamped
+    off the mercator singularity), forward-projected to EPSG:3857 with
+    the engine's closed-form spherical mercator, written as a REAL
+    .gpkg file (srs_id 3857) through the stdlib-sqlite3 codec,
+    re-ingested via vector_table_from_file — which must see srs_id
+    3857 and invert the projection — and digested as the recovered
+    geodetic bbox (micro-degree quantized; the forward+inverse round
+    trip agrees to ~1e-11 deg). Oracle: the original clamped squares
+    in SQL. Driver-side file write is the documented shape for
+    single-file vector inputs (size-guarded; corpus-scale vectors are
+    WKB parquet tables)."""
+    import json as _json
+    import tempfile
+
+    import numpy as np
+
+    from mapchete_spark.geometry.core import Polygon as _Poly
+    from mapchete_spark.geometry.reproject import geodetic_to_mercator
+    from mapchete_spark.geometry.wkb import from_wkb
+    from mapchete_spark.sources.fileinput import vector_table_from_file
+    from mapchete_spark.sources.gpkg import write_gpkg
+
+    docs = load_docs(spark, sf_dir).select("doc_id", "lon", "lat").collect()
+    h, lm = _VFC_HALF, _VFC_LAT_MAX
+    feats = []
+    for r in sorted(docs, key=lambda r: int(r["doc_id"])):
+        lo, la = float(r["lon"]), float(r["lat"])
+        x0, x1 = max(lo - h, -180.0), min(lo + h, 180.0)
+        y0, y1 = max(la - h, -lm), min(la + h, lm)
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+        )
+        mx, my = geodetic_to_mercator(ring[:, 0], ring[:, 1])
+        feats.append(
+            {
+                "geometry": _Poly(np.column_stack([mx, my])),
+                "properties": {"doc_id": int(r["doc_id"])},
+            }
+        )
+    d = tempfile.mkdtemp(prefix="msq_vfc_")
+    path = os.path.join(d, "squares.gpkg")
+    write_gpkg(
+        path, feats, schema=[("doc_id", "integer")], layer="squares",
+        srs_id=3857,
+    )
+
+    back = vector_table_from_file(spark, path)  # dst_crs EPSG:4326
+
+    def digest(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "lon0": [], "lat0": [], "lon1": [],
+                    "lat1": []}
+            for wkb, props in zip(
+                pdf["geometry"].values, pdf["properties"].values
+            ):
+                b = from_wkb(bytes(wkb)).bounds
+
+                def q6(v):
+                    return float(
+                        _np.floor(v * 1000000.0 + 0.5) / 1000000.0
+                    )
+
+                rows["doc_id"].append(int(_json.loads(props)["doc_id"]))
+                rows["lon0"].append(q6(b.left))
+                rows["lat0"].append(q6(b.bottom))
+                rows["lon1"].append(q6(b.right))
+                rows["lat1"].append(q6(b.top))
+            yield pd.DataFrame(rows)
+
+    return back.mapInPandas(
+        digest,
+        schema="doc_id long, lon0 double, lat0 double, lon1 double, "
+               "lat1 double",
+    ).orderBy("doc_id")
+
+
+def o_vector_file_crs() -> str:
+    h, lm = _dlit(_VFC_HALF), _dlit(_VFC_LAT_MAX)
+
+    def q6(expr: str) -> str:
+        return f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+    return (
+        _docs_geo_cte()
+        + f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {q6(f"GREATEST(lon - {h}, CAST(-180.0 AS DOUBLE))")} AS lon0,
+           {q6(f"GREATEST(lat - {h}, -{lm})")} AS lat0,
+           {q6(f"LEAST(lon + {h}, CAST(180.0 AS DOUBLE))")} AS lon1,
+           {q6(f"LEAST(lat + {h}, {lm})")} AS lat1
+    FROM docs_geo
+    ORDER BY doc_id
+    """
+    )
+
+
 def q_dem_tiles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metatiling path (G-layer): the same AOI materialized on a
     metatiling=2 pyramid (512px metatiles) and digested — the oracle
@@ -4899,7 +5011,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 window: the 5 round-5 additions with NO driver row
         #    yet (replay-checked only) + the 3 canaries displaced from
-        #    the round-5 window (VERDICT r5 "Next round" #2) --
+        #    the round-5 window (VERDICT r5 "Next round" #2), plus the
+        #    new round-6 queries --
+        "vector_file_crs": q_vector_file_crs,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -4951,8 +5065,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_cover_z6": q_bbox_cover_z6,
         "quality_quantiles": q_quality_quantiles,
         "shard_packing": q_shard_packing,
-        "tile_embed_centroid": q_tile_embed_centroid,
         # ---------------- driver cap boundary (position 50) ----------------
+        "tile_embed_centroid": q_tile_embed_centroid,
         # everything below earned a fresh green row in CORRECTNESS_r05
         # (the round-5 window), except wkt_roundtrip/revenue_by_nation
         # whose newest rows are r04 — both trivial/stable and covered by
@@ -5442,6 +5556,7 @@ def oracle_sql() -> dict[str, str]:
     out["pii_scrub"] = o_pii_scrub()
     out["raster_file_input"] = o_raster_file_input()
     out["vector_file_input"] = o_vector_file_input()
+    out["vector_file_crs"] = o_vector_file_crs()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

@@ -324,3 +324,44 @@ def reproject_ring(
     f = custom_transform if custom_transform is not None else get_transform(src, dst)
     x, y = f(r[:, 0], r[:, 1])
     return np.column_stack([x, y])
+
+
+def transform_geometry(geom, fn):
+    """Map ANY engine geometry (Point / LineString / MultiLineString /
+    Polygon / MultiPolygon) through a coords transform ``fn(x_arr,
+    y_arr) -> (x_arr, y_arr)`` — the per-geometry step of the
+    reference's reproject_geometry (mapchete/geometry/reproject.py),
+    which transforms every coordinate of whatever type fiona handed
+    it. Rings/lines go through fn as whole arrays (vectorized)."""
+    from mapchete_spark.geometry.core import (
+        LineString,
+        MultiLineString,
+        MultiPolygon,
+        Point,
+        Polygon,
+    )
+
+    def _coords(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        x, y = fn(a[:, 0], a[:, 1])
+        return np.column_stack([x, y])
+
+    if isinstance(geom, Point):
+        x, y = fn(np.array([geom.x]), np.array([geom.y]))
+        return Point(float(x[0]), float(y[0]))
+    if isinstance(geom, LineString):
+        return LineString(_coords(geom.coords))
+    if isinstance(geom, MultiLineString):
+        return MultiLineString(
+            tuple(LineString(_coords(ln.coords)) for ln in geom.lines)
+        )
+    if isinstance(geom, Polygon):
+        return Polygon(
+            _coords(geom.exterior),
+            tuple(_coords(r) for r in geom.interiors),
+        )
+    if isinstance(geom, MultiPolygon):
+        return MultiPolygon(
+            tuple(transform_geometry(p, fn) for p in geom.polygons)
+        )
+    raise ValueError(f"unsupported geometry type {type(geom).__name__}")

@@ -192,6 +192,7 @@ def vector_table_from_file(
     spark: SparkSession,
     path: str,
     layer: Optional[str] = None,
+    dst_crs: str = "EPSG:4326",
     max_source_bytes: int = MAX_SOURCE_BYTES,
 ) -> DataFrame:
     """S2: a FlatGeobuf / GeoPackage / GeoJSON file becomes the
@@ -200,7 +201,22 @@ def vector_table_from_file(
     matching the reference's vector_file input driver extensions
     (formats/default/vector_file.py:43; .shp omitted — FGB/GPKG are
     its modern replacements and the reference itself converts shp
-    through fiona)."""
+    through fiona).
+
+    The SOURCE CRS comes from the file header — GPKG layer srs_id,
+    FGB header crs code, EPSG:4326 for GeoJSON (fixed by RFC 7946
+    §4) — and features are reprojected to ``dst_crs`` (the pyramid
+    CRS), the reference's read-vector-window behavior
+    (mapchete/io/vector/read.py:212-261: fiona reads the source CRS
+    and reproject_geometry brings each feature to the process CRS).
+    An unregistered source CRS RAISES (never silently assumed);
+    GPKG srs_id 0/-1 ("undefined" per OGC 12-128r18) and a missing
+    FGB crs record carry no CRS information and pass through
+    untransformed."""
+    from mapchete_spark.geometry.reproject import (
+        get_transform,
+        transform_geometry,
+    )
     from mapchete_spark.geometry.wkb import to_wkb
     from mapchete_spark.sources.fgb import read_fgb
     from mapchete_spark.sources.gpkg import read_gpkg
@@ -212,19 +228,36 @@ def vector_table_from_file(
             "at this size as a WKB feature parquet table instead"
         )
     ext = os.path.splitext(path)[1].lower()
+    src_code: Optional[int]
     if ext == ".fgb":
         with open(path, "rb") as f:
-            _, feats = read_fgb(f.read())
+            header, feats = read_fgb(f.read())
+        src_code = header.get("crs_code")
     elif ext == ".gpkg":
-        _, feats = read_gpkg(path, layer=layer)
+        header, feats = read_gpkg(path, layer=layer)
+        src_code = header.get("srs_id")
     elif ext in (".geojson", ".json"):
         with open(path, "rb") as f:
             feats = _features_from_geojson(f.read())
+        src_code = 4326
     else:
         raise ValueError(
             f"unsupported vector extension {ext!r} "
             "(supported: .fgb .gpkg .geojson)"
         )
+    if src_code is not None and int(src_code) > 0:
+        src_crs = f"EPSG:{int(src_code)}"
+        if src_crs != dst_crs:
+            # raises ValueError for CRS outside the registered families
+            # — never assume coordinates are already in the pyramid CRS
+            fn = get_transform(src_crs, dst_crs)
+            feats = [
+                {
+                    "geometry": transform_geometry(f["geometry"], fn),
+                    "properties": f["properties"],
+                }
+                for f in feats
+            ]
     rows = [
         (
             i,

@@ -59,6 +59,7 @@ _SQL_TYPES = {
     "double": "DOUBLE",
     "float": "FLOAT",
     "int": "MEDIUMINT",
+    "integer": "INTEGER",
     "long": "INTEGER",
     "bigint": "INTEGER",
     "str": "TEXT",
@@ -251,18 +252,42 @@ def read_gpkg(path: str, layer: Optional[str] = None):
         elif layer not in layers:
             raise ValueError(f"no such layer {layer!r}; package has {layers}")
         gc = conn.execute(
-            "SELECT geometry_type_name, srs_id FROM gpkg_geometry_columns "
+            "SELECT geometry_type_name, srs_id, column_name "
+            "FROM gpkg_geometry_columns "
             "WHERE table_name=?", (layer,)).fetchone()
         ct = conn.execute(
             "SELECT min_x, min_y, max_x, max_y, srs_id FROM gpkg_contents "
             "WHERE table_name=?", (layer,)).fetchone()
+        # OGC 12-128r18 does not fix the geometry column or PK names
+        # ('geom'/'fid' are conventions, not requirements): the
+        # geometry column comes from gpkg_geometry_columns.column_name
+        # (Req 21) and the PK is the table's INTEGER PRIMARY KEY per
+        # PRAGMA table_info — externally-produced packages use e.g.
+        # 'geometry'/'id'. Fall back to rowid ordering when the PK is
+        # not a single integer column.
+        def _qi(name: str) -> str:
+            # quote an identifier read from package metadata; doubling
+            # embedded quotes is the sqlite escape
+            return '"' + str(name).replace('"', '""') + '"'
+
+        geom_col = gc[2]
+        info = list(conn.execute(f"PRAGMA table_info({_qi(layer)})"))
+        pk_cols = [r for r in info if r[5] > 0]
+        pk = (
+            pk_cols[0][1]
+            if len(pk_cols) == 1
+            and str(pk_cols[0][2]).upper() == "INTEGER"
+            else None
+        )
         prop_cols = [
-            r[1] for r in conn.execute(f'PRAGMA table_info("{layer}")')
-            if r[1] not in ("fid", "geom")
+            r[1] for r in info if r[1] not in (pk, geom_col)
         ]
-        sel = ", ".join(['"geom"'] + [f'"{c}"' for c in prop_cols])
+        sel = ", ".join([_qi(geom_col)] + [_qi(c) for c in prop_cols])
+        order = _qi(pk) if pk else "rowid"
         features: List[Dict] = []
-        for row in conn.execute(f'SELECT {sel} FROM "{layer}" ORDER BY fid'):
+        for row in conn.execute(
+            f"SELECT {sel} FROM {_qi(layer)} ORDER BY {order}"
+        ):
             srs_id, envelope, geom = _parse_geometry_blob(row[0])
             if srs_id != gc[1]:
                 raise ValueError(
