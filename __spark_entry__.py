@@ -487,6 +487,146 @@ def o_raster_file_input() -> str:
     return o_dem_tiles()
 
 
+_WARP_W, _WARP_H = 64, 64  # source raster pixels
+_WARP_RIGHT = 5_000_000.0  # mercator metres
+_WARP_TOP = 5_000_000.0
+_WARP_ZOOM = 4
+
+
+def q_raster_warp_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 warp-on-read (round 6; VERDICT r5 'Next round' #4): a REAL
+    EPSG:3857 GeoTIFF ingested onto a GEODETIC pyramid — the
+    reference's WarpedVRT semantics (mapchete/io/raster/read.py:
+    324-341): per tile, the pixel-center grid is transformed to the
+    source CRS and the source sampled point-wise (nearest), pixels
+    outside the source footprint masked, fully-masked tiles dropped.
+
+    The source field is value == source_row*W + source_col (exact in
+    float32), so the digest — per-tile unmasked count + integer value
+    sum — is recomputable in CLOSED FORM: the oracle enumerates the
+    same candidate tiles, maps every target pixel center through the
+    spherical-mercator forward formula, derives the nearest source
+    index, and aggregates. Any divergence in the inverse sampling
+    grid, the outside mask, or the drop rule breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from mapchete_spark.operators.rastertable import row_to_array
+    from mapchete_spark.sources.fileinput import raster_table_from_file
+    from mapchete_spark.sources.gtiff import encode_gtiff
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    w, h = _WARP_W, _WARP_H
+    arr = (
+        np.arange(h, dtype=np.float32)[:, None] * w
+        + np.arange(w, dtype=np.float32)[None, :]
+    )[None]
+    sb = Bounds(0.0, 0.0, _WARP_RIGHT, _WARP_TOP)
+    d = tempfile.mkdtemp(prefix="msq_warp_")
+    path = os.path.join(d, "src3857.tif")
+    with open(path, "wb") as f:
+        f.write(encode_gtiff(arr, sb, crs="EPSG:3857", nodata=-1.0))
+
+    back = raster_table_from_file(
+        spark, path, _WARP_ZOOM, TilePyramid("geodetic"), nodata=-1.0
+    )
+
+    def digest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"zoom": [], "tile_row": [], "tile_col": [],
+                    "n_valid": [], "v_sum": []}
+            for _, row in pdf.iterrows():
+                a = row_to_array(row)
+                m = ~np.ma.getmaskarray(a)
+                rows["zoom"].append(int(row["zoom"]))
+                rows["tile_row"].append(int(row["tile_row"]))
+                rows["tile_col"].append(int(row["tile_col"]))
+                rows["n_valid"].append(int(m.sum()))
+                rows["v_sum"].append(
+                    int(np.ma.filled(a, 0.0).astype(np.float64)[m].sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return back.mapInPandas(
+        digest,
+        schema="zoom int, tile_row long, tile_col long, n_valid long, "
+               "v_sum long",
+    ).orderBy("tile_row", "tile_col")
+
+
+def o_raster_warp_input() -> str:
+    from mapchete_spark.geometry.reproject import reproject_ring
+    from mapchete_spark.tilegrid import Bounds, TilePyramid
+
+    import numpy as np
+
+    # the engine's candidate tile cover, recomputed here as constants
+    pyr = TilePyramid("geodetic")
+    l, b, r, t = 0.0, 0.0, _WARP_RIGHT, _WARP_TOP
+    step = max(min(r - l, t - b) / 64.0, 1e-9)
+    ring = np.array([[l, b], [r, b], [r, t], [l, t], [l, b]], float)
+    warped = reproject_ring(ring, "EPSG:3857", "EPSG:4326",
+                            segmentize_at=step)
+    cover = Bounds(
+        float(warped[:, 0].min()), float(warped[:, 1].min()),
+        float(warped[:, 0].max()), float(warped[:, 1].max()),
+    )
+    [(r0, r1, c0, c1)] = pyr.tile_ranges_from_bounds(cover, _WARP_ZOOM)
+    ts = 180.0 / 2 ** _WARP_ZOOM
+    px = 256
+    w, h = _WARP_W, _WARP_H
+    px_x = _dlit(_WARP_RIGHT / w)
+    px_y = _dlit(_WARP_TOP / h)
+    return f"""
+    WITH tiles AS (
+        SELECT r.range AS trow, c.range AS tcol
+        FROM range({r0}, {r1 + 1}) r CROSS JOIN range({c0}, {c1 + 1}) c
+    ),
+    px AS (
+        SELECT trow, tcol, (i.range // {px}) AS pr, (i.range % {px}) AS pc
+        FROM tiles CROSS JOIN range({px * px}) i
+    ),
+    geo AS (
+        SELECT trow, tcol,
+               (-180.0 + tcol * {_dlit(ts)} + (pc + 0.5) * {_dlit(ts / px)})
+                   AS lon,
+               (90.0 - trow * {_dlit(ts)} - (pr + 0.5) * {_dlit(ts / px)})
+                   AS lat
+        FROM px
+    ),
+    f AS (
+        SELECT trow, tcol,
+               (radians(lon) * 6378137.0 - {_dlit(0.0)}) / {px_x} - 0.5
+                   AS fcol,
+               ({_dlit(_WARP_TOP)}
+                - ln(tan(pi()/4 + radians(lat)/2)) * 6378137.0) / {px_y}
+                   - 0.5 AS frow
+        FROM geo
+    ),
+    v AS (
+        SELECT trow, tcol,
+               CAST(LEAST(GREATEST(ROUND(fcol), 0), {w - 1}) AS BIGINT)
+                   AS sc,
+               CAST(LEAST(GREATEST(ROUND(frow), 0), {h - 1}) AS BIGINT)
+                   AS sr
+        FROM f
+        WHERE fcol >= -0.5 AND fcol <= {_dlit(w - 0.5)}
+          AND frow >= -0.5 AND frow <= {_dlit(h - 0.5)}
+    )
+    SELECT CAST({_WARP_ZOOM} AS INTEGER) AS zoom,
+           CAST(trow AS BIGINT) AS tile_row,
+           CAST(tcol AS BIGINT) AS tile_col,
+           CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(sr * {w} + sc) AS BIGINT) AS v_sum
+    FROM v
+    GROUP BY trow, tcol
+    ORDER BY tile_row, tile_col
+    """
+
+
 def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 vector FILE input (round 5; sources/fileinput.py): the
     contour features are written to THREE single-file formats —
@@ -5014,6 +5154,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the round-5 window (VERDICT r5 "Next round" #2), plus the
         #    new round-6 queries --
         "vector_file_crs": q_vector_file_crs,
+        "raster_warp_input": q_raster_warp_input,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -5064,8 +5205,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "quality_quantiles": q_quality_quantiles,
-        "shard_packing": q_shard_packing,
         # ---------------- driver cap boundary (position 50) ----------------
+        "shard_packing": q_shard_packing,
         "tile_embed_centroid": q_tile_embed_centroid,
         # everything below earned a fresh green row in CORRECTNESS_r05
         # (the round-5 window), except wkt_roundtrip/revenue_by_nation
@@ -5557,6 +5698,7 @@ def oracle_sql() -> dict[str, str]:
     out["raster_file_input"] = o_raster_file_input()
     out["vector_file_input"] = o_vector_file_input()
     out["vector_file_crs"] = o_vector_file_crs()
+    out["raster_warp_input"] = o_raster_warp_input()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

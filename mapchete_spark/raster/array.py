@@ -369,3 +369,93 @@ def clip_array_with_vector(
     full = np.broadcast_to(mask2d, arr.shape)
     out = np.ma.MaskedArray(arr.data, mask=np.ma.getmaskarray(arr) | full)
     return out
+
+
+def sample_at_fractional(
+    array: ArrayLike,
+    frows: np.ndarray,
+    fcols: np.ndarray,
+    resampling: str = "nearest",
+    nodata: float = 0,
+) -> np.ma.MaskedArray:
+    """Point-wise sampling of a (bands, h, w) array at arbitrary
+    FRACTIONAL source indexes (``frows``/``fcols``: equal-shaped
+    arrays where integer k addresses the CENTER of pixel k).
+
+    This is the warp-on-read core: resample_from_array's kernels
+    assume a separable, axis-aligned target grid, but a REPROJECTED
+    tile's pixel centers land on a curved grid in source index space —
+    the caller transforms target pixel centers through the CRS pair
+    and samples here with the same kernel semantics (nearest /
+    bilinear / cubic / cubic_spline / lanczos). The reference gets
+    this from GDAL's WarpedVRT (mapchete/io/raster/read.py:324-341).
+    Points outside the source coverage ([-0.5, size-0.5] in index
+    space) are MASKED — partial overlap is handled by construction.
+    """
+    arr = array if array.ndim == 3 else array[np.newaxis]
+    if not isinstance(arr, np.ma.MaskedArray):
+        arr = np.ma.masked_equal(arr, nodata)
+    bands, in_h, in_w = arr.shape
+    frows = np.asarray(frows, np.float64)
+    fcols = np.asarray(fcols, np.float64)
+    outside = (
+        (frows < -0.5)
+        | (frows > in_h - 0.5)
+        | (fcols < -0.5)
+        | (fcols > in_w - 0.5)
+        | ~np.isfinite(frows)
+        | ~np.isfinite(fcols)
+    )
+    fr = np.where(outside, 0.0, frows)
+    fc = np.where(outside, 0.0, fcols)
+    d = arr.filled(np.nan).astype(np.float64)
+    if resampling == "nearest":
+        rows = np.clip(np.round(fr).astype(int), 0, in_h - 1)
+        cols = np.clip(np.round(fc).astype(int), 0, in_w - 1)
+        val = d[:, rows, cols]
+    elif resampling == "bilinear":
+        r0 = np.clip(np.floor(fr).astype(int), 0, in_h - 1)
+        r1 = np.clip(r0 + 1, 0, in_h - 1)
+        c0 = np.clip(np.floor(fc).astype(int), 0, in_w - 1)
+        c1 = np.clip(c0 + 1, 0, in_w - 1)
+        wx = np.clip(fc - c0, 0.0, 1.0)
+        wy = np.clip(fr - r0, 0.0, 1.0)
+        top = d[:, r0, c0] * (1 - wx) + d[:, r0, c1] * wx
+        bot = d[:, r1, c0] * (1 - wx) + d[:, r1, c1] * wx
+        val = top * (1 - wy) + bot * wy
+    elif resampling in _SEPARABLE_KERNELS:
+        kernel, taps, normalize = _SEPARABLE_KERNELS[resampling]
+        offsets = list(range(1 - taps // 2, taps // 2 + 1))
+        r0 = np.floor(fr).astype(int)
+        c0 = np.floor(fc).astype(int)
+        wx = fc - c0
+        wy = fr - r0
+        kx = [kernel(wx - o) for o in offsets]
+        ky = [kernel(wy - o) for o in offsets]
+        if normalize:  # lanczos tap weights don't sum to 1
+            sx = np.sum(kx, axis=0)
+            sy = np.sum(ky, axis=0)
+            kx = [k / sx for k in kx]
+            ky = [k / sy for k in ky]
+        val = np.zeros((bands,) + fr.shape, dtype=np.float64)
+        # edge taps clamp to the border pixel (GDAL-style), as in
+        # resample_from_array
+        for oy, kyv in zip(offsets, ky):
+            ri = np.clip(r0 + oy, 0, in_h - 1)
+            rowv = np.zeros_like(val)
+            for ox, kxv in zip(offsets, kx):
+                ci = np.clip(c0 + ox, 0, in_w - 1)
+                rowv += d[:, ri, ci] * kxv
+            val += rowv * kyv
+    else:
+        raise ValueError(
+            f"unsupported resampling for warped reads: {resampling!r} "
+            "(supported: nearest, bilinear, cubic, cubic_spline, "
+            "lanczos)"
+        )
+    mask = np.isnan(val) | np.broadcast_to(outside, val.shape)
+    out = np.ma.MaskedArray(
+        np.where(mask, nodata, val).astype(arr.dtype), mask=mask
+    )
+    out.set_fill_value(nodata)
+    return out
