@@ -404,3 +404,124 @@ def pseudocyl_reproject_sql() -> str:
     FROM xy
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Oblique (double) Stereographic — EPSG 9809, RD New EPSG:28992
+# (geometry/sterea.py pins the EPSG GN7-2 worked example; here the
+# same forward as pure Column algebra + DuckDB twin, local-datum
+# coordinates like every reproject contract query)
+from mapchete_spark.geometry.sterea import ObliqueStereographic as _OSt
+from mapchete_spark.geometry.sterea import RD_NEW_PARAMS as _RDP
+
+_RD = _OSt(_RDP)
+STEREA_C = _RD.c
+STEREA_N = _RD.n
+STEREA_R2K = 2.0 * _RD.R * _RDP.k0
+STEREA_E = _RD.e
+STEREA_SCHI0 = float(__import__("numpy").sin(_RD.chi0))
+STEREA_CCHI0 = float(__import__("numpy").cos(_RD.chi0))
+STEREA_LAM0 = _RD.lam0
+STEREA_X0 = _RDP.x0
+STEREA_Y0 = _RDP.y0
+
+#: deterministic remap of the synthetic doc point field into the RD
+#: New area of use (lon [3.4, 7.0], lat [50.9, 53.5]); pure affine,
+#: identical algebra in both twins
+NL_LON_OFF, NL_LON_SCALE = 3.4, 3.6 / 360.0
+NL_LAT_OFF, NL_LAT_SCALE = 50.9, 2.6 / 170.0
+
+
+def nl_lon_col(lon: Column) -> Column:
+    return F.lit(NL_LON_OFF) + (lon + F.lit(180.0)) * F.lit(NL_LON_SCALE)
+
+
+def nl_lat_col(lat: Column) -> Column:
+    return F.lit(NL_LAT_OFF) + (lat + F.lit(85.0)) * F.lit(NL_LAT_SCALE)
+
+
+def sterea_xy_cols(lon: Column, lat: Column):
+    """(E, N) Columns of the RD New (EPSG:28992) forward — EPSG method
+    9809 oblique stereographic on the conformal sphere, constants
+    precomputed by geometry/sterea.ObliqueStereographic (which pins
+    the published GN7-2 worked example in tests/test_sterea.py).
+    Pure Column algebra: pow/sqrt/trig stay in whole-stage codegen —
+    map-only, zero shuffle at any corpus size. cm-quantized like every
+    reproject oracle."""
+    phi = F.radians(lat)
+    s = F.sin(phi)
+    sa = (F.lit(1.0) + s) / (F.lit(1.0) - s)
+    sb = (F.lit(1.0) - F.lit(STEREA_E) * s) / (
+        F.lit(1.0) + F.lit(STEREA_E) * s
+    )
+    w = F.lit(STEREA_C) * F.pow(
+        sa * F.pow(sb, F.lit(STEREA_E)), F.lit(STEREA_N)
+    )
+    schi = (w - F.lit(1.0)) / (w + F.lit(1.0))
+    cchi = F.sqrt(F.lit(1.0) - schi * schi)
+    dlam = F.lit(STEREA_N) * (F.radians(lon) - F.lit(STEREA_LAM0))
+    b = (
+        F.lit(1.0)
+        + schi * F.lit(STEREA_SCHI0)
+        + cchi * F.lit(STEREA_CCHI0) * F.cos(dlam)
+    )
+    x = F.lit(STEREA_X0) + F.lit(STEREA_R2K) * cchi * F.sin(dlam) / b
+    y = F.lit(STEREA_Y0) + F.lit(STEREA_R2K) * (
+        schi * F.lit(STEREA_CCHI0) - cchi * F.lit(STEREA_SCHI0) * F.cos(dlam)
+    ) / b
+    q = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    return q(x), q(y)
+
+
+def sterea_reproject_sql() -> str:
+    """DuckDB twin of :func:`sterea_xy_cols` (same NL remap, same
+    repr()-embedded constants, same operation order)."""
+    from mapchete_spark.functions import geo as G
+
+    e = repr(STEREA_E)
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id,
+               {NL_LON_OFF!r} + (({G.lon_sql("doc_id")}) + 180.0)
+                   * {NL_LON_SCALE!r} AS lon,
+               {NL_LAT_OFF!r} + (({G.lat_sql("doc_id")}) + 85.0)
+                   * {NL_LAT_SCALE!r} AS lat
+        FROM documents
+    ), chi AS (
+        SELECT doc_id, lon,
+               ({STEREA_C!r} * pow(
+                   ((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat))))
+                   * pow((1.0 - {e} * sin(radians(lat)))
+                         / (1.0 + {e} * sin(radians(lat))), {e}),
+                   {STEREA_N!r}) - 1.0)
+               / ({STEREA_C!r} * pow(
+                   ((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat))))
+                   * pow((1.0 - {e} * sin(radians(lat)))
+                         / (1.0 + {e} * sin(radians(lat))), {e}),
+                   {STEREA_N!r}) + 1.0) AS schi
+        FROM docs_geo
+    ), parts AS (
+        SELECT doc_id,
+               schi,
+               sqrt(1.0 - schi * schi) AS cchi,
+               {STEREA_N!r} * (radians(lon) - {STEREA_LAM0!r}) AS dlam
+        FROM chi
+    ), b AS (
+        SELECT doc_id, schi, cchi, dlam,
+               1.0 + schi * {STEREA_SCHI0!r}
+                   + cchi * {STEREA_CCHI0!r} * cos(dlam) AS bb
+        FROM parts
+    ), xy AS (
+        SELECT doc_id,
+               {STEREA_X0!r} + {STEREA_R2K!r} * cchi * sin(dlam) / bb AS x,
+               {STEREA_Y0!r} + {STEREA_R2K!r}
+                   * (schi * {STEREA_CCHI0!r}
+                      - cchi * {STEREA_SCHI0!r} * cos(dlam)) / bb AS y
+        FROM b
+    )
+    SELECT doc_id,
+           FLOOR(x * 100.0 + 0.5) / 100.0 AS rd_x,
+           FLOOR(y * 100.0 + 0.5) / 100.0 AS rd_y
+    FROM xy
+    ORDER BY doc_id
+    """

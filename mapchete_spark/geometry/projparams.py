@@ -300,6 +300,39 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
             )
         )
 
+    if family == "sterea":
+        # Oblique (double) Stereographic, EPSG method 9809 — distinct
+        # from +proj=stere (polar 9810/9829), matching proj's split
+        from mapchete_spark.geometry.sterea import (
+            ObliqueStereographic,
+            ObliqueStereoParams,
+        )
+        from mapchete_spark.geometry.tm import Ellipsoid, Helmert
+
+        helm: Optional[Helmert] = None
+        tw = pp.get("towgs84")
+        if tw:
+            vals = [float(v) for v in tw.split(",")]
+            vals += [0.0] * (7 - len(vals))
+            if any(v != 0.0 for v in vals):
+                arcsec = 3.141592653589793 / (180.0 * 3600.0)
+                helm = Helmert(
+                    vals[0], vals[1], vals[2],
+                    vals[3] * arcsec, vals[4] * arcsec, vals[5] * arcsec,
+                    vals[6] * 1e-6,
+                )
+        return ObliqueStereographic(
+            ObliqueStereoParams(
+                lat0=g("lat_0"),
+                lon0=g("lon_0"),
+                k0=g("k", g("k_0", 1.0)),
+                x0=g("x_0"),
+                y0=g("y_0"),
+                ell=Ellipsoid(a=a, f=f),
+            ),
+            to_wgs84=helm,
+        )
+
     if family in ("sinu", "eqearth"):
         _check_no_datum_shift(pp, family)
         from mapchete_spark.geometry.pseudocyl import (
@@ -327,7 +360,7 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
 
     raise ValueError(
         f"+proj={family} not implemented (families: lcc aea laea tmerc "
-        "utm merc stere ups sinu eqearth longlat)"
+        "utm merc stere sterea ups sinu eqearth longlat)"
     )
 
 

@@ -198,6 +198,10 @@ def _to_geodetic(src: str):
         return conic_projection(src).inverse
     if is_tm(src):
         return tm_grid(src).inverse
+    from mapchete_spark.geometry.sterea import is_sterea, sterea_grid
+
+    if is_sterea(src):
+        return sterea_grid(src).inverse
     from mapchete_spark.geometry.projparams import resolve_projection
 
     proj = resolve_projection(src)
@@ -221,6 +225,10 @@ def _from_geodetic(dst: str):
         return conic_projection(dst).forward
     if is_tm(dst):
         return tm_grid(dst).forward
+    from mapchete_spark.geometry.sterea import is_sterea, sterea_grid
+
+    if is_sterea(dst):
+        return sterea_grid(dst).forward
     from mapchete_spark.geometry.projparams import resolve_projection
 
     proj = resolve_projection(dst)
@@ -270,6 +278,7 @@ CRS_BOUNDS = {
     "EPSG:3978": (-141.01, 38.21, -40.73, 86.46),  # Canada Atlas LCC
     "EPSG:25832": (6.0, 38.76, 12.0, 84.33),  # ETRS89 / UTM 32N
     "EPSG:27700": (-9.0, 49.75, 2.01, 61.01),  # OSGB British National Grid
+    "EPSG:28992": (3.2, 50.75, 7.22, 53.7),  # Amersfoort / RD New
     # polar grids (EPSG area of use; NSIDC sea-ice coverage for 3413/3976)
     "EPSG:3031": (-180.0, -90.0, 180.0, -60.0),
     "EPSG:3413": (-180.0, 60.0, 180.0, 90.0),
