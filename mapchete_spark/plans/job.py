@@ -418,9 +418,48 @@ def execute(
             F.col("zoom") == cfg.baselevels.min
         )
         lower_zooms = cfg.overview_zooms_lower()
+        banded_worthwhile = True
         if (
             getattr(cfg.baselevels, "pipeline", "barrier") == "banded"
             and lower_zooms
+            and mode == "continue"
+        ):
+            # ADVICE r5: skip the banded rebuild when every lower zoom
+            # is already committed — each checkpointed child at z+1
+            # must have its parent checkpointed at z (standard //2
+            # pyramid rollup). One small aggregate over the checkpoint
+            # table; any gap re-runs the pipeline (per-tile skip then
+            # happens in the commit stages).
+            decoded = (
+                store.checkpoint()
+                .select("tile_key")
+                .distinct()
+                .selectExpr(
+                    "CAST(shiftright(tile_key, 54) AS INT) AS zoom",
+                    "(shiftright(tile_key, 27) & 134217727) AS trow",
+                    "(tile_key & 134217727) AS tcol",
+                )
+            )
+            per_zoom = {
+                int(r["zoom"]): (int(r["n"]), int(r["np"]))
+                for r in decoded.groupBy("zoom")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(
+                        F.floor(F.col("trow") / 2),
+                        F.floor(F.col("tcol") / 2),
+                    ).alias("np"),
+                )
+                .collect()
+            }
+            banded_worthwhile = any(
+                per_zoom.get(z, (0, 0))[0] < per_zoom.get(z + 1, (0, 0))[1]
+                for z in lower_zooms
+            )
+        if (
+            getattr(cfg.baselevels, "pipeline", "barrier") == "banded"
+            and lower_zooms
+            and banded_worthwhile
         ):
             # Round 5 fine-grained pipelining: the whole lower chain is
             # BUILT concurrently over independent row bands (no zoom
@@ -436,23 +475,33 @@ def execute(
                 read_banded,
             )
 
-            banded_dir = _tempfile.mkdtemp(prefix="msq_banded_", dir=out_path)
-            pipelined_pyramid(
-                spark,
-                level_above,
-                cfg.pyramid,
-                cfg.baselevels.min,
-                min(lower_zooms),
-                banded_dir,
-                n_bands=getattr(cfg.baselevels, "bands", 4),
-                resampling=cfg.baselevels.lower,
+            # scratch lives under the job STATE directory, not inside
+            # the tile output tree (ADVICE r5: a failing stage used to
+            # leave msq_banded_* parquet INSIDE out_path, where tile
+            # readers would trip over it); the state dir is on the same
+            # shared filesystem, which a real cluster needs
+            os.makedirs(store.path, exist_ok=True)
+            banded_dir = _tempfile.mkdtemp(
+                prefix="_banded_", dir=store.path
             )
-            for zoom in lower_zooms:
-                stage(
-                    f"overview_z{zoom}",
-                    lambda z=zoom: read_banded(spark, banded_dir, z),
+            try:
+                pipelined_pyramid(
+                    spark,
+                    level_above,
+                    cfg.pyramid,
+                    cfg.baselevels.min,
+                    min(lower_zooms),
+                    banded_dir,
+                    n_bands=getattr(cfg.baselevels, "bands", 4),
+                    resampling=cfg.baselevels.lower,
                 )
-            _shutil.rmtree(banded_dir, ignore_errors=True)
+                for zoom in lower_zooms:
+                    stage(
+                        f"overview_z{zoom}",
+                        lambda z=zoom: read_banded(spark, banded_dir, z),
+                    )
+            finally:
+                _shutil.rmtree(banded_dir, ignore_errors=True)
             lower_zooms = []
         for zoom in lower_zooms:
             src = level_above

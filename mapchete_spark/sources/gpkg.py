@@ -324,9 +324,15 @@ def write_gpkg_tile_index(
 ) -> str:
     """Per-zoom GPKG tile index, the reference's ``mapchete index
     --gpkg`` output (mapchete/index.py:60-100 writes ``{zoom}.gpkg``
-    per zoom; fields zoom/row/col/location + the tile polygon,
-    index.py:205-320). ``index_rows`` carry zoom/tile_row/tile_col/
-    left/bottom/right/top[/location]. Returns the file path."""
+    per zoom). Field schema matches the reference's spatial_schema +
+    writer (index.py:48-51, 270-283) so consumers keyed on its fields
+    read both interchangeably: ``tile_id`` is ``str(tile.id)`` — the
+    "(zoom, row, col)" tuple rendering — and zoom/row/col are written
+    as STRINGS (the reference passes str() despite the declared int
+    schema; fiona coerces, we match the written form), plus the
+    ``location`` path field. ``index_rows`` carry zoom/tile_row/
+    tile_col/left/bottom/right/top[/location]. Returns the file
+    path."""
     import numpy as np
 
     from mapchete_spark.geometry.core import Polygon
@@ -339,16 +345,17 @@ def write_gpkg_tile_index(
             [[left, bottom], [right, bottom], [right, top],
              [left, top], [left, bottom]]
         )
+        z, tr, tc = int(r["zoom"]), int(r["tile_row"]), int(r["tile_col"])
         feats.append(
             {
                 "geometry": Polygon(ring),
                 "properties": {
-                    "zoom": int(r["zoom"]),
-                    "row": int(r["tile_row"]),
-                    "col": int(r["tile_col"]),
+                    "tile_id": str((z, tr, tc)),
+                    "zoom": str(z),
+                    "row": str(tr),
+                    "col": str(tc),
                     "location": r.get(
-                        "location",
-                        f'{r["zoom"]}/{r["tile_row"]}/{r["tile_col"]}.tif',
+                        "location", f"{z}/{tr}/{tc}.tif"
                     ),
                 },
             }
@@ -360,8 +367,8 @@ def write_gpkg_tile_index(
     write_gpkg(
         path,
         feats,
-        schema=[("zoom", "int"), ("row", "int"), ("col", "int"),
-                ("location", "str")],
+        schema=[("tile_id", "str"), ("zoom", "str"), ("row", "str"),
+                ("col", "str"), ("location", "str")],
         layer=layer or f"index_z{zoom}",
         srs_id=srs_id,
         geometry_type="POLYGON",

