@@ -142,7 +142,14 @@ def _warm_assign(spark):
     docs = synthetic_docs(spark, 300_000)
     assigned = assign_point_tiles(docs, [12])
     base = reduce_docs_to_tiles(assigned, {"n_docs": F.count(F.lit(1))})
-    rollup_to_zoom(base, 12, 6, {"n_docs": F.sum("n_docs")}).count()
+    # warm the EXACT plan shape of the measured run — all 13 rollup
+    # levels plus the final agg. Each level is a distinct stage plan
+    # and pays its own Janino codegen; warming 12->6 only (round-5
+    # form) left six stage compilations + the agg inside the timed
+    # first run, the bulk of the r4->r5 assign_rollup drift (the
+    # operator itself A/B-measured FASTER on round-6 code: BENCH.md)
+    top = rollup_to_zoom(base, 12, 0, {"n_docs": F.sum("n_docs")})
+    top.agg(F.sum("n_docs")).collect()
 
 
 def _warm_sf_queries(spark):
