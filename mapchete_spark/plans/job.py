@@ -212,6 +212,51 @@ def _read_path_input(spark, cfg: JobConfig, zoom: int, path: str, spec: dict):
     return spark.read.parquet(path).where(F.col("zoom") == zoom)
 
 
+_VECTOR_FILE_EXTS = (".geojson", ".json", ".gpkg", ".fgb")
+
+
+def _resolve_vector_file_params(
+    spark, cfg: JobConfig, params: dict, cache: Dict[str, list]
+) -> dict:
+    """Round 6: a process parameter that names a VECTOR FILE loads as
+    a geometry list — the reference's convert/clip workflow, where the
+    ``clip`` input is a vector_file driver opened per tile
+    (mapchete/processes/convert.py + formats/default/vector_file.py).
+    Spark shape: the file decodes ONCE driver-side through
+    vector_table_from_file (size-guarded; source CRS honored — an
+    EPSG:3857 GPKG arrives in pyramid coordinates) and the geometries
+    ride to executors inside the process params (broadcast-by-
+    closure), so the per-tile intersect is map-only. The conventional
+    ``clip`` key feeds process_clip's ``clip_geometries``."""
+    hits = {
+        k: v
+        for k, v in params.items()
+        if isinstance(v, str) and v.lower().endswith(_VECTOR_FILE_EXTS)
+    }
+    if not hits:
+        return params
+    from mapchete_spark.geometry.wkb import from_wkb
+    from mapchete_spark.sources.fileinput import vector_table_from_file
+
+    pyr_crs = str(getattr(cfg.pyramid, "crs", "EPSG:4326"))
+    out = dict(params)
+    for k, v in hits.items():
+        path = (
+            v
+            if os.path.isabs(v)
+            else os.path.join(cfg.config_dir or ".", v)
+        )
+        if path not in cache:
+            rows = vector_table_from_file(
+                spark, path, dst_crs=pyr_crs
+            ).collect()
+            cache[path] = [from_wkb(bytes(r["geometry"])) for r in rows]
+        target = "clip_geometries" if k == "clip" else k
+        out.pop(k, None)
+        out[target] = cache[path]
+    return out
+
+
 def run_preprocessing_tasks(spark: SparkSession, cfg: JobConfig) -> Dict[str, object]:
     """J3 preprocessing tasks: driver-side computations executed ONCE
     before any tile stage, their results injected into every tile's
@@ -338,10 +383,14 @@ def execute(
     notify("running")
 
     # ---- process zooms (descending; one Spark action per zoom = Z5) ----
+    _vector_param_cache: Dict[str, list] = {}
     for zoom in cfg.process_zooms():
         params = cfg.params_at_zoom(zoom)
         if prep:
             params = {**params, "preprocessing": prep}
+        params = _resolve_vector_file_params(
+            spark, cfg, params, _vector_param_cache
+        )
 
         def build(zoom=zoom, params=params):
             inp_spec = cfg.input_at_zoom(zoom)

@@ -383,3 +383,64 @@ def test_transform_geometry_all_types():
     # interiors preserved
     poly = transform_geometry(cases[3], fn)
     assert len(poly.interiors) == 1
+
+
+def test_clip_param_from_vector_file(spark, tmp_path):
+    """Round 6: a process parameter naming a vector FILE loads as a
+    geometry list (the reference's convert/clip vector_file input) —
+    including source-CRS handling: the same clip delivered as an
+    EPSG:3857 GPKG path must reproduce the directly-injected geodetic
+    geometry run bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.geometry.reproject import geodetic_to_mercator
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.gpkg import write_gpkg
+
+    ring = np.array(
+        [[5.0, 25.0], [40.0, 25.0], [40.0, 45.0], [5.0, 45.0], [5.0, 25.0]],
+        float,
+    )
+    geo_poly = Polygon(ring)
+    mx, my = geodetic_to_mercator(ring[:, 0], ring[:, 1])
+    merc_poly = Polygon(np.column_stack([mx, my]))
+    p = os.path.join(tmp_path, "clip3857.gpkg")
+    write_gpkg(
+        p,
+        [{"geometry": merc_poly, "properties": {}}],
+        schema=[],
+        layer="clip",
+        srs_id=3857,
+    )
+
+    def cfg(out, clip_value):
+        return JobConfig.from_dict(
+            dict(
+                process="clip",
+                zoom_levels=[3],
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=[0.0, 20.0, 45.0, 50.0],
+                process_parameters={"clip": clip_value}
+                if isinstance(clip_value, str)
+                else {"clip_geometries": clip_value},
+                output={"path": str(tmp_path / out),
+                        "format": "parquet_tiles"},
+            )
+        )
+
+    execute(spark, cfg("a", p), mode="overwrite")
+    execute(spark, cfg("b", [geo_poly]), mode="overwrite")
+
+    def digest(out):
+        df = spark.read.parquet(str(tmp_path / out / "tiles"))
+        return sorted(
+            (r["tile_key"], r["h"])
+            for r in df.select(
+                "tile_key", F.md5("data").alias("h")
+            ).collect()
+        )
+
+    a, b = digest("a"), digest("b")
+    assert a == b and len(a) > 0
