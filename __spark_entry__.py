@@ -4896,6 +4896,43 @@ def o_sterea_reproject() -> str:
     return sterea_reproject_sql()
 
 
+def q_azimuthal_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 azimuthal tail (round 6): every doc's point, remapped into
+    the visible hemisphere around (40N, 100W), projected with BOTH
+    general-aspect spherical azimuthal projections — Orthographic
+    (Snyder ch. 20) and Gnomonic (Snyder ch. 22, +proj=gnom/ortho via
+    geometry/azimuthal.py) — in PURE Column trig (whole-stage codegen,
+    map-only, zero shuffle). The library classes are verified against
+    an independent 3-D tangent-plane construction plus the gnomonic
+    straight-great-circle property in tests/test_azimuthal.py; this
+    closes the V5 'what's missing' family list entirely (oblique
+    stereographic landed as sterea_reproject). Reference parity:
+    mapchete/geometry/reproject.py:75-229."""
+    from mapchete_spark.functions.conicsql import (
+        az_lat_col,
+        az_lon_col,
+        azimuthal_xy_cols,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    ox, oy, gx, gy = azimuthal_xy_cols(
+        az_lon_col(F.col("lon")), az_lat_col(F.col("lat"))
+    )
+    return docs.select(
+        "doc_id",
+        ox.alias("ortho_x"),
+        oy.alias("ortho_y"),
+        gx.alias("gnom_x"),
+        gy.alias("gnom_y"),
+    ).orderBy("doc_id")
+
+
+def o_azimuthal_reproject() -> str:
+    from mapchete_spark.functions.conicsql import azimuthal_reproject_sql
+
+    return azimuthal_reproject_sql()
+
+
 def q_eqearth_sinu_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 pseudocylindrical families (round 5): every doc's point
     projected to BOTH Equal Earth (EPSG:8857, Šavrič-Patterson-Jenny
@@ -5188,6 +5225,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_file_crs": q_vector_file_crs,
         "raster_warp_input": q_raster_warp_input,
         "sterea_reproject": q_sterea_reproject,
+        "azimuthal_reproject": q_azimuthal_reproject,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -5236,8 +5274,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
-        "bbox_cover_z6": q_bbox_cover_z6,
         # ---------------- driver cap boundary (position 50) ----------------
+        "bbox_cover_z6": q_bbox_cover_z6,
         "quality_quantiles": q_quality_quantiles,
         "shard_packing": q_shard_packing,
         "tile_embed_centroid": q_tile_embed_centroid,
@@ -5733,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
     out["vector_file_crs"] = o_vector_file_crs()
     out["raster_warp_input"] = o_raster_warp_input()
     out["sterea_reproject"] = o_sterea_reproject()
+    out["azimuthal_reproject"] = o_azimuthal_reproject()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

@@ -525,3 +525,79 @@ def sterea_reproject_sql() -> str:
     FROM xy
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Gnomonic + Orthographic (geometry/azimuthal.py; Snyder ch. 20/22) —
+# the spherical azimuthal pair as Column algebra + DuckDB twin
+AZ_R = 6371008.8
+AZ_LAT0, AZ_LON0 = 40.0, -100.0
+_AZ_S1 = float(__import__("numpy").sin(__import__("numpy").radians(AZ_LAT0)))
+_AZ_C1 = float(__import__("numpy").cos(__import__("numpy").radians(AZ_LAT0)))
+
+#: remap of the synthetic doc field into the visible hemisphere around
+#: (40N, 100W): lon [-140, -60], lat [0, 75]
+AZ_LON_OFF, AZ_LON_SCALE = -140.0, 80.0 / 360.0
+AZ_LAT_OFF, AZ_LAT_SCALE = 0.0, 75.0 / 170.0
+
+
+def az_lon_col(lon: Column) -> Column:
+    return F.lit(AZ_LON_OFF) + (lon + F.lit(180.0)) * F.lit(AZ_LON_SCALE)
+
+
+def az_lat_col(lat: Column) -> Column:
+    return F.lit(AZ_LAT_OFF) + (lat + F.lit(85.0)) * F.lit(AZ_LAT_SCALE)
+
+
+def azimuthal_xy_cols(lon: Column, lat: Column):
+    """(ortho_x, ortho_y, gnom_x, gnom_y) of the general-aspect
+    spherical pair centered on (40N, 100W) — pure Column trig in
+    whole-stage codegen; map-only, zero shuffle at any corpus size.
+    The library classes are verified against an independent 3-D
+    tangent-plane construction in tests/test_azimuthal.py."""
+    phi = F.radians(lat)
+    dlam = F.radians(lon - F.lit(AZ_LON0))
+    sphi, cphi = F.sin(phi), F.cos(phi)
+    cosd = F.cos(dlam)
+    ox = F.lit(AZ_R) * cphi * F.sin(dlam)
+    oy = F.lit(AZ_R) * (
+        F.lit(_AZ_C1) * sphi - F.lit(_AZ_S1) * cphi * cosd
+    )
+    cosc = F.lit(_AZ_S1) * sphi + F.lit(_AZ_C1) * cphi * cosd
+    q = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    return q(ox), q(oy), q(ox / cosc), q(oy / cosc)
+
+
+def azimuthal_reproject_sql() -> str:
+    """DuckDB twin of :func:`azimuthal_xy_cols` (same remap, same
+    repr()-embedded constants, same operation order)."""
+    from mapchete_spark.functions import geo as G
+
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id,
+               {AZ_LON_OFF!r} + (({G.lon_sql("doc_id")}) + 180.0)
+                   * {AZ_LON_SCALE!r} AS lon,
+               {AZ_LAT_OFF!r} + (({G.lat_sql("doc_id")}) + 85.0)
+                   * {AZ_LAT_SCALE!r} AS lat
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               {AZ_R!r} * cos(radians(lat))
+                   * sin(radians(lon - {AZ_LON0!r})) AS ox,
+               {AZ_R!r} * ({_AZ_C1!r} * sin(radians(lat))
+                   - {_AZ_S1!r} * cos(radians(lat))
+                     * cos(radians(lon - {AZ_LON0!r}))) AS oy,
+               {_AZ_S1!r} * sin(radians(lat))
+                   + {_AZ_C1!r} * cos(radians(lat))
+                     * cos(radians(lon - {AZ_LON0!r})) AS cosc
+        FROM docs_geo
+    )
+    SELECT doc_id,
+           FLOOR(ox * 100.0 + 0.5) / 100.0 AS ortho_x,
+           FLOOR(oy * 100.0 + 0.5) / 100.0 AS ortho_y,
+           FLOOR((ox / cosc) * 100.0 + 0.5) / 100.0 AS gnom_x,
+           FLOOR((oy / cosc) * 100.0 + 0.5) / 100.0 AS gnom_y
+    FROM t
+    ORDER BY doc_id
+    """

@@ -161,8 +161,11 @@ def parse_proj4(text: str) -> Dict[str, str]:
 
 
 def _ellipsoid(pp: Dict[str, str]):
-    """(a, f) from +ellps / +a,+b / +a,+rf / +a,+f (proj precedence:
-    explicit axes override the named ellipsoid)."""
+    """(a, f) from +R / +ellps / +a,+b / +a,+rf / +a,+f (proj
+    precedence: explicit axes override the named ellipsoid; +R
+    requests a sphere of that radius)."""
+    if "R" in pp:
+        return float(pp["R"]), 0.0
     if "a" in pp:
         a = float(pp["a"])
         if "rf" in pp:
@@ -348,6 +351,12 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
             )
         )
 
+    if family in ("gnom", "ortho"):
+        _check_no_datum_shift(pp, family)
+        from mapchete_spark.geometry.azimuthal import azimuthal_from_proj4
+
+        return azimuthal_from_proj4(family, pp, a, f)
+
     if family in ("merc", "webmerc"):
         _check_no_datum_shift(pp, family)
         from mapchete_spark.geometry import reproject as R
@@ -360,7 +369,7 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
 
     raise ValueError(
         f"+proj={family} not implemented (families: lcc aea laea tmerc "
-        "utm merc stere sterea ups sinu eqearth longlat)"
+        "utm merc stere sterea ups gnom ortho sinu eqearth longlat)"
     )
 
 
