@@ -628,14 +628,15 @@ def o_raster_warp_input() -> str:
 
 
 def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 vector FILE input (round 5; sources/fileinput.py): the
-    contour features are written to THREE single-file formats —
-    GeoJSON, GeoPackage (stdlib-sqlite3 codec) and FlatGeobuf
-    (from-spec codec) — re-ingested through vector_table_from_file
-    (the reference's vector_file input driver,
-    formats/default/vector_file.py:43), and digested. All three
-    decoded digests must agree pairwise (asserted in-line) and match
-    the marching-squares contours oracle exactly."""
+    """S2 vector FILE input (rounds 5-6; sources/fileinput.py): the
+    contour features are written to FOUR single-file formats —
+    GeoJSON, GeoPackage (stdlib-sqlite3 codec), FlatGeobuf and, since
+    round 6, ESRI Shapefile (both from-spec codecs) — re-ingested
+    through vector_table_from_file (the reference's vector_file input
+    driver, formats/default/vector_file.py:43, whose extension list
+    is now covered in full), and digested. All four decoded digests
+    must agree pairwise (asserted in-line) and match the
+    marching-squares contours oracle exactly."""
     import json as _json
     import tempfile
 
@@ -692,6 +693,12 @@ def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths["fgb"] = os.path.join(d, "c.fgb")
     with open(paths["fgb"], "wb") as f:
         f.write(write_fgb(feats, schema=schema, geometry_type="LineString"))
+    # round 6: the reference driver's FIRST extension (vector_file.py:43
+    # lists shp) through the from-spec codec sources/shp.py
+    from mapchete_spark.sources.shp import write_shapefile
+
+    paths["shp"] = os.path.join(d, "c.shp")
+    write_shapefile(paths["shp"], feats, schema=schema, crs_code=4326)
 
     digests = {}
     for fmt, path in paths.items():
@@ -708,7 +715,10 @@ def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("tile_row", "tile_col", "level")
             .collect()
         )
-    if not (digests["geojson"] == digests["gpkg"] == digests["fgb"]):
+    if not (
+        digests["geojson"] == digests["gpkg"] == digests["fgb"]
+        == digests["shp"]
+    ):
         raise AssertionError("vector file formats decoded differently")
     return spark.createDataFrame(
         digests["geojson"],

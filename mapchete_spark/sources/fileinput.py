@@ -4,11 +4,13 @@ Rounds 1-4 carried S1/S2 as "partial (env: no rasterio/fiona)": inputs
 had to already be tile tables. With the from-spec codecs now in-tree
 (GeoTIFF `sources/gtiff.py`, FlatGeobuf `sources/fgb.py`, GeoPackage
 `sources/gpkg.py`, GeoJSON via `geometry/wkt.guess_geometry`), this
-module closes the gap: a user points a job at a ``.tif`` / ``.fgb`` /
-``.gpkg`` / ``.geojson`` FILE — the reference's raster_file /
-vector_file input drivers (mapchete/formats/default/raster_file.py,
-vector_file.py:43 ``["shp", "geojson", "gpkg"]``) — and gets the
-engine's canonical tile / feature DataFrame.
+module closes the gap: a user points a job at a ``.tif`` / ``.shp`` /
+``.fgb`` / ``.gpkg`` / ``.geojson`` FILE — the reference's
+raster_file / vector_file input drivers
+(mapchete/formats/default/raster_file.py, vector_file.py:43
+``["shp", "geojson", "gpkg"]``, all covered since round 6 via the
+from-spec codec sources/shp.py) — and gets the engine's canonical
+tile / feature DataFrame.
 
 Scale posture, stated honestly:
 
@@ -273,13 +275,12 @@ def vector_table_from_file(
     dst_crs: str = "EPSG:4326",
     max_source_bytes: int = MAX_SOURCE_BYTES,
 ) -> DataFrame:
-    """S2: a FlatGeobuf / GeoPackage / GeoJSON file becomes the
-    engine's canonical feature table (fid + WKB geometry + JSON
-    properties — the same rows `operators/vector.py` consumes),
-    matching the reference's vector_file input driver extensions
-    (formats/default/vector_file.py:43; .shp omitted — FGB/GPKG are
-    its modern replacements and the reference itself converts shp
-    through fiona).
+    """S2: a Shapefile / FlatGeobuf / GeoPackage / GeoJSON file
+    becomes the engine's canonical feature table (fid + WKB geometry
+    + JSON properties — the same rows `operators/vector.py`
+    consumes), covering every extension of the reference's
+    vector_file input driver (formats/default/vector_file.py:43
+    ``["shp", "geojson", "gpkg"]``) plus FlatGeobuf.
 
     The SOURCE CRS comes from the file header — GPKG layer srs_id,
     FGB header crs code, EPSG:4326 for GeoJSON (fixed by RFC 7946
@@ -318,10 +319,15 @@ def vector_table_from_file(
         with open(path, "rb") as f:
             feats = _features_from_geojson(f.read())
         src_code = 4326
+    elif ext == ".shp":
+        from mapchete_spark.sources.shp import read_shapefile
+
+        header, feats = read_shapefile(path)
+        src_code = header.get("crs_code")
     else:
         raise ValueError(
             f"unsupported vector extension {ext!r} "
-            "(supported: .fgb .gpkg .geojson)"
+            "(supported: .shp .fgb .gpkg .geojson)"
         )
     if src_code is not None and int(src_code) > 0:
         src_crs = f"EPSG:{int(src_code)}"
