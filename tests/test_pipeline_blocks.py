@@ -209,7 +209,7 @@ def test_banded_continue_skips_rebuild_and_leaves_no_scratch(spark, tmp_path):
         os.path.join(here, "configs", "baselevels.mapchete")
     )
     cfg.baselevels.pipeline = "banded"
-    cfg.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
+    cfg.bounds = Bounds(0.0, 20.0, 11.25, 25.625)  # small: gate is suite time
     out = tmp_path / "o"
     cfg.output["path"] = str(out)
     execute(spark, cfg, mode="overwrite")
@@ -234,7 +234,7 @@ def test_banded_continue_skips_rebuild_and_leaves_no_scratch(spark, tmp_path):
         os.path.join(here, "configs", "baselevels.mapchete")
     )
     cfg2.baselevels.pipeline = "banded"
-    cfg2.bounds = Bounds(0.0, 20.0, 22.5, 31.25)
+    cfg2.bounds = Bounds(0.0, 20.0, 11.25, 25.625)
     cfg2.output["path"] = str(out)
     execute(spark, cfg2, mode="continue")
     assert snapshot() == first
