@@ -78,8 +78,29 @@ class TileReader:
         return self._read_row.cache_info()
 
 
+def parse_tile_path(path: str):
+    """(zoom, row, col) from either route shape the server accepts:
+
+    - ``/{zoom}/{row}/{col}.png`` (the short dev route), or
+    - ``/wmts_simple/1.0.0/{name}/default/{grid}/{zoom}/{row}/
+      {col}.{ext}`` — the reference's WMTS-simple layout
+      (mapchete/cli/mapchete/serve.py:116-139), so WMTS-simple
+      clients pointed at the reference work unchanged here.
+    """
+    parts = [p for p in path.strip("/").split("/") if p]
+    if parts and parts[0] == "wmts_simple":
+        if len(parts) != 8 or parts[1] != "1.0.0" or parts[3] != "default":
+            raise ValueError(f"not a WMTS-simple path: {path!r}")
+        parts = parts[-3:]
+    if len(parts) != 3:
+        raise ValueError(f"not a tile path: {path!r}")
+    z, r, c = parts
+    return int(z), int(r), int(c.rsplit(".", 1)[0])
+
+
 def serve(output_path: str, port: int = 5000, host: str = "127.0.0.1"):
-    """Blocking dev server: GET /{zoom}/{row}/{col}.png"""
+    """Blocking dev server: GET /{zoom}/{row}/{col}.png or the
+    reference's WMTS-simple path (parse_tile_path)."""
     import http.server
 
     reader = TileReader(output_path)
@@ -87,8 +108,8 @@ def serve(output_path: str, port: int = 5000, host: str = "127.0.0.1"):
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
             try:
-                z, r, c = self.path.strip("/").replace(".png", "").split("/")
-                png = reader.tile_png(int(z), int(r), int(c))
+                z, r, c = parse_tile_path(self.path)
+                png = reader.tile_png(z, r, c)
             except Exception:
                 png = None
             if png is None:

@@ -529,3 +529,51 @@ def test_shp_rejects_bad_magic(tmp_path):
         f.write(b"\x00" * 128)
     with pytest.raises(ValueError, match="not a shapefile"):
         read_shapefile(p)
+
+
+def test_config_job_over_mismatched_crs_tif(spark, tmp_path):
+    """End-to-end warp through the JOB RUNNER: a .mapchete-style
+    config whose input is an EPSG:3857 GeoTIFF on a geodetic pyramid
+    executes the convert process over warp-on-read tiles (the
+    reference runs any-CRS raster_file inputs through WarpedVRT)."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.fileinput import raster_table_from_file
+
+    in_w = in_h = 64
+    sb = Bounds(0.0, 0.0, 5_000_000.0, 5_000_000.0)
+    arr = (np.arange(in_h, dtype=np.float32)[:, None] * in_w
+           + np.arange(in_w, dtype=np.float32)[None, :])[None]
+    p = os.path.join(tmp_path, "m3857.tif")
+    with open(p, "wb") as f:
+        f.write(encode_gtiff(arr, sb, crs="EPSG:3857", nodata=-1.0))
+
+    cfg = JobConfig.from_dict(
+        dict(
+            process="convert",
+            zoom_levels=[4],
+            pyramid={"grid": "geodetic"},
+            input={"path": p},
+            process_parameters={"scale_ratio": 1.0},
+            output={"path": str(tmp_path / "o"), "format": "parquet_tiles",
+                    "dtype": "float32", "nodata": -1.0},
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    out = spark.read.parquet(str(tmp_path / "o" / "tiles"))
+    direct = raster_table_from_file(
+        spark, p, 4, TilePyramid("geodetic"), nodata=-1.0
+    )
+    got = {
+        (r["tile_key"], r["h"])
+        for r in out.select("tile_key", F.md5("data").alias("h")).collect()
+    }
+    want = {
+        (r["tile_key"], r["h"])
+        for r in direct.select(
+            "tile_key", F.md5("data").alias("h")
+        ).collect()
+    }
+    assert got == want and len(got) > 0

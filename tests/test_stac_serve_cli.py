@@ -245,3 +245,28 @@ class TestCompactCli:
         assert stats["status"] == "done"
         assert stats["rows"] == n_before
         assert spark.read.parquet(f"{out}/tiles").count() == n_before
+
+
+def test_parse_tile_path_shapes():
+    """Both route shapes resolve to the same tile: the short dev route
+    and the reference's WMTS-simple layout
+    (mapchete/cli/mapchete/serve.py:116-139)."""
+    import pytest as _pytest
+
+    from mapchete_spark.sources.serve import parse_tile_path
+
+    assert parse_tile_path("/5/3/7.png") == (5, 3, 7)
+    assert parse_tile_path(
+        "/wmts_simple/1.0.0/myjob/default/WGS84/5/3/7.png"
+    ) == (5, 3, 7)
+    assert parse_tile_path(
+        "/wmts_simple/1.0.0/myjob/default/g/0/0/0.tif"
+    ) == (0, 0, 0)
+    for bad in [
+        "/wmts_simple/2.0.0/x/default/g/1/2/3.png",
+        "/wmts_simple/1.0.0/x/styled/g/1/2/3.png",
+        "/a/b",
+        "/wmts_simple/1.0.0/x/default/1/2/3.png",
+    ]:
+        with _pytest.raises(ValueError):
+            parse_tile_path(bad)
