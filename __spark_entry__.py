@@ -2950,6 +2950,97 @@ def o_vector_clip() -> str:
     # the chained UNNEST CTEs; FILTER/HAVING avoids the pushdown path)
 
 
+def q_feature_clip_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic mapchete VECTOR workflow through the JOB RUNNER
+    (round 6): doc footprint squares written to a real .gpkg, run as
+    ``process: feature_clip`` with a feature output — vector file
+    input (S2, source CRS honored) -> explode -> read_vector_window
+    clip (V1) -> VECTOR_SCHEMA rows committed through the normal
+    stage machinery (checkpoint/lineage/metrics). Digest: per tile,
+    clipped-feature count + clipped-area sum recomputed from the
+    OUTPUT geometries; oracle = the vector_clip rectangle algebra
+    verbatim — the job must reproduce the operator pipeline exactly."""
+    import tempfile
+
+    import numpy as np
+
+    from mapchete_spark.geometry.core import Polygon as _Poly
+    from mapchete_spark.geometry.wkb import from_wkb
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.gpkg import write_gpkg
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "lon", "lat", "radius"
+    ).collect()
+    feats = []
+    for r in sorted(docs, key=lambda r: int(r["doc_id"])):
+        if r["radius"] is None:
+            continue
+        lo, la, rad = float(r["lon"]), float(r["lat"]), float(r["radius"])
+        x0, x1 = max(lo - rad, -180.0), min(lo + rad, 180.0)
+        y0, y1 = max(la - rad, -90.0), min(la + rad, 90.0)
+        feats.append(
+            {
+                "geometry": _Poly(np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    float,
+                )),
+                "properties": {"doc_id": int(r["doc_id"])},
+            }
+        )
+    d = tempfile.mkdtemp(prefix="msq_fcj_")
+    src = os.path.join(d, "boxes.gpkg")
+    write_gpkg(src, feats, schema=[("doc_id", "integer")], layer="boxes")
+
+    cfg = JobConfig.from_dict(
+        dict(
+            process="feature_clip",
+            zoom_levels=[6],
+            pyramid={"grid": "geodetic"},
+            input={"path": src},
+            process_parameters={},
+            output={"path": os.path.join(d, "o"),
+                    "format": "parquet_features"},
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    out = spark.read.parquet(os.path.join(d, "o", "tiles"))
+
+    def digest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"zoom": [], "tile_row": [], "tile_col": [], "area": []}
+            for z, tr, tc, wkb in zip(
+                pdf["zoom"].values, pdf["tile_row"].values,
+                pdf["tile_col"].values, pdf["geometry"].values,
+            ):
+                rows["zoom"].append(int(z))
+                rows["tile_row"].append(int(tr))
+                rows["tile_col"].append(int(tc))
+                rows["area"].append(float(from_wkb(bytes(wkb)).area))
+            yield pd.DataFrame(rows)
+
+    per_feat = out.mapInPandas(
+        digest, schema="zoom int, tile_row long, tile_col long, area double"
+    )
+    return (
+        per_feat.groupBy("zoom", "tile_row", "tile_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_clipped"),
+            F.round(F.sum("area"), 3).alias("area_sum"),
+        )
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+def o_feature_clip_job() -> str:
+    """The vector_clip oracle verbatim: the job runner must reproduce
+    the operator pipeline's digest exactly."""
+    return o_vector_clip()
+
+
 def q_vector_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3/V4: per-tile rasterized union of clipped footprints (covered
     pixel counts on the 256x256 tile grid). Non-SQL (rows-only)."""
@@ -5236,6 +5327,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_warp_input": q_raster_warp_input,
         "sterea_reproject": q_sterea_reproject,
         "azimuthal_reproject": q_azimuthal_reproject,
+        "feature_clip_job": q_feature_clip_job,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -5283,8 +5375,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "pyramid_rollup": q_pyramid_rollup,
-        "hot_tile_skew": q_hot_tile_skew,
         # ---------------- driver cap boundary (position 50) ----------------
+        "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "quality_quantiles": q_quality_quantiles,
         "shard_packing": q_shard_packing,
@@ -5782,6 +5874,7 @@ def oracle_sql() -> dict[str, str]:
     out["raster_warp_input"] = o_raster_warp_input()
     out["sterea_reproject"] = o_sterea_reproject()
     out["azimuthal_reproject"] = o_azimuthal_reproject()
+    out["feature_clip_job"] = o_feature_clip_job()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

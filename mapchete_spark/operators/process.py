@@ -441,3 +441,58 @@ def run_multi_raster_process(
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+def run_feature_process(
+    clipped: DataFrame,
+    pyramid: TilePyramid,
+    process: Optional[Callable] = None,
+    params: Optional[dict] = None,
+) -> DataFrame:
+    """Features-in, features-out process (round 6): the classic
+    mapchete vector workflow — a vector input read per tile (already
+    exploded + clipped, the read_vector_window pipeline) flows through
+    an optional per-feature function into VECTOR_SCHEMA rows. With
+    ``process`` None this is the pass-through 'feature_clip' built-in
+    (clip semantics already applied upstream); otherwise ``process``
+    is called as ``process(tile, geometry, properties, params)`` and
+    returns ``(geometry, properties)`` or None to drop the feature."""
+    import json
+
+    pyr_dict = pyramid.to_dict()
+    params = params or {}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapchete_spark.geometry.wkb import from_wkb
+
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "zoom", "tile_row", "tile_col", "tile_key", "geometry",
+                "properties",
+            )}
+            for z, trow, tcol, tkey, gwkb, props in zip(
+                pdf["zoom"].values, pdf["tile_row"].values,
+                pdf["tile_col"].values, pdf["tile_key"].values,
+                pdf["geometry"].values, pdf["properties"].values,
+            ):
+                geometry, properties = bytes(gwkb), props
+                if process is not None:
+                    tile = Tile(p, int(z), int(trow), int(tcol))
+                    res = process(
+                        tile, from_wkb(geometry), json.loads(props), params
+                    )
+                    if res is None:
+                        continue
+                    g2, p2 = res
+                    geometry = to_wkb(g2)
+                    properties = json.dumps(p2, sort_keys=True)
+                out["zoom"].append(int(z))
+                out["tile_row"].append(int(trow))
+                out["tile_col"].append(int(tcol))
+                out["tile_key"].append(int(tkey))
+                out["geometry"].append(geometry)
+                out["properties"].append(properties)
+            yield pd.DataFrame(out)
+
+    return clipped.mapInPandas(gen, schema=VECTOR_SCHEMA)

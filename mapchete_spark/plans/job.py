@@ -46,6 +46,10 @@ PROCESS_REGISTRY: Dict[str, tuple] = {
     "hillshade": ("raster", process_hillshade, 1),
     "contours": ("vector", process_contours, 0),
     "clip": ("raster", process_clip, 0),
+    # round 6: the classic mapchete VECTOR workflow — vector input,
+    # per-tile clipped features out (kind "features": input is a
+    # feature table / vector file, not raster tiles)
+    "feature_clip": ("features", None, 0),
 }
 
 
@@ -212,7 +216,54 @@ def _read_path_input(spark, cfg: JobConfig, zoom: int, path: str, spec: dict):
     return spark.read.parquet(path).where(F.col("zoom") == zoom)
 
 
-_VECTOR_FILE_EXTS = (".geojson", ".json", ".gpkg", ".fgb")
+_VECTOR_FILE_EXTS = (".geojson", ".json", ".gpkg", ".fgb", ".shp")
+#: param auto-loading excludes bare ``.json`` — a parameter naming a
+#: .json file may be any sidecar, only unambiguous geo extensions load
+_VECTOR_PARAM_EXTS = (".geojson", ".gpkg", ".fgb", ".shp")
+
+
+def _input_features(spark, cfg: JobConfig, zoom: int) -> DataFrame:
+    """Feature-table input for kind-'features' processes: a vector
+    FILE (any vector_table_from_file extension; source CRS honored)
+    lifted to FEATURE_SCHEMA, or a parquet path already carrying
+    FEATURE_SCHEMA rows (the corpus-scale shape)."""
+    inp = cfg.input_at_zoom(zoom)
+    spec = dict(inp) if isinstance(inp, dict) else {"path": inp}
+    path = spec.get("path")
+    if not isinstance(path, str):
+        raise ValueError(
+            f"kind-'features' process needs a path input, got {inp!r}"
+        )
+    low = path.lower()
+    if not low.endswith(_VECTOR_FILE_EXTS):
+        return spark.read.parquet(path)
+    from mapchete_spark.operators.vector import FEATURE_SCHEMA
+    from mapchete_spark.sources.fileinput import vector_table_from_file
+
+    pyr_crs = str(getattr(cfg.pyramid, "crs", "EPSG:4326"))
+    base = vector_table_from_file(
+        spark, path, layer=spec.get("layer"), dst_crs=pyr_crs
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from mapchete_spark.geometry.wkb import from_wkb
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "feature_id": pdf["fid"].astype(str),
+                    "geometry": pdf["geometry"],
+                    "geom_type": [
+                        from_wkb(bytes(b)).geom_type
+                        for b in pdf["geometry"]
+                    ],
+                    "properties": pdf["properties"],
+                }
+            )
+
+    return base.mapInPandas(gen, FEATURE_SCHEMA)
 
 
 def _resolve_vector_file_params(
@@ -231,7 +282,7 @@ def _resolve_vector_file_params(
     hits = {
         k: v
         for k, v in params.items()
-        if isinstance(v, str) and v.lower().endswith(_VECTOR_FILE_EXTS)
+        if isinstance(v, str) and v.lower().endswith(_VECTOR_PARAM_EXTS)
     }
     if not hits:
         return params
@@ -394,6 +445,32 @@ def execute(
 
         def build(zoom=zoom, params=params):
             inp_spec = cfg.input_at_zoom(zoom)
+            if kind == "features":
+                from mapchete_spark.operators.process import (
+                    run_feature_process,
+                )
+                from mapchete_spark.operators.vector import (
+                    clip_features_to_tiles,
+                    explode_features_to_tiles,
+                )
+
+                feats = _input_features(spark, cfg, zoom)
+                clipped = clip_features_to_tiles(
+                    explode_features_to_tiles(
+                        feats, zoom, pyramid=cfg.pyramid
+                    ),
+                    cfg.pyramid,
+                )
+                if mode == "continue":
+                    done = store.checkpoint().select(
+                        "tile_key"
+                    ).distinct()
+                    clipped = clipped.join(
+                        done, on="tile_key", how="left_anti"
+                    )
+                return run_feature_process(
+                    clipped, cfg.pyramid, fn, params=params
+                )
             if _is_multi_input(inp_spec):
                 if kind != "raster":
                     raise ValueError(

@@ -577,3 +577,59 @@ def test_config_job_over_mismatched_crs_tif(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_feature_clip_job_over_gpkg_input(spark, tmp_path):
+    """Round 6: the classic mapchete VECTOR workflow through the job
+    runner — a .gpkg INPUT, the built-in 'feature_clip' process, and
+    a feature output: every output row is the input feature clipped
+    to its tile (reference: vector_file input + a features-out user
+    process). Source CRS honored on the way in."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.geometry.wkb import from_wkb
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute
+    from mapchete_spark.sources.gpkg import write_gpkg
+
+    boxes = [
+        Polygon(np.array(
+            [[x0, y0], [x0 + 30, y0], [x0 + 30, y0 + 20],
+             [x0, y0 + 20], [x0, y0]], float))
+        for x0, y0 in [(-10.0, 10.0), (40.0, -30.0)]
+    ]
+    p = os.path.join(tmp_path, "in.gpkg")
+    write_gpkg(
+        p,
+        [{"geometry": g, "properties": {"i": i}}
+         for i, g in enumerate(boxes)],
+        schema=[("i", "integer")],
+        layer="boxes",
+    )
+    cfg = JobConfig.from_dict(
+        dict(
+            process="feature_clip",
+            zoom_levels=[3],
+            pyramid={"grid": "geodetic"},
+            input={"path": p},
+            process_parameters={},
+            output={"path": str(tmp_path / "o"),
+                    "format": "parquet_features"},
+        )
+    )
+    execute(spark, cfg, mode="overwrite")
+    rows = spark.read.parquet(str(tmp_path / "o" / "tiles")).collect()
+    assert rows
+    ts = 180.0 / 2 ** 3
+    total_area = 0.0
+    for r in rows:
+        g = from_wkb(bytes(r["geometry"]))
+        b = g.bounds
+        # clipped strictly inside its tile
+        tl = -180.0 + r["tile_col"] * ts
+        tt = 90.0 - r["tile_row"] * ts
+        assert tl - 1e-9 <= b.left and b.right <= tl + ts + 1e-9
+        assert tt - ts - 1e-9 <= b.bottom and b.top <= tt + 1e-9
+        total_area += g.area
+    # tile pieces partition the inputs: areas sum to the originals
+    assert abs(total_area - 2 * (30.0 * 20.0)) < 1e-6
