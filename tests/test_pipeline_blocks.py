@@ -64,8 +64,9 @@ def pb_runs(spark, tmp_path_factory):
             equality=_run_equality,
             gated=_run_gated,
             config=_run_config_banded,
+            continue_skip=_run_banded_continue,
         ).items()},
-        max_workers=3,
+        max_workers=4,
     )
 
 
@@ -192,13 +193,12 @@ def test_config_banded_equals_barrier_job(pb_runs):
     assert_ok(pb_runs, "config")
 
 
-def test_banded_continue_skips_rebuild_and_leaves_no_scratch(spark, tmp_path):
+def _run_banded_continue(spark, tmp_path):
     """ADVICE r5: (a) the banded scratch dir must not live inside the
     tile output tree and must be cleaned up; (b) a continue-mode rerun
     with every lower zoom already committed must SKIP the banded
-    rebuild (checked via the metrics table: no overview stage rows
-    from the second run beyond zero-todo commits — here we assert the
-    cheap observable: identical outputs + no _banded_ leftovers)."""
+    rebuild (cheap observable: identical outputs + no _banded_
+    leftovers)."""
     import os
 
     from mapchete_spark.plans.config import JobConfig
@@ -238,3 +238,9 @@ def test_banded_continue_skips_rebuild_and_leaves_no_scratch(spark, tmp_path):
     cfg2.output["path"] = str(out)
     execute(spark, cfg2, mode="continue")
     assert snapshot() == first
+
+
+def test_banded_continue_skips_rebuild_and_leaves_no_scratch(pb_runs):
+    from tests.conftest import assert_ok
+
+    assert_ok(pb_runs, "continue_skip")
