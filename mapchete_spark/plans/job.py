@@ -308,6 +308,60 @@ def _resolve_vector_file_params(
     return out
 
 
+def execute_tile(
+    spark: SparkSession, cfg: JobConfig, zoom: int, row: int, col: int
+) -> DataFrame:
+    """§3.2 library API: run the configured process for ONE tile and
+    return its output rows — no writes, no checkpoint, no state. The
+    reference's ``Mapchete.open(conf).execute_tile(tile)``
+    (mapchete/processing/base.py:403-430), the primary single-tile
+    correctness harness of its test suite. Spark rendering: the same
+    pipeline with the input ID table filtered to the target tile
+    (plus its 3x3 neighborhood when a pixelbuffer needs the halo) and
+    the output filtered back to the target."""
+    kind, fn, min_pb = resolve_process(cfg)
+    pb = max(cfg.pyramid.pixelbuffer, min_pb)
+    params = dict(cfg.params_at_zoom(zoom) or {})
+    params = _resolve_vector_file_params(spark, cfg, params, {})
+    prep = run_preprocessing_tasks(spark, cfg)
+    if prep:
+        params = {**params, "preprocessing": prep}
+    target = (F.col("tile_row") == row) & (F.col("tile_col") == col)
+    if kind == "features":
+        from mapchete_spark.operators.process import run_feature_process
+        from mapchete_spark.operators.vector import (
+            clip_features_to_tiles,
+            explode_features_to_tiles,
+        )
+
+        feats = _input_features(spark, cfg, zoom)
+        clipped = clip_features_to_tiles(
+            explode_features_to_tiles(feats, zoom, pyramid=cfg.pyramid),
+            cfg.pyramid,
+        ).where(target)
+        return run_feature_process(clipped, cfg.pyramid, fn, params=params)
+    tiles = _input_tiles(spark, cfg, zoom).where(
+        (F.col("zoom") == zoom)
+        & F.col("tile_row").between(row - (1 if pb else 0),
+                                    row + (1 if pb else 0))
+        & F.col("tile_col").between(col - (1 if pb else 0),
+                                    col + (1 if pb else 0))
+    )
+    if kind == "raster":
+        from mapchete_spark.operators.process import run_raster_process
+
+        out = run_raster_process(
+            tiles, cfg.pyramid, fn, params=params,
+            out_dtype=cfg.output.get("dtype"),
+            out_nodata=cfg.output.get("nodata"),
+            pixelbuffer=pb,
+        )
+    else:
+        buffered = add_buffers(tiles, cfg.pyramid, pb)
+        out = run_vector_process(buffered, cfg.pyramid, fn, params=params)
+    return out.where(target)
+
+
 def run_preprocessing_tasks(spark: SparkSession, cfg: JobConfig) -> Dict[str, object]:
     """J3 preprocessing tasks: driver-side computations executed ONCE
     before any tile stage, their results injected into every tile's

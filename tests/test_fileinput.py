@@ -633,3 +633,63 @@ def test_feature_clip_job_over_gpkg_input(spark, tmp_path):
         total_area += g.area
     # tile pieces partition the inputs: areas sum to the originals
     assert abs(total_area - 2 * (30.0 * 20.0)) < 1e-6
+
+
+def test_execute_tile_matches_full_job(spark, tmp_path):
+    """§3.2 library API (round 6): execute_tile(z, r, c) returns
+    exactly the rows the full job writes for that tile — raster (with
+    pixelbuffer halo), vector (contours) and features kinds."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.plans.config import JobConfig
+    from mapchete_spark.plans.job import execute, execute_tile
+
+    def mk(process, fmt, extra_params=None):
+        return JobConfig.from_dict(
+            dict(
+                process=process,
+                zoom_levels=[4],
+                pyramid={"grid": "geodetic"},
+                input={"source": "dem", "hole": False},
+                bounds=[0.0, 20.0, 45.0, 50.0],
+                process_parameters=extra_params or {},
+                output={"path": str(tmp_path / process), "format": fmt,
+                        "dtype": "float32", "nodata": -9999.0},
+            )
+        )
+
+    # raster with halo (hillshade min_pixelbuffer 1)
+    cfg = mk("hillshade", "parquet_tiles")
+    execute(spark, cfg, mode="overwrite")
+    full = spark.read.parquet(str(tmp_path / "hillshade" / "tiles"))
+    one = full.select("tile_row", "tile_col").orderBy(
+        "tile_row", "tile_col"
+    ).collect()[1]
+    r, c = int(one["tile_row"]), int(one["tile_col"])
+    want = full.where(
+        (F.col("tile_row") == r) & (F.col("tile_col") == c)
+    ).select(F.md5("data").alias("h")).collect()
+    got = execute_tile(spark, mk("hillshade", "parquet_tiles"), 4, r, c)
+    got_h = got.select(F.md5("data").alias("h")).collect()
+    assert [x["h"] for x in got_h] == [x["h"] for x in want]
+
+    # vector (contours)
+    cfgv = mk("contours", "parquet_features", {"interval": 200})
+    execute(spark, cfgv, mode="overwrite")
+    fullv = spark.read.parquet(str(tmp_path / "contours" / "tiles"))
+    onev = fullv.select("tile_row", "tile_col").distinct().orderBy(
+        "tile_row", "tile_col"
+    ).collect()[0]
+    rv, cv = int(onev["tile_row"]), int(onev["tile_col"])
+    wantv = sorted(
+        (x["h"], x["properties"]) for x in fullv.where(
+            (F.col("tile_row") == rv) & (F.col("tile_col") == cv)
+        ).select(F.md5("geometry").alias("h"), "properties").collect()
+    )
+    gotv = sorted(
+        (x["h"], x["properties"]) for x in execute_tile(
+            spark, mk("contours", "parquet_features", {"interval": 200}),
+            4, rv, cv,
+        ).select(F.md5("geometry").alias("h"), "properties").collect()
+    )
+    assert gotv == wantv and len(gotv) > 0
