@@ -26,11 +26,17 @@ def main():
                     choices=["continue", "overwrite", "readonly"])
     ap.add_argument("--zoom", type=int, default=None)
     ap.add_argument("--bounds", type=float, nargs=4, default=None)
+    ap.add_argument(
+        "--tile", type=int, nargs=3, metavar=("Z", "R", "C"), default=None,
+        help="process ONE tile and print its output row count — the "
+             "reference's 'mapchete execute --tile' "
+             "(cli/options.py opt_tile); no writes, no state",
+    )
     ap.add_argument("--out", default=None, help="override output path")
     args = ap.parse_args()
 
     from mapchete_spark.plans.config import JobConfig
-    from mapchete_spark.plans.job import execute
+    from mapchete_spark.plans.job import execute, execute_tile
     from mapchete_spark.session import get_spark, stop_unless_kept
     from mapchete_spark.tilegrid.grid import Bounds
 
@@ -43,6 +49,12 @@ def main():
         cfg.output["path"] = args.out
 
     spark = get_spark(f"mapchete_spark:{cfg.process}")
+    if args.tile:
+        z, r, c = args.tile
+        n = execute_tile(spark, cfg, z, r, c).count()
+        print(json.dumps({"status": "done", "tile": [z, r, c], "rows": n}))
+        stop_unless_kept(spark)
+        return 0
     counts = execute(spark, cfg, mode=args.mode)
     print(json.dumps({"status": "done", "mode": args.mode, "stages": counts}))
     stop_unless_kept(spark)

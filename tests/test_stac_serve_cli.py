@@ -270,3 +270,24 @@ def test_parse_tile_path_shapes():
     ]:
         with _pytest.raises(ValueError):
             parse_tile_path(bad)
+
+
+def test_execute_cli_single_tile(spark, tmp_path):
+    """J9 + §3.2: 'execute --tile Z R C' runs one tile through
+    execute_tile and reports its row count — the reference's
+    'mapchete execute --tile' (cli/options.py opt_tile)."""
+    import json as _json
+    import shutil
+
+    from tests.conftest import run_cli_inproc
+
+    cfg_src = os.path.join(HERE, "configs", "hillshade.mapchete")
+    cfg = str(tmp_path / "job.mapchete")
+    shutil.copy(cfg_src, cfg)
+    rc, out_txt = run_cli_inproc(
+        "execute", [cfg, "--zoom", "4", "--tile", "4", "4", "17",
+                    "--out", str(tmp_path / "o")]
+    )
+    assert rc == 0
+    res = _json.loads(out_txt.strip().splitlines()[-1])
+    assert res["tile"] == [4, 4, 17] and res["rows"] == 1
