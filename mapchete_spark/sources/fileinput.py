@@ -103,22 +103,30 @@ def raster_table_from_file(
     if warp_src_crs is None:
         cover_bounds = Bounds(*src_bounds)
     else:
-        # tile cover: the source footprint warped to the pyramid CRS —
-        # densify the source rectangle so curved edges don't shrink
-        # the bbox, then take the transformed bbox
-        from mapchete_spark.geometry.reproject import reproject_ring
+        # tile cover: the source footprint warped to the pyramid CRS.
+        # Sample a dense INTERIOR grid, not just the boundary ring — a
+        # polar-stereographic source containing the pole maps its
+        # extreme latitude to an interior point, so a boundary-only
+        # bbox would under-cover (GDAL's suggested_warp_output
+        # likewise samples a grid, gdal.py SuggestedWarpOutput).
+        from mapchete_spark.geometry.reproject import get_transform
 
+        inv = get_transform(warp_src_crs, pyr_crs)
         l, b, r, t = src_bounds
-        step = max(min(r - l, t - b) / 64.0, 1e-9)
-        ring = np.array([[l, b], [r, b], [r, t], [l, t], [l, b]], float)
-        warped = reproject_ring(
-            ring, warp_src_crs, pyr_crs, segmentize_at=step
+        n = 33
+        gx, gy = np.meshgrid(
+            np.linspace(l, r, n), np.linspace(b, t, n)
         )
+        wx, wy = inv(gx.ravel(), gy.ravel())
+        wx, wy = np.asarray(wx), np.asarray(wy)
+        ok = np.isfinite(wx) & np.isfinite(wy)
+        if not np.any(ok):
+            return spark.createDataFrame([], RASTER_SCHEMA)
         cover_bounds = Bounds(
-            float(warped[:, 0].min()),
-            float(warped[:, 1].min()),
-            float(warped[:, 0].max()),
-            float(warped[:, 1].max()),
+            float(wx[ok].min()),
+            float(wy[ok].min()),
+            float(wx[ok].max()),
+            float(wy[ok].max()),
         )
 
     ranges = pyr.tile_ranges_from_bounds(cover_bounds, zoom)

@@ -754,3 +754,34 @@ def test_execute_tile_matches_full_job(fi_jobs):
     from tests.conftest import assert_ok
 
     assert_ok(fi_jobs, "execute_tile")
+
+
+def test_raster_warp_polar_source_covers_pole(spark, tmp_path):
+    """A polar-stereographic source CONTAINING the pole maps its
+    extreme latitude to an interior point — the warp cover must
+    sample an interior grid (boundary-only bbox under-covers; GDAL's
+    SuggestedWarpOutput samples a grid for the same reason)."""
+    from mapchete_spark.geometry.reproject import get_transform
+
+    in_w = in_h = 32
+    sb = Bounds(-1_000_000.0, -1_000_000.0, 1_000_000.0, 1_000_000.0)
+    arr = np.full((1, in_h, in_w), 7.0, dtype=np.float32)
+    p = os.path.join(tmp_path, "polar.tif")
+    with open(p, "wb") as f:
+        f.write(encode_gtiff(arr, sb, crs="EPSG:3031", nodata=-1.0))
+
+    df = raster_table_from_file(
+        spark, p, 2, TilePyramid("geodetic"), nodata=-1.0
+    )
+    rows = df.collect()
+    assert rows
+    # the bottom row of the geodetic matrix (touching lat -90) must be
+    # covered: the pole is inside the source
+    mh = 2 ** 2
+    bottom = [r for r in rows if int(r["tile_row"]) == mh - 1]
+    assert bottom, "pole tiles missing from the warped cover"
+    # and its pixels near the pole carry the source value
+    from mapchete_spark.operators.rastertable import row_to_array
+
+    a = row_to_array(bottom[0])
+    assert float(np.ma.filled(a, -1.0).max()) == 7.0
