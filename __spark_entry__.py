@@ -5034,6 +5034,35 @@ def o_azimuthal_reproject() -> str:
     return azimuthal_reproject_sql()
 
 
+def q_omerc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 Hotine oblique Mercator (round 6): every doc's point,
+    remapped into the RSO Borneo area of use, projected to Timbalai
+    1948 / RSO Borneo (EPSG:29873 — EPSG method 9815, +proj=omerc,
+    the last practical CRS family) in PURE Column algebra (pow/ln/
+    atan2/trig in whole-stage codegen; map-only, zero shuffle). The
+    library class (geometry/omerc.py) pins the EPSG GN7-2 §3.2.5
+    worked example to the centimetre and property-tests the kc scale
+    on the initial line (tests/test_omerc.py). Reference parity:
+    mapchete/geometry/reproject.py:75-229."""
+    from mapchete_spark.functions.conicsql import (
+        om_lat_col,
+        om_lon_col,
+        omerc_xy_cols,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    x, y = omerc_xy_cols(om_lon_col(F.col("lon")), om_lat_col(F.col("lat")))
+    return docs.select(
+        "doc_id", x.alias("rso_x"), y.alias("rso_y")
+    ).orderBy("doc_id")
+
+
+def o_omerc_reproject() -> str:
+    from mapchete_spark.functions.conicsql import omerc_reproject_sql
+
+    return omerc_reproject_sql()
+
+
 def q_eqearth_sinu_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 pseudocylindrical families (round 5): every doc's point
     projected to BOTH Equal Earth (EPSG:8857, Šavrič-Patterson-Jenny
@@ -5328,6 +5357,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sterea_reproject": q_sterea_reproject,
         "azimuthal_reproject": q_azimuthal_reproject,
         "feature_clip_job": q_feature_clip_job,
+        "omerc_reproject": q_omerc_reproject,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -5374,8 +5404,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
-        "pyramid_rollup": q_pyramid_rollup,
         # ---------------- driver cap boundary (position 50) ----------------
+        "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
         "quality_quantiles": q_quality_quantiles,
@@ -5875,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
     out["sterea_reproject"] = o_sterea_reproject()
     out["azimuthal_reproject"] = o_azimuthal_reproject()
     out["feature_clip_job"] = o_feature_clip_job()
+    out["omerc_reproject"] = o_omerc_reproject()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

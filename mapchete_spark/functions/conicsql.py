@@ -601,3 +601,114 @@ def azimuthal_reproject_sql() -> str:
     FROM t
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hotine Oblique Mercator — EPSG 9815 variant B, Timbalai / RSO Borneo
+# EPSG:29873 (geometry/omerc.py pins the GN7-2 worked example)
+from mapchete_spark.geometry.omerc import omerc_grid as _omerc_grid
+
+_OM = _omerc_grid("EPSG:29873")
+OM_B = _OM.B
+OM_A = _OM.A
+OM_H = _OM.H
+OM_E = _OM.e
+OM_SG0 = float(__import__("numpy").sin(_OM.gamma0))
+OM_CG0 = float(__import__("numpy").cos(_OM.gamma0))
+OM_LAM0 = _OM.lam0
+OM_UC = _OM.uc
+OM_SGC = float(__import__("numpy").sin(_OM.gammac))
+OM_CGC = float(__import__("numpy").cos(_OM.gammac))
+OM_X0 = _OM.p.x0
+OM_Y0 = _OM.p.y0
+
+#: remap of the synthetic doc field into the RSO Borneo area of use:
+#: lon [110.5, 118.5], lat [1.2, 7.2]
+OM_LON_OFF, OM_LON_SCALE = 110.5, 8.0 / 360.0
+OM_LAT_OFF, OM_LAT_SCALE = 1.2, 6.0 / 170.0
+
+
+def om_lon_col(lon: Column) -> Column:
+    return F.lit(OM_LON_OFF) + (lon + F.lit(180.0)) * F.lit(OM_LON_SCALE)
+
+
+def om_lat_col(lat: Column) -> Column:
+    return F.lit(OM_LAT_OFF) + (lat + F.lit(85.0)) * F.lit(OM_LAT_SCALE)
+
+
+def omerc_xy_cols(lon: Column, lat: Column):
+    """(E, N) Columns of the RSO Borneo (EPSG:29873) forward — EPSG
+    method 9815 Hotine oblique Mercator, constants precomputed by
+    geometry/omerc.HotineObliqueMercator (GN7-2 worked example pinned
+    in tests/test_omerc.py). Pure Column algebra in whole-stage
+    codegen — map-only, zero shuffle; cm-quantized like every
+    reproject oracle."""
+    phi = F.radians(lat)
+    s = F.lit(OM_E) * F.sin(phi)
+    t = F.tan(F.lit(0.7853981633974483) - phi / F.lit(2.0)) / F.pow(
+        (F.lit(1.0) - s) / (F.lit(1.0) + s), F.lit(OM_E / 2.0)
+    )
+    q = F.lit(OM_H) / F.pow(t, F.lit(OM_B))
+    ss = (q - F.lit(1.0) / q) / F.lit(2.0)
+    tt = (q + F.lit(1.0) / q) / F.lit(2.0)
+    dl = F.lit(OM_B) * (F.radians(lon) - F.lit(OM_LAM0))
+    vv = F.sin(dl)
+    uu = (-vv * F.lit(OM_CG0) + ss * F.lit(OM_SG0)) / tt
+    v = F.lit(OM_A) * F.log(
+        (F.lit(1.0) - uu) / (F.lit(1.0) + uu)
+    ) / F.lit(2.0 * OM_B)
+    u = F.lit(OM_A) * F.atan2(
+        ss * F.lit(OM_CG0) + vv * F.lit(OM_SG0), F.cos(dl)
+    ) / F.lit(OM_B) - F.lit(OM_UC)
+    x = F.lit(OM_X0) + v * F.lit(OM_CGC) + u * F.lit(OM_SGC)
+    y = F.lit(OM_Y0) + u * F.lit(OM_CGC) - v * F.lit(OM_SGC)
+    qz = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    return qz(x), qz(y)
+
+
+def omerc_reproject_sql() -> str:
+    """DuckDB twin of :func:`omerc_xy_cols` (same remap, same
+    repr()-embedded constants, same operation order)."""
+    from mapchete_spark.functions import geo as G
+
+    e = repr(OM_E)
+    return f"""
+    WITH docs_geo AS (
+        SELECT doc_id,
+               {OM_LON_OFF!r} + (({G.lon_sql("doc_id")}) + 180.0)
+                   * {OM_LON_SCALE!r} AS lon,
+               {OM_LAT_OFF!r} + (({G.lat_sql("doc_id")}) + 85.0)
+                   * {OM_LAT_SCALE!r} AS lat
+        FROM documents
+    ), tq AS (
+        SELECT doc_id, lon,
+               {OM_H!r} / pow(
+                   tan(0.7853981633974483 - radians(lat) / 2.0)
+                   / pow((1.0 - {e} * sin(radians(lat)))
+                         / (1.0 + {e} * sin(radians(lat))), {repr(OM_E / 2.0)}),
+                   {OM_B!r}) AS q
+        FROM docs_geo
+    ), parts AS (
+        SELECT doc_id,
+               (q - 1.0 / q) / 2.0 AS ss,
+               (q + 1.0 / q) / 2.0 AS tt,
+               {OM_B!r} * (radians(lon) - {OM_LAM0!r}) AS dl
+        FROM tq
+    ), uv AS (
+        SELECT doc_id,
+               {OM_A!r} * ln((1.0 - ((-sin(dl) * {OM_CG0!r}
+                   + ss * {OM_SG0!r}) / tt))
+                   / (1.0 + ((-sin(dl) * {OM_CG0!r}
+                   + ss * {OM_SG0!r}) / tt))) / {repr(2.0 * OM_B)} AS v,
+               {OM_A!r} * atan2(ss * {OM_CG0!r} + sin(dl) * {OM_SG0!r},
+                                cos(dl)) / {OM_B!r} - {OM_UC!r} AS u
+        FROM parts
+    )
+    SELECT doc_id,
+           FLOOR(({OM_X0!r} + v * {OM_CGC!r} + u * {OM_SGC!r})
+               * 100.0 + 0.5) / 100.0 AS rso_x,
+           FLOOR(({OM_Y0!r} + u * {OM_CGC!r} - v * {OM_SGC!r})
+               * 100.0 + 0.5) / 100.0 AS rso_y
+    FROM uv
+    ORDER BY doc_id
+    """

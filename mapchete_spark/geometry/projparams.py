@@ -351,6 +351,31 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
             )
         )
 
+    if family == "omerc":
+        # Hotine Oblique Mercator, EPSG 9812/9815 (proj's omerc;
+        # +no_uoff selects variant A per proj semantics)
+        _check_no_datum_shift(pp, family)
+        from mapchete_spark.geometry.omerc import (
+            HotineObliqueMercator,
+            ObliqueMercatorParams,
+        )
+        from mapchete_spark.geometry.tm import Ellipsoid
+
+        alpha = g("alpha", 90.0)
+        return HotineObliqueMercator(
+            ObliqueMercatorParams(
+                latc=g("lat_0"),
+                lonc=g("lonc", g("lon_0")),
+                alphac=alpha,
+                gammac=g("gamma", alpha),
+                kc=g("k", g("k_0", 1.0)),
+                x0=g("x_0"),
+                y0=g("y_0"),
+                ell=Ellipsoid(a=a, f=f),
+                variant="A" if "no_uoff" in pp else "B",
+            )
+        )
+
     if family in ("gnom", "ortho"):
         _check_no_datum_shift(pp, family)
         from mapchete_spark.geometry.azimuthal import azimuthal_from_proj4
@@ -369,7 +394,8 @@ def projection_from_proj4(proj4: Union[str, Dict[str, str]]):
 
     raise ValueError(
         f"+proj={family} not implemented (families: lcc aea laea tmerc "
-        "utm merc stere sterea ups gnom ortho sinu eqearth longlat)"
+        "utm merc stere sterea omerc ups gnom ortho sinu eqearth "
+        "longlat)"
     )
 
 

@@ -202,6 +202,10 @@ def _to_geodetic(src: str):
 
     if is_sterea(src):
         return sterea_grid(src).inverse
+    from mapchete_spark.geometry.omerc import is_omerc, omerc_grid
+
+    if is_omerc(src):
+        return omerc_grid(src).inverse
     from mapchete_spark.geometry.projparams import resolve_projection
 
     proj = resolve_projection(src)
@@ -229,6 +233,10 @@ def _from_geodetic(dst: str):
 
     if is_sterea(dst):
         return sterea_grid(dst).forward
+    from mapchete_spark.geometry.omerc import is_omerc, omerc_grid
+
+    if is_omerc(dst):
+        return omerc_grid(dst).forward
     from mapchete_spark.geometry.projparams import resolve_projection
 
     proj = resolve_projection(dst)
@@ -279,6 +287,7 @@ CRS_BOUNDS = {
     "EPSG:25832": (6.0, 38.76, 12.0, 84.33),  # ETRS89 / UTM 32N
     "EPSG:27700": (-9.0, 49.75, 2.01, 61.01),  # OSGB British National Grid
     "EPSG:28992": (3.2, 50.75, 7.22, 53.7),  # Amersfoort / RD New
+    "EPSG:29873": (109.31, 0.85, 119.61, 7.67),  # Timbalai / RSO Borneo
     # polar grids (EPSG area of use; NSIDC sea-ice coverage for 3413/3976)
     "EPSG:3031": (-180.0, -90.0, 180.0, -60.0),
     "EPSG:3413": (-180.0, 60.0, 180.0, 90.0),
