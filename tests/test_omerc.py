@@ -54,7 +54,7 @@ def test_scale_on_initial_line():
     d = 1e-6  # degrees
     E0, N0 = g.forward(np.array([p.lonc]), np.array([p.latc]))
     E1, N1 = g.forward(np.array([p.lonc]), np.array([p.latc + d]))
-    grid_dist = float(np.hypot(E1 - E0, N1 - N0))
+    grid_dist = float(np.hypot(E1 - E0, N1 - N0)[0])
     a, e2 = p.ell.a, p.ell.e2
     s = np.sin(np.radians(p.latc))
     rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
