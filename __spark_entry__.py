@@ -627,6 +627,71 @@ def o_raster_warp_input() -> str:
     """
 
 
+def q_raster_files_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at corpus scale (round 6): the DEM mosaic split into FOUR
+    overlapping quadrant GeoTIFFs and re-ingested through
+    raster_table_from_files — the DISTRIBUTED multi-file path
+    (executor-side decode of the file list, per-tile first-valid
+    merge in path order; no driver decode, no broadcast), the shape
+    thousands-of-rasters ingestion needs at 100 TB where the
+    single-file driver-decode path documented for raster_file inputs
+    cannot go. The merged table must reproduce the dem_tiles oracle
+    bit-exactly (the quadrants tile the same grid; overlap pixels are
+    identical in every contribution, so first-valid == content
+    identity)."""
+    import tempfile
+
+    import numpy as np
+
+    from mapchete_spark.operators.digests import tile_value_digests
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.fileinput import raster_table_from_files
+    from mapchete_spark.sources.gtiff import decode_gtiff, encode_gtiff
+    from mapchete_spark.sources.singlefile import write_single_artifact
+    from mapchete_spark.tilegrid import Bounds
+
+    pyr, aoi = _raster_ctx()
+    dem = materialize_dem(spark, _RASTER_ZOOM, pyr, bounds=aoi)
+    d = tempfile.mkdtemp(prefix="msq_rfs_")
+    write_single_artifact(dem, pyr, _RASTER_ZOOM, os.path.join(d, "dem"))
+    with open(os.path.join(d, "dem.tif"), "rb") as f:
+        arr, b, _epsg, nd = decode_gtiff(f.read())
+    b = Bounds(*b)
+    h, w = arr.shape[-2:]
+    px = (b.right - b.left) / w
+    py = (b.top - b.bottom) / h
+    paths = []
+    for i, (rs, cs) in enumerate(
+        [(slice(0, h // 2 + 4), slice(0, w // 2 + 4)),
+         (slice(0, h // 2 + 4), slice(w // 2 - 4, w)),
+         (slice(h // 2 - 4, h), slice(0, w // 2 + 4)),
+         (slice(h // 2 - 4, h), slice(w // 2 - 4, w))]
+    ):
+        sb = Bounds(
+            b.left + cs.start * px, b.top - rs.stop * py,
+            b.left + cs.stop * px, b.top - rs.start * py,
+        )
+        p = os.path.join(d, f"q{i}.tif")
+        with open(p, "wb") as f:
+            f.write(encode_gtiff(
+                np.ascontiguousarray(arr[:, rs, cs]), sb,
+                crs="EPSG:4326",
+                nodata=float(nd) if nd is not None else None,
+            ))
+        paths.append(p)
+    back = raster_table_from_files(
+        spark, paths, _RASTER_ZOOM, pyr,
+        nodata=float(nd) if nd is not None else 0.0,
+    )
+    return tile_value_digests(back).orderBy("tile_row", "tile_col")
+
+
+def o_raster_files_input() -> str:
+    """The dem_tiles oracle verbatim: the quadrant split + distributed
+    merge is content-identity."""
+    return o_dem_tiles()
+
+
 def q_vector_file_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 vector FILE input (rounds 5-6; sources/fileinput.py): the
     contour features are written to FOUR single-file formats —
@@ -5358,6 +5423,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "azimuthal_reproject": q_azimuthal_reproject,
         "feature_clip_job": q_feature_clip_job,
         "omerc_reproject": q_omerc_reproject,
+        "raster_files_input": q_raster_files_input,
         "pii_scrub": q_pii_scrub,
         "raster_file_input": q_raster_file_input,
         "vector_file_input": q_vector_file_input,
@@ -5403,8 +5469,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pipeline_e2e": q_pipeline_e2e,
         "tile_assign_z8": q_tile_assign_z8,
-        "tile_assign_multizoom": q_tile_assign_multizoom,
         # ---------------- driver cap boundary (position 50) ----------------
+        "tile_assign_multizoom": q_tile_assign_multizoom,
         "pyramid_rollup": q_pyramid_rollup,
         "hot_tile_skew": q_hot_tile_skew,
         "bbox_cover_z6": q_bbox_cover_z6,
@@ -5906,6 +5972,7 @@ def oracle_sql() -> dict[str, str]:
     out["azimuthal_reproject"] = o_azimuthal_reproject()
     out["feature_clip_job"] = o_feature_clip_job()
     out["omerc_reproject"] = o_omerc_reproject()
+    out["raster_files_input"] = o_raster_files_input()
     out["banded_pyramid"] = o_banded_pyramid()
     out["dsir_weights"] = o_dsir_weights()
     out["overviews"] = o_overviews()

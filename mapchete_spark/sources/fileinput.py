@@ -145,56 +145,21 @@ def raster_table_from_file(
         import pandas as pd
 
         from mapchete_spark.geometry.reproject import get_transform
-        from mapchete_spark.raster.array import sample_at_fractional
 
         p = TilePyramid(**pyr_dict)
         src, sb, nd_ = bc.value
         sb = Bounds(*sb)
         fwd = get_transform(pyr_crs, warp_src_crs)
-        in_h, in_w = src.shape[-2:]
-        px_x = (sb.right - sb.left) / in_w
-        px_y = (sb.top - sb.bottom) / in_h
         for pdf in batches:
-            out = {k: [] for k in (
-                "zoom", "tile_row", "tile_col", "tile_key", "bands",
-                "height", "width", "dtype", "nodata", "data",
-            )}
+            out = _empty_raster_out()
             for z, r, c in zip(pdf["zoom"], pdf["tile_row"], pdf["tile_col"]):
                 t = Tile(p, int(z), int(r), int(c))
-                tb = t.bounds()
-                th, tw = t.shape()
-                xs = tb.left + (np.arange(tw) + 0.5) * (
-                    (tb.right - tb.left) / tw
+                tile_arr = _warped_tile_array(
+                    t, src, sb, nd_, resampling, fwd
                 )
-                ys = tb.top - (np.arange(th) + 0.5) * (
-                    (tb.top - tb.bottom) / th
-                )
-                gx, gy = np.meshgrid(xs, ys)
-                wx, wy = fwd(gx.ravel(), gy.ravel())
-                fcols = ((np.asarray(wx) - sb.left) / px_x - 0.5).reshape(
-                    th, tw
-                )
-                frows = ((sb.top - np.asarray(wy)) / px_y - 0.5).reshape(
-                    th, tw
-                )
-                tile_arr = sample_at_fractional(
-                    src, frows, fcols, resampling=resampling, nodata=nd_
-                )
-                if tile_arr.mask is not np.ma.nomask and np.all(
-                    np.ma.getmaskarray(tile_arr)
-                ):
+                if tile_arr is None:
                     continue  # tile entirely outside the source
-                data, dtype, bands, h, w = encode_array(tile_arr, nd_)
-                out["zoom"].append(int(z))
-                out["tile_row"].append(int(r))
-                out["tile_col"].append(int(c))
-                out["tile_key"].append(linear_tile_key(int(z), int(r), int(c)))
-                out["bands"].append(bands)
-                out["height"].append(h)
-                out["width"].append(w)
-                out["dtype"].append(dtype)
-                out["nodata"].append(float(nd_))
-                out["data"].append(data)
+                _append_raster_row(out, t, tile_arr, nd_)
             yield pd.DataFrame(out)
 
     def gen(batches):
@@ -204,59 +169,102 @@ def raster_table_from_file(
         src, sb, nd_ = bc.value
         sb = Bounds(*sb)
         for pdf in batches:
-            out = {k: [] for k in (
-                "zoom", "tile_row", "tile_col", "tile_key", "bands",
-                "height", "width", "dtype", "nodata", "data",
-            )}
+            out = _empty_raster_out()
             for z, r, c in zip(pdf["zoom"], pdf["tile_row"], pdf["tile_col"]):
                 t = Tile(p, int(z), int(r), int(c))
-                tb = t.bounds()
-                tile_arr = resample_from_array(
-                    src, sb, tb, t.shape(), resampling=resampling,
-                    nodata=nd_,
-                )
-                # partial overlap: the resample kernels CLAMP source
-                # indexes at the border (correct inside the source),
-                # which would smear border pixels across the uncovered
-                # region — the reference's read_raster_window fills
-                # out-of-source area with nodata instead. Mask target
-                # pixels whose centers fall outside the source bounds.
-                if not (
-                    tb.left >= sb.left - 1e-12
-                    and tb.right <= sb.right + 1e-12
-                    and tb.bottom >= sb.bottom - 1e-12
-                    and tb.top <= sb.top + 1e-12
-                ):
-                    th, tw = tile_arr.shape[-2:]
-                    pxx = (tb.right - tb.left) / tw
-                    pxy = (tb.top - tb.bottom) / th
-                    xs = tb.left + (np.arange(tw) + 0.5) * pxx
-                    ys = tb.top - (np.arange(th) + 0.5) * pxy
-                    outside = np.zeros((th, tw), dtype=bool)
-                    outside[:, (xs < sb.left) | (xs > sb.right)] = True
-                    outside[(ys > sb.top) | (ys < sb.bottom), :] = True
-                    tile_arr = np.ma.MaskedArray(
-                        np.ma.filled(tile_arr, nd_),
-                        mask=np.ma.getmaskarray(tile_arr)
-                        | np.broadcast_to(outside, tile_arr.shape),
-                    )
-                    tile_arr.set_fill_value(nd_)
-                data, dtype, bands, h, w = encode_array(tile_arr, nd_)
-                out["zoom"].append(int(z))
-                out["tile_row"].append(int(r))
-                out["tile_col"].append(int(c))
-                out["tile_key"].append(linear_tile_key(int(z), int(r), int(c)))
-                out["bands"].append(bands)
-                out["height"].append(h)
-                out["width"].append(w)
-                out["dtype"].append(dtype)
-                out["nodata"].append(float(nd_))
-                out["data"].append(data)
+                tile_arr = _aligned_tile_array(t, src, sb, nd_, resampling)
+                _append_raster_row(out, t, tile_arr, nd_)
             yield pd.DataFrame(out)
 
     par = max(spark.sparkContext.defaultParallelism, 8)
     fn = gen_warped if warp_src_crs is not None else gen
     return ids.repartition(par).mapInPandas(fn, schema=RASTER_SCHEMA)
+
+
+def _empty_raster_out() -> dict:
+    return {k: [] for k in (
+        "zoom", "tile_row", "tile_col", "tile_key", "bands",
+        "height", "width", "dtype", "nodata", "data",
+    )}
+
+
+def _append_raster_row(out: dict, tile, tile_arr, nd: float) -> None:
+    from mapchete_spark.operators.rastertable import encode_array
+    from mapchete_spark.tilegrid.keys import linear_tile_key
+
+    data, dtype, bands, h, w = encode_array(tile_arr, nd)
+    out["zoom"].append(tile.zoom)
+    out["tile_row"].append(tile.row)
+    out["tile_col"].append(tile.col)
+    out["tile_key"].append(linear_tile_key(tile.zoom, tile.row, tile.col))
+    out["bands"].append(bands)
+    out["height"].append(h)
+    out["width"].append(w)
+    out["dtype"].append(dtype)
+    out["nodata"].append(float(nd))
+    out["data"].append(data)
+
+
+def _aligned_tile_array(tile, src, sb: Bounds, nd: float, resampling: str):
+    """One tile's window of a SAME-CRS source: resample + mask target
+    pixels whose centers fall outside the source bounds (the resample
+    kernels clamp at the border, which would otherwise smear border
+    pixels across the uncovered region — the reference's
+    read_raster_window fills out-of-source area with nodata)."""
+    from mapchete_spark.raster.array import resample_from_array
+
+    tb = tile.bounds()
+    tile_arr = resample_from_array(
+        src, sb, tb, tile.shape(), resampling=resampling, nodata=nd
+    )
+    if not (
+        tb.left >= sb.left - 1e-12
+        and tb.right <= sb.right + 1e-12
+        and tb.bottom >= sb.bottom - 1e-12
+        and tb.top <= sb.top + 1e-12
+    ):
+        th, tw = tile_arr.shape[-2:]
+        pxx = (tb.right - tb.left) / tw
+        pxy = (tb.top - tb.bottom) / th
+        xs = tb.left + (np.arange(tw) + 0.5) * pxx
+        ys = tb.top - (np.arange(th) + 0.5) * pxy
+        outside = np.zeros((th, tw), dtype=bool)
+        outside[:, (xs < sb.left) | (xs > sb.right)] = True
+        outside[(ys > sb.top) | (ys < sb.bottom), :] = True
+        tile_arr = np.ma.MaskedArray(
+            np.ma.filled(tile_arr, nd),
+            mask=np.ma.getmaskarray(tile_arr)
+            | np.broadcast_to(outside, tile_arr.shape),
+        )
+        tile_arr.set_fill_value(nd)
+    return tile_arr
+
+
+def _warped_tile_array(tile, src, sb: Bounds, nd: float, resampling: str, fwd):
+    """One tile's window of a DIFFERENT-CRS source: transform the
+    tile's pixel-center grid to the source CRS and sample point-wise
+    (WarpedVRT semantics). None when the tile is entirely outside."""
+    from mapchete_spark.raster.array import sample_at_fractional
+
+    in_h, in_w = src.shape[-2:]
+    px_x = (sb.right - sb.left) / in_w
+    px_y = (sb.top - sb.bottom) / in_h
+    tb = tile.bounds()
+    th, tw = tile.shape()
+    xs = tb.left + (np.arange(tw) + 0.5) * ((tb.right - tb.left) / tw)
+    ys = tb.top - (np.arange(th) + 0.5) * ((tb.top - tb.bottom) / th)
+    gx, gy = np.meshgrid(xs, ys)
+    wx, wy = fwd(gx.ravel(), gy.ravel())
+    fcols = ((np.asarray(wx) - sb.left) / px_x - 0.5).reshape(th, tw)
+    frows = ((sb.top - np.asarray(wy)) / px_y - 0.5).reshape(th, tw)
+    tile_arr = sample_at_fractional(
+        src, frows, fcols, resampling=resampling, nodata=nd
+    )
+    if tile_arr.mask is not np.ma.nomask and np.all(
+        np.ma.getmaskarray(tile_arr)
+    ):
+        return None
+    return tile_arr
 
 
 def _features_from_geojson(buf: bytes):
@@ -359,3 +367,163 @@ def vector_table_from_file(
         for i, f in enumerate(feats)
     ]
     return spark.createDataFrame(rows, VECTOR_FILE_SCHEMA)
+
+
+def raster_table_from_files(
+    spark: SparkSession,
+    paths,
+    zoom: int,
+    pyramid: Optional[TilePyramid] = None,
+    resampling: str = "nearest",
+    nodata: float = 0.0,
+    max_file_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """S1 at corpus scale: MANY raster files -> ONE tile table, fully
+    distributed — the scale shape ``raster_table_from_file`` (single
+    file, driver decode + broadcast) deliberately is not.
+
+    The FILE LIST is the DataFrame: executors decode their files with
+    the in-tree GeoTIFF codec (same-CRS window or warp-on-read per
+    file through the shared per-tile kernels), emit per-(file, tile)
+    contributions, and one groupBy(tile) merges overlaps FIRST-VALID
+    in path order — rasterio.merge's default, the reference's
+    multi-source read_raster_window/mosaic semantics
+    (mapchete/io/raster/read.py + mosaic.py). No driver decode, no
+    broadcast, no full-matrix enumeration: thousands of input rasters
+    scale linearly with executors, and skewed tile overlap degrades
+    into a per-tile reduce, not a driver bottleneck.
+
+    Each file is masked by ITS OWN internal nodata; the merged table
+    carries the single ``nodata`` given here. Files whose CRS is
+    outside the registered families fail their task with a clear
+    error (never silently assumed)."""
+    from mapchete_spark.operators.rastertable import (
+        RASTER_SCHEMA,
+        decode_array,
+        encode_array,
+    )
+
+    pyr = pyramid or TilePyramid("geodetic")
+    pyr_epsg = int(str(getattr(pyr, "crs", "EPSG:4326")).split(":")[-1])
+    pyr_crs = f"EPSG:{pyr_epsg}"
+    pyr_dict = pyr.to_dict()
+    paths = [str(p) for p in paths]
+    if not paths:
+        return spark.createDataFrame([], RASTER_SCHEMA)
+    files = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "file_idx long, path string"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism * 2))
+
+    contrib_schema = RASTER_SCHEMA + ", file_idx long"
+
+    def window_files(batches):
+        import pandas as pd
+
+        from mapchete_spark.geometry.reproject import get_transform
+        from mapchete_spark.sources.gtiff import decode_gtiff
+        from mapchete_spark.tilegrid.pyramid import Tile
+
+        p = TilePyramid(**pyr_dict)
+        for pdf in batches:
+            out = _empty_raster_out()
+            out["file_idx"] = []
+            for fidx, path in zip(pdf["file_idx"], pdf["path"]):
+                with open(path, "rb") as f:
+                    buf = f.read()
+                arr, src_bounds, epsg, file_nodata = decode_gtiff(buf)
+                if arr.nbytes > max_file_bytes:
+                    raise ValueError(
+                        f"{path}: decoded raster is {arr.nbytes} bytes "
+                        f"(> {max_file_bytes}); pre-tile oversized "
+                        "sources into a parquet tile table"
+                    )
+                nd_file = (
+                    float(file_nodata)
+                    if file_nodata is not None
+                    else float(nodata)
+                )
+                src = np.ascontiguousarray(arr)
+                sb = Bounds(*src_bounds)
+                fwd = None
+                if epsg is not None and int(epsg) != pyr_epsg:
+                    src_crs = f"EPSG:{int(epsg)}"
+                    fwd = get_transform(pyr_crs, src_crs)
+                    inv = get_transform(src_crs, pyr_crs)
+                    n = 33
+                    gx, gy = np.meshgrid(
+                        np.linspace(sb.left, sb.right, n),
+                        np.linspace(sb.bottom, sb.top, n),
+                    )
+                    wx, wy = inv(gx.ravel(), gy.ravel())
+                    wx, wy = np.asarray(wx), np.asarray(wy)
+                    ok = np.isfinite(wx) & np.isfinite(wy)
+                    if not np.any(ok):
+                        continue
+                    cover = Bounds(
+                        float(wx[ok].min()), float(wy[ok].min()),
+                        float(wx[ok].max()), float(wy[ok].max()),
+                    )
+                else:
+                    cover = sb
+                for (r0, r1, c0, c1) in p.tile_ranges_from_bounds(
+                    cover, zoom
+                ):
+                    for r in range(int(r0), int(r1) + 1):
+                        for c in range(int(c0), int(c1) + 1):
+                            t = Tile(p, zoom, r, c)
+                            if fwd is None:
+                                ta = _aligned_tile_array(
+                                    t, src, sb, nd_file, resampling
+                                )
+                                if np.all(np.ma.getmaskarray(ta)):
+                                    continue
+                            else:
+                                ta = _warped_tile_array(
+                                    t, src, sb, nd_file, resampling, fwd
+                                )
+                                if ta is None:
+                                    continue
+                            _append_raster_row(out, t, ta, float(nodata))
+                            out["file_idx"].append(int(fidx))
+            yield pd.DataFrame(out)
+
+    contribs = files.mapInPandas(window_files, schema=contrib_schema)
+
+    def merge(key, pdf):
+        import pandas as pd
+
+        from mapchete_spark.tilegrid.pyramid import Tile
+
+        pdf = pdf.sort_values("file_idx")
+        first = pdf.iloc[0]
+        acc = decode_array(
+            first["data"], first["dtype"], int(first["bands"]),
+            int(first["height"]), int(first["width"]),
+            float(first["nodata"]),
+        )
+        for _, row in pdf.iloc[1:].iterrows():
+            nxt = decode_array(
+                row["data"], row["dtype"], int(row["bands"]),
+                int(row["height"]), int(row["width"]),
+                float(row["nodata"]),
+            )
+            hole = np.ma.getmaskarray(acc) & ~np.ma.getmaskarray(nxt)
+            if hole.any():
+                filled = np.where(hole, np.ma.filled(nxt, 0), acc.data)
+                acc = np.ma.MaskedArray(
+                    filled.astype(acc.dtype),
+                    mask=np.ma.getmaskarray(acc) & np.ma.getmaskarray(nxt),
+                )
+        acc.set_fill_value(float(nodata))
+        out = _empty_raster_out()
+        p = TilePyramid(**pyr_dict)
+        t = Tile(
+            p, int(first["zoom"]), int(first["tile_row"]),
+            int(first["tile_col"]),
+        )
+        _append_raster_row(out, t, acc, float(nodata))
+        return pd.DataFrame(out)
+
+    return contribs.groupBy("tile_key").applyInPandas(
+        merge, schema=RASTER_SCHEMA
+    )

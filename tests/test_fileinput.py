@@ -720,9 +720,12 @@ def fi_jobs(spark, tmp_path_factory):
         warp_input=_run_config_job_over_mismatched_crs_tif,
         feature_clip=_run_feature_clip_job_over_gpkg,
         execute_tile=_run_execute_tile_matches_full_job,
+        files_single=_run_files_equals_single,
+        files_overlap=_run_files_first_valid_overlap,
+        files_mixed=_run_files_mixed_crs,
     )
     return run_concurrently(
-        {k: mk(k, fn) for k, fn in scenarios.items()}, max_workers=5
+        {k: mk(k, fn) for k, fn in scenarios.items()}, max_workers=8
     )
 
 
@@ -785,3 +788,143 @@ def test_raster_warp_polar_source_covers_pole(spark, tmp_path):
 
     a = row_to_array(bottom[0])
     assert float(np.ma.filled(a, -1.0).max()) == 7.0
+
+
+def _run_files_equals_single(spark, tmp_path):
+    """Distributed multi-file ingestion: the DEM written as FOUR
+    quadrant GeoTIFFs must reproduce the single-file read bit-for-bit
+    (executor-side decode, per-tile first-valid merge)."""
+    from pyspark.sql import functions as F
+
+    from mapchete_spark.operators.rastertable import materialize_dem
+    from mapchete_spark.sources.fileinput import raster_table_from_files
+    from mapchete_spark.sources.singlefile import write_single_artifact
+
+    pyr = TilePyramid("geodetic")
+    aoi = Bounds(0.0, 27.5, 22.5, 50.0)  # small: suite-time discipline
+    dem = materialize_dem(spark, 4, pyr, bounds=aoi, hole=False)
+    write_single_artifact(dem, pyr, 4, str(tmp_path / "whole"))
+    from mapchete_spark.sources.gtiff import decode_gtiff
+
+    with open(str(tmp_path / "whole.tif"), "rb") as f:
+        arr, b, epsg, nd = decode_gtiff(f.read())
+    b = Bounds(*b)
+    h, w = arr.shape[-2:]
+    quads = []
+    for i, (rs, cs) in enumerate(
+        [(slice(0, h // 2 + 8), slice(0, w // 2 + 8)),
+         (slice(0, h // 2 + 8), slice(w // 2 - 8, w)),
+         (slice(h // 2 - 8, h), slice(0, w // 2 + 8)),
+         (slice(h // 2 - 8, h), slice(w // 2 - 8, w))]
+    ):
+        sub = arr[:, rs, cs]
+        px = (b.right - b.left) / w
+        py = (b.top - b.bottom) / h
+        sb = Bounds(
+            b.left + cs.start * px,
+            b.top - rs.stop * py,
+            b.left + cs.stop * px,
+            b.top - rs.start * py,
+        )
+        p = os.path.join(tmp_path, f"q{i}.tif")
+        with open(p, "wb") as f:
+            f.write(encode_gtiff(sub, sb, crs="EPSG:4326",
+                                 nodata=float(nd) if nd is not None else None))
+        quads.append(p)
+
+    single = raster_table_from_file(
+        spark, str(tmp_path / "whole.tif"), 4, pyr
+    )
+    multi = raster_table_from_files(
+        spark, quads, 4, pyr,
+        nodata=float(nd) if nd is not None else 0.0,
+    )
+
+    def digest(df):
+        return sorted(
+            (r["tile_key"], r["h"])
+            for r in df.select(
+                "tile_key", F.md5("data").alias("h")
+            ).collect()
+        )
+
+    a, bdg = digest(single), digest(multi)
+    assert a == bdg and len(a) > 0
+
+
+def _run_files_first_valid_overlap(spark, tmp_path):
+    """Overlap merge is FIRST-VALID in path order (rasterio.merge
+    default): where two constant rasters overlap, the first path's
+    value wins; each covers its exclusive region."""
+    from mapchete_spark.operators.rastertable import row_to_array
+    from mapchete_spark.sources.fileinput import raster_table_from_files
+
+    pyr = TilePyramid("geodetic")
+    mk = lambda v: np.full((1, 16, 16), v, dtype=np.float32)
+    pa = os.path.join(tmp_path, "a.tif")
+    pb = os.path.join(tmp_path, "b.tif")
+    # a covers [0,45]x[0,45]; b covers [22.5,67.5]x[0,45] (overlap 22.5-45)
+    with open(pa, "wb") as f:
+        f.write(encode_gtiff(mk(1.0), Bounds(0, 0, 45, 45),
+                             crs="EPSG:4326", nodata=-1.0))
+    with open(pb, "wb") as f:
+        f.write(encode_gtiff(mk(2.0), Bounds(22.5, 0, 67.5, 45),
+                             crs="EPSG:4326", nodata=-1.0))
+    df = raster_table_from_files(spark, [pa, pb], 3, pyr, nodata=-1.0)
+    rows = {(r["tile_row"], r["tile_col"]): r for r in df.collect()}
+    ts = 180.0 / 2 ** 3  # 22.5 deg
+    # tile fully inside the overlap: col covering [22.5,45] = col 9,
+    # row covering [0,22.5] = row 3
+    ov = row_to_array(rows[(3, 9)])
+    assert float(np.ma.filled(ov, -1).max()) == 1.0  # first file wins
+    # tile only in b: [45,67.5] = col 10
+    only_b = row_to_array(rows[(3, 10)])
+    assert float(np.ma.filled(only_b, -1).max()) == 2.0
+
+
+def _run_files_mixed_crs(spark, tmp_path):
+    """Files in DIFFERENT CRS mix in one ingestion: a 4326 file and an
+    EPSG:3857 file land on the same geodetic grid, each through its
+    own (aligned / warped) path."""
+    from mapchete_spark.geometry.reproject import geodetic_to_mercator
+    from mapchete_spark.operators.rastertable import row_to_array
+    from mapchete_spark.sources.fileinput import raster_table_from_files
+
+    pyr = TilePyramid("geodetic")
+    pa = os.path.join(tmp_path, "geo.tif")
+    with open(pa, "wb") as f:
+        f.write(encode_gtiff(np.full((1, 16, 16), 5.0, np.float32),
+                             Bounds(0, 0, 45, 45), crs="EPSG:4326",
+                             nodata=-1.0))
+    mx, my = geodetic_to_mercator(np.array([90.0, 135.0]),
+                                  np.array([0.0, 40.0]))
+    pb = os.path.join(tmp_path, "merc.tif")
+    with open(pb, "wb") as f:
+        f.write(encode_gtiff(np.full((1, 16, 16), 9.0, np.float32),
+                             Bounds(mx[0], my[0], mx[1], my[1]),
+                             crs="EPSG:3857", nodata=-1.0))
+    df = raster_table_from_files(spark, [pa, pb], 3, pyr, nodata=-1.0)
+    rows = {(r["tile_row"], r["tile_col"]): r for r in df.collect()}
+    # 4326 file: tile covering [0,22.5]x[22.5,45] = row 2, col 8
+    assert float(np.ma.filled(row_to_array(rows[(2, 8)]), -1).max()) == 5.0
+    # 3857 file: lon [90,135] lat [0,40] -> col 12 covers [90,112.5],
+    # row 3 covers [0,22.5]
+    assert float(np.ma.filled(row_to_array(rows[(3, 12)]), -1).max()) == 9.0
+
+
+def test_raster_table_from_files_equals_single(fi_jobs):
+    from tests.conftest import assert_ok
+
+    assert_ok(fi_jobs, "files_single")
+
+
+def test_raster_table_from_files_first_valid_overlap(fi_jobs):
+    from tests.conftest import assert_ok
+
+    assert_ok(fi_jobs, "files_overlap")
+
+
+def test_raster_table_from_files_mixed_crs(fi_jobs):
+    from tests.conftest import assert_ok
+
+    assert_ok(fi_jobs, "files_mixed")
