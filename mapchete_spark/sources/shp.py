@@ -142,7 +142,7 @@ def _write_dbf(
     for name, ftype, flen, fdec in fields:
         out += struct.pack(
             "<11sc4xBB14x",
-            name.encode("ascii")[:11],
+            name.encode("ascii", "replace")[:11],
             ftype.encode("ascii"),
             flen,
             fdec,
@@ -162,7 +162,10 @@ def _write_dbf(
                 s = f"{float(v):.{fdec}f}".rjust(flen)[:flen]
             else:
                 s = str(int(v)).rjust(flen)[:flen]
-            out += s.encode("ascii")
+            # dBase III is codepage-bound; non-ASCII degrades to '?'
+            # rather than crashing the writer (fiona behaves per its
+            # encoding option; ASCII is the portable intersection)
+            out += s.encode("ascii", "replace")
     out += b"\x1a"
     return bytes(out)
 
