@@ -187,12 +187,30 @@ def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup candidate pairs: docs sharing any LSH band bucket."""
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager_release: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    The bucket table feeds BOTH sides of the self-join; without a
+    persist the whole shingle -> 16-minhash -> band pipeline is planned
+    (and executed) twice — once per join side (measured 1.5s -> 1.0s at
+    sf0.1 with the persist, and at corpus scale it halves the dominant
+    hashing pass). Mirrors ngram_jaccard_pairs: persist the buckets,
+    materialize the (small, post-filter) pair set, release the persist
+    before returning; ``eager_release=False`` returns the lazy
+    twice-planned form and the caller owns persistence."""
+    from pyspark import StorageLevel
+
     buckets = lsh_band_buckets(minhash_signatures(df, id_col, text_col))
+    if eager_release:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -200,6 +218,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         )
         .distinct()
     )
+    if eager_release:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            buckets.unpersist()
+    return out
 
 
 def minhash_lsh_clusters(
@@ -396,12 +420,21 @@ def simhash_neardup_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager_release: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into 8 bytes,
     candidates share >= 1 band (pigeonhole: any pair within hamming 7
     must agree on at least one byte), verify with bit_count(xor).
-    Output: (doc_a, doc_b, hamming)."""
+    Output: (doc_a, doc_b, hamming).
+
+    Same self-join persist as minhash_lsh_pairs: the 64-bit-majority
+    signature pipeline is the dominant cost and feeds both join sides;
+    persist it once instead of executing it twice."""
+    from pyspark import StorageLevel
+
     sh = simhash(df, id_col, text_col)
+    if eager_release:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # arithmetic shift + & 255 extracts the byte regardless of sign
     # (identical semantics in DuckDB's >> / &)
     band_vals = F.array(
@@ -426,13 +459,19 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    if eager_release:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            sh.unpersist()
+    return out
 
 
 # ---- DuckDB SQL twins --------------------------------------------------------

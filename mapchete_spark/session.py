@@ -12,6 +12,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill directory (spark.local.dir). Spark's guidance is
+    fast local disks; this sandbox's default tmp lives on a slow virtio
+    root disk whose dirty-page WRITEBACK of earlier queries' shuffle
+    files bleeds into later queries in a long session — measured as the
+    round-6 'full-mode session-state overhead': the bench's trailing
+    quality_pack workload read 7.7s with /tmp shuffle dirs vs 4.8-5.5s
+    with a tmpfs dir, suite 22.3s -> 18.6-20.0s (<0.1% steal, same
+    code). With 128 GiB RAM and ~2 GB of shuffle volume per run, tmpfs
+    is the sandbox analog of the NVMe scratch disks a production
+    cluster would mount here. Override with SPARK_GRAFT_LOCAL_DIR
+    (empty string = keep Spark's default); falls back to Spark's
+    default when /dev/shm is missing or short on space (16 GB floor,
+    so a genuinely disk-sized shuffle is never pointed at RAM)."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override is not None:
+        return override or None
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3 and os.access(shm, os.W_OK):
+            d = os.path.join(shm, "mapchete_spark_local")
+            os.makedirs(d, exist_ok=True)
+            return d
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "mapchete_spark",
     master: str | None = None,
@@ -66,6 +95,9 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
