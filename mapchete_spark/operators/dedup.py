@@ -23,23 +23,13 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 
 def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition a few-partition input up to the session's
-    parallelism before the md5-heavy token/shingle explodes: a
-    one-file parquet scan otherwise runs the whole hash pipeline on a
-    single task (measured: minhash_lsh over a 5000-doc single-row-group
-    parquet 6.1s serial -> 1.6s spread, guide §2 'input skew').
-    Partitioning by the id also feeds the downstream groupBy(id) its
-    required distribution, so the exchange moves the narrow doc rows
-    instead of the exploded hash rows. Inputs already at or above the
-    session parallelism (any real corpus) pass through untouched — no
-    shuffle is added at scale."""
-    if df.isStreaming:  # micro-batch sizing is the stream's own knob
-        return df
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n, F.col(id_col))
-    return df
+    """Spread a few-partition input before the md5-heavy token/shingle
+    explodes (measured: minhash_lsh over a 5000-doc single-row-group
+    parquet 6.1s serial -> 1.6s spread; see operators/partitioning.py
+    for the scale argument)."""
+    from mapchete_spark.operators.partitioning import spread_small_input
+
+    return spread_small_input(df, id_col)
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

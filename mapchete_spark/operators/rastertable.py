@@ -85,9 +85,22 @@ def tile_ids_for_ranges(spark: SparkSession, ranges, zoom: int) -> DataFrame:
     small raster). The covering ranges are already computed, so each
     becomes its own ``spark.range(rows*cols)`` with div/mod arithmetic;
     disjoint ranges union linearly. Generated row count == covering
-    size at any zoom."""
+    size at any zoom.
+
+    Overlapping/adjacent column ranges with the same row extent are
+    merged first (ADVICE r6 #3): antimeridian-wrapped bounds of exactly
+    grid width can hand in two ranges sharing a boundary column, which
+    the plain union would emit twice where the old OR-filter was
+    idempotent."""
+    merged = []
+    for rng in sorted(tuple(int(v) for v in r) for r in ranges):
+        if merged and merged[-1][0] == rng[0] and merged[-1][1] == rng[1] \
+                and rng[2] <= merged[-1][3] + 1:
+            merged[-1] = (rng[0], rng[1], merged[-1][2], max(merged[-1][3], rng[3]))
+        else:
+            merged.append(list(rng))
     out = None
-    for (r0, r1, c0, c1) in ranges:
+    for (r0, r1, c0, c1) in merged:
         w = int(c1 - c0 + 1)
         n = int(r1 - r0 + 1) * w
         part = spark.range(n).select(

@@ -164,7 +164,7 @@ def resample_from_array(
         sr1, sc1 = min(r1, in_h), min(c1, in_w)
         if sr1 > sr0 and sc1 > sc0:
             data[:, sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = (
-                arr[:, sr0:sr1, sc0:sc1].filled(np.nan).astype(np.float64)
+                arr[:, sr0:sr1, sc0:sc1].astype(np.float64).filled(np.nan)
             )
         blocks = data.reshape(bands, out_h, ky, out_w, kx)
         reducer = {"average": np.nanmean, "max": np.nanmax, "min": np.nanmin}[
@@ -196,7 +196,7 @@ def resample_from_array(
         r1 = np.clip(r0 + 1, 0, in_h - 1)
         wx = np.clip(fcols - c0, 0.0, 1.0)
         wy = np.clip(frows - r0, 0.0, 1.0)
-        d = arr.filled(np.nan).astype(np.float64)
+        d = arr.astype(np.float64).filled(np.nan)
         top = d[:, r0[:, None], c0] * (1 - wx) + d[:, r0[:, None], c1] * wx
         bot = d[:, r1[:, None], c0] * (1 - wx) + d[:, r1[:, None], c1] * wx
         val = top * (1 - wy[:, None]) + bot * wy[:, None]
@@ -218,7 +218,7 @@ def resample_from_array(
         r0 = np.floor(frows).astype(int)
         wx = fcols - c0
         wy = frows - r0
-        d = arr.filled(np.nan).astype(np.float64)
+        d = arr.astype(np.float64).filled(np.nan)
         val = np.zeros((bands, out_h, out_w), dtype=np.float64)
         kx = [kernel(wx - o) for o in offsets]
         ky = [kernel(wy - o) for o in offsets]
@@ -251,7 +251,7 @@ def resample_from_array(
         sr1, sc1 = min(r1, in_h), min(c1, in_w)
         if sr1 > sr0 and sc1 > sc0:
             data[:, sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = (
-                arr[:, sr0:sr1, sc0:sc1].filled(np.nan).astype(np.float64)
+                arr[:, sr0:sr1, sc0:sc1].astype(np.float64).filled(np.nan)
             )
         blocks = (
             data.reshape(bands, out_h, ky, out_w, kx)
@@ -408,7 +408,7 @@ def sample_at_fractional(
     )
     fr = np.where(outside, 0.0, frows)
     fc = np.where(outside, 0.0, fcols)
-    d = arr.filled(np.nan).astype(np.float64)
+    d = arr.astype(np.float64).filled(np.nan)
     if resampling == "nearest":
         rows = np.clip(np.round(fr).astype(int), 0, in_h - 1)
         cols = np.clip(np.round(fc).astype(int), 0, in_w - 1)

@@ -351,9 +351,12 @@ def write_gpkg_tile_index(
                 "geometry": Polygon(ring),
                 "properties": {
                     "tile_id": str((z, tr, tc)),
-                    "zoom": str(z),
-                    "row": str(tr),
-                    "col": str(tc),
+                    # int-typed, matching the reference's spatial_schema
+                    # (index.py:50 declares zoom/row/col int; ADVICE r6
+                    # #2 — the earlier str values broke schema parity)
+                    "zoom": z,
+                    "row": tr,
+                    "col": tc,
                     "location": r.get(
                         "location", f"{z}/{tr}/{tc}.tif"
                     ),
@@ -367,8 +370,8 @@ def write_gpkg_tile_index(
     write_gpkg(
         path,
         feats,
-        schema=[("tile_id", "str"), ("zoom", "str"), ("row", "str"),
-                ("col", "str"), ("location", "str")],
+        schema=[("tile_id", "str"), ("zoom", "int"), ("row", "int"),
+                ("col", "int"), ("location", "str")],
         layer=layer or f"index_z{zoom}",
         srs_id=srs_id,
         geometry_type="POLYGON",

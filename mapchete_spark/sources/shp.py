@@ -159,9 +159,21 @@ def _write_dbf(
             elif v is None:
                 s = " " * flen
             elif ftype == "F" or fdec:
-                s = f"{float(v):.{fdec}f}".rjust(flen)[:flen]
+                s = f"{float(v):.{fdec}f}"
+                if len(s) > flen:  # ADVICE r6 #4: never truncate digits
+                    raise ValueError(
+                        f"dbf field {name!r}: numeric value {s!r} exceeds "
+                        f"declared width {flen}"
+                    )
+                s = s.rjust(flen)
             else:
-                s = str(int(v)).rjust(flen)[:flen]
+                s = str(int(v))
+                if len(s) > flen:
+                    raise ValueError(
+                        f"dbf field {name!r}: numeric value {s!r} exceeds "
+                        f"declared width {flen}"
+                    )
+                s = s.rjust(flen)
             # dBase III is codepage-bound; non-ASCII degrades to '?'
             # rather than crashing the writer (fiona behaves per its
             # encoding option; ASCII is the portable intersection)

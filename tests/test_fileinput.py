@@ -928,3 +928,35 @@ def test_raster_table_from_files_mixed_crs(fi_jobs):
     from tests.conftest import assert_ok
 
     assert_ok(fi_jobs, "files_mixed")
+
+
+def test_tile_enumeration_merges_seam_ranges(spark):
+    """ADVICE r6 #3: antimeridian-wrapped bounds of exactly grid width
+    can produce two column ranges sharing a boundary column; the plain
+    union emitted the seam tiles twice where the old OR-filter was
+    idempotent. Overlapping/adjacent same-row ranges must merge."""
+    from mapchete_spark.operators.rastertable import tile_ids_for_ranges
+
+    # overlap on column 8 + adjacency at 9/10: one merged range 0..15
+    ranges = [(3, 4, 0, 8), (3, 4, 8, 9), (3, 4, 10, 15)]
+    ids = tile_ids_for_ranges(spark, ranges, 5)
+    rows = [(r["tile_row"], r["tile_col"]) for r in ids.collect()]
+    assert len(rows) == len(set(rows)) == 2 * 16
+    # disjoint row extents stay separate and unduplicated
+    ids2 = tile_ids_for_ranges(spark, [(0, 0, 0, 1), (2, 2, 0, 1)], 5)
+    assert ids2.count() == 4
+
+
+def test_dbf_numeric_overflow_raises(tmp_path):
+    """ADVICE r6 #4: a numeric value wider than its declared dbf field
+    must raise instead of silently truncating digits."""
+    import pytest
+
+    from mapchete_spark.sources.shp import _write_dbf
+
+    _write_dbf([{"val": 10**17}], [("val", "int")])  # fits N 18
+    with pytest.raises(ValueError, match="exceeds declared width"):
+        _write_dbf([{"val": 10**19}], [("val", "int")])
+    _write_dbf([{"f": 1.5}], [("f", "double")])  # fits F 20.8
+    with pytest.raises(ValueError, match="exceeds declared width"):
+        _write_dbf([{"f": 1e15}], [("f", "double")])  # 24 chars at .8f

@@ -145,16 +145,17 @@ def test_tile_index(tmp_path):
     header, feats = read_gpkg(path)
     assert header["features_count"] == 6
     assert header["geometry_type"] == "POLYGON"
-    # reference field parity (mapchete/index.py:48-51, 270-283):
-    # tile_id == str(tile.id) and zoom/row/col written as strings
+    # reference field parity (mapchete/index.py:48-51): the fiona
+    # spatial_schema declares zoom/row/col INT, so the stored columns
+    # are INTEGER (ADVICE r6 #2 — str values broke schema parity)
     got = {(f["properties"]["row"], f["properties"]["col"]) for f in feats}
-    assert got == {(str(r), str(c)) for r in range(2) for c in range(3)}
+    assert got == {(r, c) for r in range(2) for c in range(3)}
     f0 = next(f for f in feats
-              if (f["properties"]["row"], f["properties"]["col"]) == ("0", "0"))
+              if (f["properties"]["row"], f["properties"]["col"]) == (0, 0))
     assert tuple(f0["geometry"].bounds) == (-180.0, 67.5, -157.5, 90.0)
     assert f0["properties"]["location"] == "3/0/0.tif"
     assert f0["properties"]["tile_id"] == "(3, 0, 0)"
-    assert f0["properties"]["zoom"] == "3"
+    assert f0["properties"]["zoom"] == 3
     # idempotent overwrite
     path2 = write_gpkg_tile_index(rows, str(tmp_path), 3)
     assert path2 == path

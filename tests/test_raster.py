@@ -471,3 +471,74 @@ class TestMoreKernels:
         np.testing.assert_array_equal(
             np.asarray(out)[0], [[1.0, 5.0], [7.0, 3.0]]
         )
+
+
+class TestIntDtypeMaskedResampling:
+    """ADVICE r6 (high): .filled(np.nan) BEFORE the float cast raises
+    TypeError on integer-dtype sources with any masked pixel — the
+    common uint8/int16 GeoTIFF case through the warp-on-read paths.
+    The fix casts first (mask survives astype), so every kernel works
+    on masked int arrays; values on float inputs are unchanged."""
+
+    def _masked_int(self, dtype):
+        import numpy as np
+
+        arr = np.arange(16, dtype=dtype).reshape(1, 4, 4)
+        return np.ma.MaskedArray(arr, mask=(arr == 5), fill_value=0)
+
+    def test_sample_at_fractional_int_all_kernels(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import sample_at_fractional
+
+        fr = np.array([[0.0, 1.6], [2.4, 3.0]])
+        fc = np.array([[0.0, 1.2], [2.8, 3.0]])
+        for dtype in ("int16", "uint8", "int32"):
+            for resampling in (
+                "nearest", "bilinear", "cubic", "cubic_spline", "lanczos"
+            ):
+                out = sample_at_fractional(
+                    self._masked_int(dtype), fr, fc, resampling=resampling,
+                    nodata=0,
+                )
+                assert out.shape == (1, 2, 2)
+        # nearest on ints must reproduce exact source values
+        out = sample_at_fractional(
+            self._masked_int("int16"),
+            np.array([[0.0]]), np.array([[3.0]]), resampling="nearest",
+            nodata=0,
+        )
+        assert int(np.asarray(out)[0, 0, 0]) == 3
+
+    def test_resample_from_array_int_masked(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import resample_from_array
+        from mapchete_spark.tilegrid.grid import Bounds
+
+        src = self._masked_int("int16")
+        for resampling in ("average", "mode", "max", "min", "bilinear",
+                           "cubic", "cubic_spline", "lanczos"):
+            out = resample_from_array(
+                src, Bounds(0, 0, 4, 4), Bounds(0, 0, 4, 4), (2, 2),
+                resampling=resampling, nodata=-1,
+            )
+            assert out.shape == (1, 2, 2)
+
+    def test_float_values_unchanged_by_cast_order(self):
+        import numpy as np
+
+        from mapchete_spark.raster.array import sample_at_fractional
+
+        arr = np.ma.MaskedArray(
+            np.linspace(0, 1, 16, dtype=np.float32).reshape(1, 4, 4),
+            mask=np.zeros((1, 4, 4), dtype=bool),
+        )
+        arr.mask[0, 1, 1] = True
+        fr = np.array([[0.5, 2.5]])
+        fc = np.array([[0.5, 2.5]])
+        out = sample_at_fractional(arr, fr, fc, resampling="bilinear", nodata=-1)
+        # fill-then-cast reference (valid for floats)
+        d = arr.filled(np.nan).astype(np.float64)
+        assert np.isnan(d[0, 1, 1])
+        assert out.shape == (1, 1, 2)
