@@ -5410,20 +5410,29 @@ def o_tile_embed_centroid() -> str:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate runs
-    the FIRST 50 entries only. Round-6 ordering policy (VERDICT r5
-    "Next round" #2): the 5 round-5 queries with no driver row
-    (pii_scrub, raster_file_input, vector_file_input, banded_pyramid,
-    dsir_weights) and the 3 displaced canaries rotate INTO positions
-    1-50, followed by the queries whose newest driver rows date from
-    round 4; the 50 queries that earned fresh r05 rows move behind the
-    cap. r05 ∪ r06 then covers 100/102 with driver rows on
-    round-5-or-later code (wkt_roundtrip and revenue_by_nation keep
-    their r04 rows, disclosed below)."""
+    the FIRST 50 entries only. Round-7 ordering policy (VERDICT r6
+    "Next round" #2): the 9 queries whose newest driver rows date from
+    round 4 (wkt_roundtrip, revenue_by_nation, shard_packing,
+    tile_embed_centroid, quality_quantiles, bbox_cover_z6,
+    hot_tile_skew, pyramid_rollup, tile_assign_multizoom) rotate INTO
+    positions 1-50 so no registry entry's last driver row predates
+    round-5 code; the 9 queries displaced behind the cap
+    (utm_reproject .. tile_assign_z8) all hold fresh green r06 rows
+    and stay covered by the type-strict sf0.001 replay every pytest
+    run."""
     return {
-        # -- round-6 window: the 5 round-5 additions with NO driver row
-        #    yet (replay-checked only) + the 3 canaries displaced from
-        #    the round-5 window (VERDICT r5 "Next round" #2), plus the
-        #    new round-6 queries --
+        # -- rotated in: newest driver row is r04 — re-earn on round-7
+        #    code (VERDICT r6 "Next round" #2) --
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "revenue_by_nation": q_revenue_by_nation,
+        "shard_packing": q_shard_packing,
+        "tile_embed_centroid": q_tile_embed_centroid,
+        "quality_quantiles": q_quality_quantiles,
+        "bbox_cover_z6": q_bbox_cover_z6,
+        "hot_tile_skew": q_hot_tile_skew,
+        "pyramid_rollup": q_pyramid_rollup,
+        "tile_assign_multizoom": q_tile_assign_multizoom,
+        # -- the round-6 window, unchanged order --
         "vector_file_crs": q_vector_file_crs,
         "raster_warp_input": q_raster_warp_input,
         "sterea_reproject": q_sterea_reproject,
@@ -5439,8 +5448,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "kmeans": q_kmeans,
         "laea_reproject": q_laea_reproject,
-        # -- queries whose newest driver row is r04: re-earn on round-6
-        #    code --
         "meta_intersect": q_meta_intersect,
         "batch_enum": q_batch_enum,
         "extract_prepare": q_extract_prepare,
@@ -5467,6 +5474,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtiff_export": q_gtiff_export,
         "media_features": q_media_features,
         "repetition_stats": q_repetition_stats,
+        # ---------------- driver cap boundary (position 50) ----------------
+        # displaced this round — all hold fresh green r06 driver rows
         "utm_reproject": q_utm_reproject,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
@@ -5476,21 +5485,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pipeline_e2e": q_pipeline_e2e,
         "tile_assign_z8": q_tile_assign_z8,
-        # ---------------- driver cap boundary (position 50) ----------------
-        "tile_assign_multizoom": q_tile_assign_multizoom,
-        "pyramid_rollup": q_pyramid_rollup,
-        "hot_tile_skew": q_hot_tile_skew,
-        "bbox_cover_z6": q_bbox_cover_z6,
-        "quality_quantiles": q_quality_quantiles,
-        "shard_packing": q_shard_packing,
-        "tile_embed_centroid": q_tile_embed_centroid,
-        # everything below earned a fresh green row in CORRECTNESS_r05
-        # (the round-5 window), except wkt_roundtrip/revenue_by_nation
-        # whose newest rows are r04 — both trivial/stable and covered by
-        # the type-strict sf0.001 replay every pytest run; they rotate
-        # back next round.
-        "wkt_roundtrip": q_wkt_roundtrip,
-        "revenue_by_nation": q_revenue_by_nation,
+        # everything below earned a fresh green row in r05/r06
         "s2_cells": q_s2_cells,
         "span_roundtrip": q_span_roundtrip,
         "ngram_decontam": q_ngram_decontam,

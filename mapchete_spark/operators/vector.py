@@ -571,14 +571,12 @@ def filter_by_geometry_type(features: DataFrame, geom_type: str) -> DataFrame:
 def doc_footprint_features(docs_geo: DataFrame) -> DataFrame:
     """WKB square footprints for docs with a radius (engine side).
 
-    The input is spread to the session parallelism first: the whole
-    downstream Python feature pipeline (footprint -> tile cover ->
-    clip) chains map-only on this operator's partitioning, so a
-    one-row-group parquet scan would otherwise run it all on a single
-    task (operators/partitioning.py)."""
-    from mapchete_spark.operators.partitioning import spread_small_input
-
-    docs_geo = spread_small_input(docs_geo, "doc_id")
+    NOT spread via operators/partitioning (round-7 A/B): unlike the
+    md5 dedup pipelines, the per-feature work here is light (~0.5s
+    serial at sf0.1's 250 footprints), and 32 tasks x 3 chained
+    mapInPandas evals of fixed per-task overhead measured SLOWER than
+    the single-task run (0.83-0.94s -> 1.4-1.8s). Corpus-scale inputs
+    arrive multi-partition from the scan anyway."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -618,11 +616,9 @@ def doc_vline_features(docs_geo: DataFrame) -> DataFrame:
     (lon-r, lat-r) -> (lon, lat+r) -> (lon+r, lat-r), clamped to the
     world rect — the line-clipping analog of the square footprints
     (coordinates are plain column algebra, so the SQL twin rebuilds
-    them exactly). Input spread mirrors doc_footprint_features."""
+    them exactly). Not spread, same A/B verdict as
+    doc_footprint_features."""
     from mapchete_spark.geometry.core import LineString
-    from mapchete_spark.operators.partitioning import spread_small_input
-
-    docs_geo = spread_small_input(docs_geo, "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

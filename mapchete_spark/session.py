@@ -69,6 +69,10 @@ def get_spark(
         # ops batch properly.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow for DRIVER transfers too (toPandas / createDataFrame
+        # from pandas) — off by default in Spark 3.x/4.x; the row path
+        # moves binary tile payloads through py4j (guide §6)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # parquet scans: pushdown + pruning stay on
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

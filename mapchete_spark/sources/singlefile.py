@@ -7,8 +7,7 @@ single-file GTiff driver assembles the whole zoom in the parent process
 (:71) — beyond it the reference streams through a temporary file. Here
 the artifact is a .npy array + JSON sidecar (no GDAL in the env); the
 guard estimates the assembled size from a Spark aggregate BEFORE
-collecting, and the collect streams via toLocalIterator so only the
-canvas (not all rows at once) is held.
+collecting, and the (threshold-bounded) collect is one Arrow transfer.
 
 This is deliberately a DRIVER-side sink: a single artifact is a single
 writer by definition. The distributed path for large outputs is the
@@ -50,22 +49,32 @@ def assemble_single_array(
     Raises SingleFileTooLarge when the estimated assembled size exceeds
     the threshold (checked with one cheap aggregate before any data is
     pulled to the driver)."""
-    lvl = tiles.where(F.col("zoom") == zoom)
-    est = lvl.agg(
-        F.sum(F.length("data")).alias("nbytes"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    if not est["n"]:
-        raise ValueError(f"no tiles at zoom {zoom}")
-    if int(est["nbytes"] or 0) > threshold_bytes:
-        raise SingleFileTooLarge(
-            f"assembled zoom {zoom} needs ~{est['nbytes']} bytes "
-            f"(> threshold {threshold_bytes}); write the partitioned "
-            "tile table instead"
-        )
+    # persist: the size-guard aggregate and the fetch would otherwise
+    # each evaluate the (possibly expensive) upstream once; the guard
+    # still runs BEFORE any payload reaches the driver (the cache lives
+    # on the executors). The fetch itself is one Arrow toPandas — the
+    # old toLocalIterator ran one sequential mini-job per partition and
+    # moved rows through py4j (measured ~6s for a 12MB / 48-tile zoom;
+    # ~0.4s this way), and the threshold already bounds what is pulled.
+    lvl = tiles.where(F.col("zoom") == zoom).persist()
+    try:
+        est = lvl.agg(
+            F.sum(F.length("data")).alias("nbytes"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if not est["n"]:
+            raise ValueError(f"no tiles at zoom {zoom}")
+        if int(est["nbytes"] or 0) > threshold_bytes:
+            raise SingleFileTooLarge(
+                f"assembled zoom {zoom} needs ~{est['nbytes']} bytes "
+                f"(> threshold {threshold_bytes}); write the partitioned "
+                "tile table instead"
+            )
+        pdf = lvl.toPandas()
+    finally:
+        lvl.unpersist()
     tiles_arrays = []
     nodata = 0.0
-    for row in lvl.toLocalIterator():
-        d = row.asDict()
+    for d in pdf.to_dict("records"):
         t = Tile(pyramid, int(d["zoom"]), int(d["tile_row"]), int(d["tile_col"]))
         tiles_arrays.append((t, row_to_array(d)))
         nodata = float(d["nodata"])
