@@ -393,9 +393,14 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     docs = SP.with_spans(docs)
+    # the declared mid-pipeline shuffle, at the session's width: hash
+    # partitioning by doc_id at defaultParallelism also satisfies the
+    # reassembly groupBy's required distribution, so the plan carries
+    # ONE exchange for explode->reassemble instead of two (A/B: 3 -> 2
+    # exchanges, results identical)
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).repartition(16, "doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     reassembled = (
         exploded.groupBy("doc_id")
         .agg(
